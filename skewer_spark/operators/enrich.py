@@ -1,0 +1,75 @@
+"""Enrichment stage: dictionary decode + envelope columns (SURVEY.md §2.3).
+
+* facility/severity code → name via **broadcast hash joins** against the
+  24/8-row dims (``/root/reference/model/types.go:45-92``), with the
+  reference's unknown-code defaults ``user`` / ``info``
+  (``model/types.go:182-208``) via ``coalesce``.
+* role/tool dictionaries — the transcript-specific dims (input_hint).
+* Deterministic uid: ``sha2(conv_id <US> turn_idx)`` — the ULID analog
+  (``services/network/tcp.go:157``); determinism is what makes resume +
+  dedup idempotent (SURVEY.md §4.3).
+* Missing-msgid backfill (``add_missing_msgid``,
+  ``/root/reference/conf/defaults.go:321``, ``store/store.go:605``).
+* Timestamp defaulting: ``time_reported = coalesce(parsed, ts)``,
+  ``time_generated = ts`` — the batch-deterministic substitute for the
+  reference's wall-clock now (``decoders/rfc3164_format.go:35-38``).
+* Stable turn ordering: ``turn_rank = row_number() over (partition by
+  conv_id order by turn_idx)`` — the RELP txnr analog (SURVEY.md §2.8).
+
+All joins are explicit ``F.broadcast`` so the enrich stage stays
+shuffle-free regardless of stats; at 100 TB these dims are still tiny.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from skewer_spark import schema as S
+
+UNIT_SEP = ""
+
+
+def with_uid(df: DataFrame) -> DataFrame:
+    return df.withColumn(
+        "uid",
+        F.sha2(F.concat_ws(UNIT_SEP, F.col("conv_id"), F.col("turn_idx")), 256),
+    )
+
+
+def with_turn_rank(df: DataFrame) -> DataFrame:
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    return df.withColumn("turn_rank", F.row_number().over(w))
+
+
+def enrich(df: DataFrame, spark: SparkSession | None = None) -> DataFrame:
+    """parsed → enriched.  Expects columns from parse_transcripts()."""
+    spark = spark or df.sparkSession
+
+    fac = F.broadcast(S.facility_dim(spark))
+    sev = F.broadcast(S.severity_dim(spark))
+    role = F.broadcast(S.role_dim(spark))
+    tool = F.broadcast(S.tool_dim(spark))
+
+    out = (
+        df.join(fac, "facility", "left")
+        .join(sev, "severity", "left")
+        .join(role, "role", "left")
+        .join(tool, "tool", "left")
+        .withColumn(
+            "facility_name",
+            F.coalesce("facility_name", F.lit(S.DEFAULT_FACILITY_NAME)),
+        )
+        .withColumn(
+            "severity_name",
+            F.coalesce("severity_name", F.lit(S.DEFAULT_SEVERITY_NAME)),
+        )
+        .withColumn("time_generated", F.col("ts"))
+        .withColumn("time_reported", F.coalesce("time_reported", "ts"))
+    )
+    out = with_uid(out)
+    # add_missing_msgid (store/store.go:605)
+    out = out.withColumn(
+        "msgid", F.when(F.col("msgid") == "", F.col("uid")).otherwise(F.col("msgid"))
+    )
+    return out

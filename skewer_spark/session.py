@@ -1,0 +1,66 @@
+"""SparkSession factory tuned for the pipeline.
+
+Configs mirror what the job would ship with on a real multi-executor
+cluster (AQE, skew-join handling, Arrow for pandas UDFs); shuffle
+partition count is sized for local[N] testing and overridable.  On a
+1000-executor / 100 TB run the same builder is used from spark-submit
+with cluster-appropriate ``spark.sql.shuffle.partitions`` (rule of
+thumb: total-input / 128 MB) — nothing else changes.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# The package root must reach the Python UDF workers, which inherit
+# PYTHONPATH from the JVM, not the driver's sys.path.  On a cluster this
+# is `spark-submit --py-files skewer_spark.zip`; in local mode we export
+# PYTHONPATH before the JVM spawns.
+_PKG_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _ensure_pythonpath() -> None:
+    cur = os.environ.get("PYTHONPATH", "")
+    if _PKG_ROOT not in cur.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            f"{_PKG_ROOT}{os.pathsep}{cur}" if cur else _PKG_ROOT
+        )
+
+
+def build_session(
+    app_name: str = "skewer-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    _ensure_pythonpath()
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    master = master or f"local[{cpus}]"
+    if shuffle_partitions is None:
+        n = cpus if cpus.isdigit() else str(os.cpu_count() or 8)
+        shuffle_partitions = max(int(n), 8)
+
+    b = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        # AQE: runtime coalescing + skew-join splitting — the scale story
+        # for hot-conversation skew (SURVEY.md §4.2).
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Arrow transfer for every pandas UDF (the parse stage).
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # Dictionary dims are tiny; make sure they broadcast even if
+        # stats are missing.
+        .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SKEWER_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    return b.getOrCreate()

@@ -1,0 +1,141 @@
+"""Per-sink payload encoders (SURVEY.md §2.5), as Column expressions.
+
+Each mirrors a reference encoder (registry
+``/root/reference/encoders/encoder.go:57-69``):
+
+* ``encode_json`` — the "Regular" JSON view with facility/severity
+  *names* and RFC3339 times (``model/types.go:210-262``,
+  ``encoders/json.go:31-44``), omit-empty semantics via ``nullif``.
+* ``encode_rfc5424`` — ``<PRI>1 TS HOST APP PROC MSGID SD MSG`` with
+  ``-`` for absent fields; SD rebuilt from the properties map with
+  value escaping per ``encoders/rfc5424.go:84-122``.
+* ``encode_rfc3164`` — ``<PRI>Mmm _2 15:04:05 HOST APP[PROC]: MSG``
+  (``encoders/rfc3164.go:26-45``); the reference falls back to
+  ``os.Hostname()`` for empty hostname — batch-deterministic substitute
+  is the literal ``localhost``.
+* ``encode_file`` — ``TS HOST APP MSG`` with ``-`` fallbacks
+  (``encoders/file.go:11-37``).
+
+All pure ``pyspark.sql.functions`` — these stay inside whole-stage
+codegen; no Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+ISO = "yyyy-MM-dd'T'HH:mm:ss'Z'"
+
+
+def _iso(c: str | Column) -> Column:
+    return F.date_format(c, ISO)
+
+
+def _dash(c: str) -> Column:
+    return F.coalesce(F.nullif(F.col(c), F.lit("")), F.lit("-"))
+
+
+def encode_json() -> Column:
+    """Regular JSON view (field order = RegularSyslog struct order)."""
+    return F.to_json(
+        F.struct(
+            F.col("facility_name").alias("facility"),
+            F.col("severity_name").alias("severity"),
+            _iso("time_reported").alias("timereported"),
+            _iso("time_generated").alias("timegenerated"),
+            F.nullif(F.col("hostname"), F.lit("")).alias("hostname"),
+            F.nullif(F.col("appname"), F.lit("")).alias("appname"),
+            F.nullif(F.col("procid"), F.lit("")).alias("procid"),
+            F.nullif(F.col("msgid"), F.lit("")).alias("msgid"),
+            F.nullif(F.col("message"), F.lit("")).alias("message"),
+            F.col("properties").alias("properties"),
+        ),
+        {"ignoreNullFields": "true"},
+    )
+
+
+def _sd_from_properties() -> Column:
+    """[sid k="v" ...]... from map<string,map<string,string>>.
+
+    Escaping per encoders/rfc5424.go:84-110: ``\\ " ]`` get
+    backslash-escaped in param values.  Properties hold raw (already
+    escaped) values from the parser, so only quote them here.
+    """
+    inner = (
+        'aggregate(map_entries(e.value), "", (a, p) -> '
+        "concat(a, ' ', p.key, '=\"', p.value, '\"'))"
+    )
+    return F.expr(
+        "aggregate(map_entries(properties), '', (acc, e) -> "
+        f"concat(acc, '[', e.key, {inner}, ']'))"
+    )
+
+
+def encode_rfc5424() -> Column:
+    sd = F.when(
+        F.col("properties").isNull() | (F.size(F.map_keys(F.col("properties"))) == 0),
+        F.lit("-"),
+    ).otherwise(_sd_from_properties())
+    body = F.concat(
+        F.lit("<"), F.col("priority").cast("string"), F.lit(">1 "),
+        _iso("time_reported"), F.lit(" "),
+        _dash("hostname"), F.lit(" "),
+        _dash("appname"), F.lit(" "),
+        _dash("procid"), F.lit(" "),
+        _dash("msgid"), F.lit(" "),
+        sd,
+    )
+    return F.when(
+        F.col("message") == "", body
+    ).otherwise(F.concat(body, F.lit(" "), F.col("message")))
+
+
+def _stamp(c: str) -> Column:
+    """Go 'Jan _2 15:04:05' (space-padded day)."""
+    day = F.dayofmonth(c)
+    return F.concat(
+        F.date_format(c, "MMM"),
+        F.when(day < 10, F.concat(F.lit("  "), day.cast("string")))
+        .otherwise(F.concat(F.lit(" "), day.cast("string"))),
+        F.lit(" "),
+        F.date_format(c, "HH:mm:ss"),
+    )
+
+
+def encode_rfc3164() -> Column:
+    procid = F.trim(F.col("procid"))
+    proc_part = F.when(
+        F.length(procid) > 0, F.concat(F.lit("["), procid, F.lit("]"))
+    ).otherwise(F.lit(""))
+    hostname = F.when(
+        F.length(F.trim(F.col("hostname"))) > 0, F.trim(F.col("hostname"))
+    ).otherwise(F.lit("localhost"))
+    return F.concat(
+        F.lit("<"), F.col("priority").cast("string"), F.lit(">"),
+        _stamp("time_reported"), F.lit(" "),
+        hostname, F.lit(" "),
+        F.col("appname"), proc_part, F.lit(": "),
+        F.col("message"),
+    )
+
+
+def encode_file() -> Column:
+    return F.concat_ws(
+        " ", _iso("time_reported"), _dash("hostname"), _dash("appname"),
+        F.col("message"),
+    )
+
+
+# sink → encoder, mirroring per-destination encoder config
+SINK_ENCODERS = {
+    "sink_alerts": encode_rfc5424,
+    "sink_tools": encode_json,
+    "sink_firehose": encode_file,
+    "sink_rejects": encode_json,
+}
+
+
+def with_encoded(df, sink_name: str):
+    enc = SINK_ENCODERS.get(sink_name, encode_json)
+    return df.withColumn("encoded", enc())
