@@ -1,10 +1,14 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship pipeline on sf0.001.
+``queries()`` / ``oracle_sql()`` — one pair per implemented operator
+from SURVEY.md §2 (+ the training-data ops), runnable side-by-side at
+sf0.01 against DuckDB.
+
+The event-line adapter (skewer_spark.sources.events) builds syslog
+lines from the ``events`` table by pure arithmetic, so every oracle
+recomputes the EXPECTED parse output from the source columns — it never
+re-implements the parser, which keeps the two sides independent.
 """
 
 from __future__ import annotations
@@ -12,27 +16,560 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+# ---------------------------------------------------------------------------
+# shared oracle prelude: expected parse/route fields by construction
+# ---------------------------------------------------------------------------
+
+EV_PRELUDE = """
+WITH ev AS (
+  SELECT event_id, user_id, event_type, ts, value,
+    event_id % 192 AS pri,
+    (event_id % 192) % 8 AS sev,
+    (event_id % 192) // 8 AS fac,
+    event_id % 3 AS shape,
+    (event_id % 7 = 0) AS badts,
+    (event_id % 11 = 0) AS rejectme,
+    'host' || lpad((user_id % 50)::varchar, 2, '0') AS host,
+    'app' || lpad((event_id % 20)::varchar, 2, '0') AS app,
+    (event_id % 1000)::varchar AS pid,
+    'MSG' || lpad((event_id % 100)::varchar, 2, '0') AS msgid0,
+    lpad((event_id % 24)::varchar, 2, '0') || ':' ||
+      lpad((event_id * 7 % 60)::varchar, 2, '0') || ':' ||
+      lpad((event_id * 13 % 60)::varchar, 2, '0') AS hms,
+    strftime(date_trunc('second', ts), '%Y-%m-%dT%H:%M:%SZ') AS iso,
+    event_type || ' msg ' || event_id ||
+      (CASE WHEN event_id % 11 = 0 THEN ' REJECTME' ELSE '' END) AS payload,
+    CASE event_type WHEN 'click' THEN 'browser' WHEN 'view' THEN 'browser'
+      WHEN 'purchase' THEN 'bash' WHEN 'signup' THEN 'editor'
+      ELSE 'none' END AS tool
+  FROM events
+), parsed AS (
+  SELECT *,
+    NOT (shape = 0 AND badts) AS ok,
+    CASE WHEN shape = 0 AND badts THEN 0 ELSE sev END AS severity,
+    CASE WHEN shape = 0 AND badts THEN 0 ELSE fac END AS facility,
+    CASE WHEN shape = 0 AND badts THEN '' ELSE host END AS hostname,
+    CASE WHEN shape = 0 AND badts THEN '' ELSE app END AS appname,
+    CASE WHEN shape = 0 AND badts THEN '' WHEN shape = 2 THEN ''
+         ELSE pid END AS procid,
+    CASE WHEN shape = 0 AND NOT badts THEN msgid0 ELSE '' END AS p_msgid,
+    CASE WHEN shape = 0 AND badts THEN '' ELSE payload END AS message,
+    CASE WHEN shape = 0 AND badts THEN NULL
+         WHEN shape = 1 THEN strptime('2024-01-10 ' || hms, '%Y-%m-%d %H:%M:%S')
+         ELSE date_trunc('second', ts) END AS time_reported,
+    CASE WHEN shape = 0 THEN 'rfc5424' ELSE 'rfc3164' END AS parser_name
+  FROM ev
+), routed AS (
+  SELECT *,
+    CASE WHEN ok AND severity = 7 THEN 'DROPPED'
+         WHEN ok AND rejectme THEN 'REJECTED'
+         WHEN NOT ok THEN 'ERROR'
+         ELSE 'PASS' END AS filter_status,
+    'syslog-' || (CASE WHEN appname = '' THEN 'unknown' ELSE appname END)
+      AS topic,
+    CASE severity WHEN 0 THEN 'emerg' WHEN 1 THEN 'alert' WHEN 2 THEN 'crit'
+      WHEN 3 THEN 'err' WHEN 4 THEN 'warning' WHEN 5 THEN 'notice'
+      WHEN 6 THEN 'info' ELSE 'debug' END AS severity_name,
+    sha256(user_id::varchar || chr(31) || event_id::varchar) AS uid
+  FROM parsed
+)
+"""
+
+SEVNAME_SQL = """
+CASE severity WHEN 0 THEN 'emerg' WHEN 1 THEN 'alert' WHEN 2 THEN 'crit'
+  WHEN 3 THEN 'err' WHEN 4 THEN 'warning' WHEN 5 THEN 'notice'
+  WHEN 6 THEN 'info' ELSE 'debug' END
+"""
+
+FACNAME_VALUES = (
+    "(VALUES " + ", ".join(
+        f"({k}, '{v}')" for k, v in sorted(
+            __import__("skewer_spark.schema", fromlist=["FACILITIES"]).FACILITIES.items()
+        )
+    ) + ") AS fd(facility_code, facility_name)"
+)
+
+
+def _routed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from skewer_spark.operators.enrich import enrich
+    from skewer_spark.operators.parse import parse_transcripts
+    from skewer_spark.operators.route import route
+    from skewer_spark.sources.events import event_transcripts
+
+    tdf = event_transcripts(spark, sf_dir)
+    return route(enrich(parse_transcripts(tdf)))
+
+
+def _parsed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from skewer_spark.operators.parse import parse_transcripts
+    from skewer_spark.sources.events import event_transcripts
+
+    return parse_transcripts(event_transcripts(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# entry
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: parse → enrich → route → windowed aggregate on sf0.001."""
+    from skewer_spark.operators.aggregate import windowed_counts
 
+    routed = _routed_events(spark, "/root/testdata/sf0.001")
+    return windowed_counts(routed)
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from skewer_spark.functions.text import (
+        char_count, lang_id, token_count, word_fingerprint,
+    )
+    from skewer_spark.operators.dedup import (
+        exact_dedup, fingerprint_dedup, minhash_candidate_pairs, simhash,
+    )
+    from skewer_spark.operators.similarity import (
+        brute_force_topk, cosine_pairs_above,
+    )
+    from skewer_spark.schema import facility_dim, severity_dim
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def q_window_rank(spark, sf):
+        from pyspark.sql import Window
+        ev = spark.read.parquet(f"{sf}/events.parquet")
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        return (
+            ev.withColumn("turn_rank", F.row_number().over(w))
+            .filter(F.col("turn_rank") <= 3)
+            .select("user_id", "event_id", "turn_rank")
+        )
 
+    def q_enrich_broadcast(spark, sf):
+        cust = spark.read.parquet(f"{sf}/customer.parquet")
+        nat = spark.read.parquet(f"{sf}/nation.parquet")
+        reg = spark.read.parquet(f"{sf}/region.parquet")
+        return (
+            cust.join(F.broadcast(nat),
+                      cust.c_nationkey == nat.n_nationkey)
+            .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+            .groupBy("r_name", "n_name")
+            .agg(
+                F.count("*").alias("n_customers"),
+                F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double").alias("sum_acctbal"),
+            )
+        )
+
+    def q_priority_decode(spark, sf):
+        ev = spark.read.parquet(f"{sf}/events.parquet")
+        pri = F.pmod(F.col("event_id"), F.lit(192))
+        d = ev.select(
+            (pri / 8).cast("int").alias("facility"),
+            F.pmod(pri, F.lit(8)).cast("int").alias("severity"),
+        )
+        out = (
+            d.join(F.broadcast(facility_dim(spark)), "facility", "left")
+            .join(F.broadcast(severity_dim(spark)), "severity", "left")
+            .withColumn("facility_name",
+                        F.coalesce("facility_name", F.lit("user")))
+            .withColumn("severity_name",
+                        F.coalesce("severity_name", F.lit("info")))
+            .groupBy("facility", "facility_name", "severity", "severity_name")
+            .agg(F.count("*").alias("n"))
+        )
+        return out
+
+    def q_parse_rfc3164(spark, sf):
+        p = _parsed_events(spark, sf)
+        return p.filter(F.pmod(F.col("turn_idx"), F.lit(3)) == 1).select(
+            F.col("turn_idx").cast("long").alias("event_id"),
+            "hostname", "appname", "procid", "message",
+            F.col("severity").cast("int").alias("severity"),
+            F.date_format("time_reported", "yyyy-MM-dd HH:mm:ss").alias("tr_str"),
+            "parser_name",
+        )
+
+    def q_parse_rfc5424(spark, sf):
+        p = _parsed_events(spark, sf)
+        return (
+            p.filter((F.pmod(F.col("turn_idx"), F.lit(3)) == 0) & F.col("parse_ok"))
+            .select(
+                F.col("turn_idx").cast("long").alias("event_id"),
+                "hostname", "appname", "procid", "msgid", "message",
+                F.col("severity").cast("int").alias("severity"),
+                F.date_format("time_reported", "yyyy-MM-dd HH:mm:ss").alias("tr_str"),
+                F.col("properties")["meta"]["k"].alias("meta_k"),
+            )
+        )
+
+    def q_parse_errors(spark, sf):
+        p = _parsed_events(spark, sf)
+        return (
+            p.filter(~F.col("parse_ok"))
+            .groupBy("parser_name")
+            .agg(F.count("*").alias("n_errors"))
+        )
+
+    def q_filter_fourway(spark, sf):
+        r = _routed_events(spark, sf)
+        return r.groupBy("filter_status", "role").agg(
+            F.count("*").alias("n_messages")
+        )
+
+    def q_route_topic(spark, sf):
+        r = _routed_events(spark, sf)
+        return r.groupBy("topic").agg(F.count("*").alias("n_messages"))
+
+    def q_sink_counts(spark, sf):
+        from skewer_spark.operators.aggregate import sink_counts
+        return sink_counts(_routed_events(spark, sf))
+
+    def q_windowed_agg(spark, sf):
+        ev = spark.read.parquet(f"{sf}/events.parquet")
+        return (
+            ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+            )
+            .select(
+                F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+                "event_type", "n", "sum_value",
+            )
+        )
+
+    def q_incoming_counts(spark, sf):
+        r = _routed_events(spark, sf)
+        return r.groupBy("role").agg(
+            F.count("*").alias("n_messages"),
+            F.count_distinct("conv_id").alias("n_convs"),
+        )
+
+    def q_encode_rfc5424(spark, sf):
+        from skewer_spark.sinks.encoders import encode_rfc5424
+        r = _routed_events(spark, sf)
+        return r.select(
+            F.col("turn_idx").cast("long").alias("event_id"),
+            encode_rfc5424().alias("encoded"),
+        )
+
+    def q_encode_json(spark, sf):
+        from skewer_spark.sinks.encoders import encode_json
+        r = _routed_events(spark, sf)
+        return r.select(
+            F.col("turn_idx").cast("long").alias("event_id"),
+            encode_json().alias("encoded"),
+        )
+
+    def q_dedup_exact(spark, sf):
+        docs = spark.read.parquet(f"{sf}/documents.parquet")
+        return exact_dedup(docs)
+
+    def q_dedup_fingerprint(spark, sf):
+        docs = spark.read.parquet(f"{sf}/documents.parquet")
+        return fingerprint_dedup(docs)
+
+    def q_minhash_lsh(spark, sf):
+        docs = spark.read.parquet(f"{sf}/documents.parquet")
+        return minhash_candidate_pairs(docs)
+
+    def q_simhash(spark, sf):
+        docs = spark.read.parquet(f"{sf}/documents.parquet")
+        return simhash(docs)
+
+    def q_ann_topk(spark, sf):
+        emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+        qvec = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+        return brute_force_topk(emb, list(qvec), k=10)
+
+    def q_embed_neardup(spark, sf):
+        emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+        return cosine_pairs_above(emb, threshold=0.2, n_planes=4)
+
+    def q_text_stats(spark, sf):
+        docs = spark.read.parquet(f"{sf}/documents.parquet")
+        return docs.groupBy("lang").agg(
+            F.count("*").alias("n_docs"),
+            F.sum(token_count()).alias("sum_tokens"),
+            F.sum(char_count()).alias("sum_chars"),
+        )
+
+    def q_lang_id(spark, sf):
+        docs = spark.read.parquet(f"{sf}/documents.parquet")
+        return docs.select(lang_id().alias("predicted_lang")).groupBy(
+            "predicted_lang"
+        ).agg(F.count("*").alias("n"))
+
+    def q_doc_fingerprint(spark, sf):
+        docs = spark.read.parquet(f"{sf}/documents.parquet")
+        return docs.select("doc_id", word_fingerprint().alias("fp"))
+
+    def q_tpch_q1(spark, sf):
+        li = spark.read.parquet(f"{sf}/lineitem.parquet")
+        return (
+            li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(
+                F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
+                F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double").alias("sum_base_price"),
+                F.count("*").alias("count_order"),
+            )
+        )
+
+    return {
+        "q_window_rank": q_window_rank,
+        "q_enrich_broadcast": q_enrich_broadcast,
+        "q_priority_decode": q_priority_decode,
+        "q_parse_rfc3164": q_parse_rfc3164,
+        "q_parse_rfc5424": q_parse_rfc5424,
+        "q_parse_errors": q_parse_errors,
+        "q_filter_fourway": q_filter_fourway,
+        "q_route_topic": q_route_topic,
+        "q_sink_counts": q_sink_counts,
+        "q_windowed_agg": q_windowed_agg,
+        "q_incoming_counts": q_incoming_counts,
+        "q_encode_rfc5424": q_encode_rfc5424,
+        "q_encode_json": q_encode_json,
+        "q_dedup_exact": q_dedup_exact,
+        "q_dedup_fingerprint": q_dedup_fingerprint,
+        "q_minhash_lsh": q_minhash_lsh,
+        "q_simhash": q_simhash,
+        "q_ann_topk": q_ann_topk,
+        "q_embed_neardup": q_embed_neardup,
+        "q_text_stats": q_text_stats,
+        "q_lang_id": q_lang_id,
+        "q_doc_fingerprint": q_doc_fingerprint,
+        "q_tpch_q1": q_tpch_q1,
+    }
+
+
+# ---------------------------------------------------------------------------
+# oracle SQL (DuckDB dialect)
+# ---------------------------------------------------------------------------
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    facname = FACNAME_VALUES
+
+    sinks_union = f"""
+    {EV_PRELUDE}
+    , sunk AS (
+      SELECT 'sink_alerts' AS sink, severity_name FROM routed
+        WHERE filter_status = 'PASS' AND severity <= 3
+      UNION ALL
+      SELECT 'sink_tools', severity_name FROM routed
+        WHERE filter_status = 'PASS' AND tool <> 'none'
+      UNION ALL
+      SELECT 'sink_firehose', severity_name FROM routed
+        WHERE filter_status = 'PASS'
+      UNION ALL
+      SELECT 'sink_rejects', severity_name FROM routed
+        WHERE filter_status IN ('REJECTED','ERROR')
+    )
+    SELECT sink, severity_name, count(*) AS n_messages
+    FROM sunk GROUP BY sink, severity_name
     """
-    return {}
+
+    encode_5424 = f"""
+    {EV_PRELUDE}
+    SELECT event_id,
+      '<' || (CASE WHEN ok THEN pri ELSE 0 END) || '>1 ' ||
+      strftime(coalesce(time_reported, ts), '%Y-%m-%dT%H:%M:%SZ') || ' ' ||
+      (CASE WHEN hostname = '' THEN '-' ELSE hostname END) || ' ' ||
+      (CASE WHEN appname = '' THEN '-' ELSE appname END) || ' ' ||
+      (CASE WHEN procid = '' THEN '-' ELSE procid END) || ' ' ||
+      (CASE WHEN p_msgid = '' THEN uid ELSE p_msgid END) || ' ' ||
+      (CASE WHEN shape = 0 AND ok THEN '[meta k="v"]' ELSE '-' END) ||
+      (CASE WHEN message = '' THEN '' ELSE ' ' || message END) AS encoded
+    FROM routed
+    """
+
+    encode_json_sql = f"""
+    {EV_PRELUDE}
+    SELECT event_id,
+      '{{"facility":"' ||
+      (CASE WHEN facility = 0 THEN 'kern' WHEN facility = 1 THEN 'user'
+        WHEN facility = 2 THEN 'mail' WHEN facility = 3 THEN 'daemon'
+        WHEN facility = 4 THEN 'auth' WHEN facility = 5 THEN 'syslog'
+        WHEN facility = 6 THEN 'lpr' WHEN facility = 7 THEN 'news'
+        WHEN facility = 8 THEN 'uucp' WHEN facility = 9 THEN 'clock'
+        WHEN facility = 10 THEN 'authpriv' WHEN facility = 11 THEN 'ftp'
+        WHEN facility = 12 THEN 'ntp' WHEN facility = 13 THEN 'logaudit'
+        WHEN facility = 14 THEN 'logalert' WHEN facility = 15 THEN 'cron'
+        WHEN facility = 16 THEN 'local0' WHEN facility = 17 THEN 'local1'
+        WHEN facility = 18 THEN 'local2' WHEN facility = 19 THEN 'local3'
+        WHEN facility = 20 THEN 'local4' WHEN facility = 21 THEN 'local5'
+        WHEN facility = 22 THEN 'local6' WHEN facility = 23 THEN 'local7'
+        ELSE 'user' END) ||
+      '","severity":"' || severity_name ||
+      '","timereported":"' ||
+        strftime(coalesce(time_reported, ts), '%Y-%m-%dT%H:%M:%SZ') ||
+      '","timegenerated":"' || strftime(ts, '%Y-%m-%dT%H:%M:%SZ') || '"' ||
+      (CASE WHEN hostname = '' THEN '' ELSE ',"hostname":"' || hostname || '"' END) ||
+      (CASE WHEN appname = '' THEN '' ELSE ',"appname":"' || appname || '"' END) ||
+      (CASE WHEN procid = '' THEN '' ELSE ',"procid":"' || procid || '"' END) ||
+      ',"msgid":"' || (CASE WHEN p_msgid = '' THEN uid ELSE p_msgid END) || '"' ||
+      (CASE WHEN message = '' THEN '' ELSE ',"message":"' || message || '"' END) ||
+      (CASE WHEN shape = 0 AND ok
+        THEN ',"properties":{{"meta":{{"k":"v"}}}}' ELSE '' END) ||
+      '}}' AS encoded
+    FROM routed
+    """
+
+    mh_seeds = [f"min(md5('s{i}|' || tok)) AS mh_{i}" for i in range(8)]
+    minhash_sql = f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+      FROM documents
+    ), sigs AS (
+      SELECT doc_id, {', '.join(mh_seeds)} FROM toks GROUP BY doc_id
+    ), buckets AS (
+      SELECT doc_id, 0 AS band_id, md5(mh_0 || '|' || mh_1) AS band_key FROM sigs
+      UNION ALL
+      SELECT doc_id, 1, md5(mh_2 || '|' || mh_3) FROM sigs
+      UNION ALL
+      SELECT doc_id, 2, md5(mh_4 || '|' || mh_5) FROM sigs
+      UNION ALL
+      SELECT doc_id, 3, md5(mh_6 || '|' || mh_7) FROM sigs
+    )
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM buckets a JOIN buckets b USING (band_id, band_key)
+    WHERE a.doc_id < b.doc_id
+    """
+
+    return {
+        "q_window_rank": """
+            SELECT user_id, event_id, turn_rank FROM (
+              SELECT user_id, event_id,
+                row_number() OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS turn_rank
+              FROM events
+            ) WHERE turn_rank <= 3
+        """,
+        "q_enrich_broadcast": """
+            SELECT r_name, n_name, count(*) AS n_customers,
+                   sum(CAST(c_acctbal AS DECIMAL(18,2)))::DOUBLE AS sum_acctbal
+            FROM customer
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name, n_name
+        """,
+        "q_priority_decode": f"""
+            WITH d AS (
+              SELECT ((event_id % 192) // 8)::int AS facility,
+                     ((event_id % 192) % 8)::int AS severity
+              FROM events
+            )
+            SELECT facility, coalesce(facility_name, 'user') AS facility_name,
+                   severity, {SEVNAME_SQL} AS severity_name,
+                   count(*) AS n
+            FROM d LEFT JOIN {facname} ON facility = facility_code
+            GROUP BY ALL
+        """,
+        "q_parse_rfc3164": f"""
+            {EV_PRELUDE}
+            SELECT event_id, hostname, appname, procid, message,
+                   severity::int AS severity,
+                   strftime(time_reported, '%Y-%m-%d %H:%M:%S') AS tr_str,
+                   parser_name
+            FROM parsed WHERE shape = 1
+        """,
+        "q_parse_rfc5424": f"""
+            {EV_PRELUDE}
+            SELECT event_id, hostname, appname, procid, p_msgid AS msgid,
+                   message, severity::int AS severity,
+                   strftime(time_reported, '%Y-%m-%d %H:%M:%S') AS tr_str,
+                   'v' AS meta_k
+            FROM parsed WHERE shape = 0 AND ok
+        """,
+        "q_parse_errors": f"""
+            {EV_PRELUDE}
+            SELECT parser_name, count(*) AS n_errors
+            FROM parsed WHERE NOT ok GROUP BY parser_name
+        """,
+        "q_filter_fourway": f"""
+            {EV_PRELUDE}
+            SELECT filter_status, event_type AS role, count(*) AS n_messages
+            FROM routed GROUP BY filter_status, event_type
+        """,
+        "q_route_topic": f"""
+            {EV_PRELUDE}
+            SELECT topic, count(*) AS n_messages FROM routed GROUP BY topic
+        """,
+        "q_sink_counts": sinks_union,
+        "q_windowed_agg": """
+            SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
+                     AS window_start,
+                   event_type, count(*) AS n,
+                   sum(CAST(value AS DECIMAL(18,2)))::DOUBLE AS sum_value
+            FROM events GROUP BY 1, 2
+        """,
+        "q_incoming_counts": f"""
+            {EV_PRELUDE}
+            SELECT event_type AS role, count(*) AS n_messages,
+                   count(DISTINCT user_id) AS n_convs
+            FROM routed GROUP BY event_type
+        """,
+        "q_encode_rfc5424": encode_5424,
+        "q_encode_json": encode_json_sql,
+        "q_dedup_exact": """
+            SELECT md5(text) AS text_md5, min(doc_id) AS keeper_id,
+                   count(*) AS n_copies
+            FROM documents GROUP BY md5(text)
+        """,
+        "q_dedup_fingerprint": """
+            SELECT md5(array_to_string(list_sort(list_distinct(
+                     string_split(text, ' '))), ' ')) AS fp,
+                   min(doc_id) AS keeper_id, count(*) AS n_members
+            FROM documents GROUP BY 1
+        """,
+        "q_minhash_lsh": minhash_sql,
+        # q_simhash: xxhash64-based, Spark-specific → rows-only check
+        "q_ann_topk": """
+            WITH q AS (
+              SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0
+            ), sims AS (
+              SELECT e.vec_id,
+                round(
+                  list_dot_product(e.embedding::DOUBLE[], q.qe) /
+                  (sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                         e.embedding::DOUBLE[])) *
+                   sqrt(list_dot_product(q.qe, q.qe))), 6) AS cos_sim
+              FROM embeddings e, q
+            )
+            SELECT vec_id, cos_sim FROM sims
+            ORDER BY cos_sim DESC, vec_id LIMIT 10
+        """,
+        # q_embed_neardup: hyperplanes derive from xxhash64 → rows-only
+        "q_text_stats": """
+            SELECT lang, count(*) AS n_docs,
+                   sum(length(text) - length(replace(text, ' ', '')) + 1)
+                     AS sum_tokens,
+                   sum(length(text)) AS sum_chars
+            FROM documents GROUP BY lang
+        """,
+        "q_lang_id": """
+            SELECT CASE WHEN strpos(text, ' the ') > 0 THEN 'en'
+                        WHEN strpos(text, ' el ') > 0 THEN 'es'
+                        WHEN strpos(text, ' le ') > 0 THEN 'fr'
+                        WHEN strpos(text, ' der ') > 0 THEN 'de'
+                        ELSE 'unk' END AS predicted_lang,
+                   count(*) AS n
+            FROM documents GROUP BY 1
+        """,
+        "q_doc_fingerprint": """
+            SELECT doc_id, md5(array_to_string(list_sort(list_distinct(
+                     string_split(text, ' '))), ' ')) AS fp
+            FROM documents
+        """,
+        "q_tpch_q1": """
+            SELECT l_returnflag, l_linestatus,
+                   sum(CAST(l_quantity AS DECIMAL(18,2)))::DOUBLE AS sum_qty,
+                   sum(CAST(l_extendedprice AS DECIMAL(18,2)))::DOUBLE AS sum_base_price,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+    }

@@ -1,0 +1,164 @@
+"""Deduplication operators for training-data pipelines.
+
+Four tiers, cheapest first — at 100 TB you run them in this order so
+each stage shrinks the candidate set for the next:
+
+1. **exact** — hash group-by on the raw text (one shuffle on md5(text),
+   not on the text bytes themselves: tiny shuffle keys).
+2. **fingerprint** — word-set fingerprint (order/multiplicity
+   insensitive) — still one shuffle, catches shuffled/duplicated-word
+   near-dups.
+3. **MinHash + LSH** — shingle → per-seed min-hash → band buckets →
+   candidate pairs only within buckets.  Hashing is md5-based so the
+   DuckDB oracle can reproduce signatures bit-for-bit (Spark xxhash64
+   has no DuckDB twin).  The band join is a self-join on the band
+   signature: Catalyst turns it into a shuffled hash join keyed on tiny
+   strings; no O(n²) pair scan ever materializes.
+4. **SimHash** — 64-bit sign-sum signature via xxhash64 bit extraction
+   (pure JVM expressions); hamming-close docs share signatures after
+   per-band masking.
+
+Embedding near-dup lives in operators/similarity.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_SEEDS = ("s0", "s1", "s2", "s3", "s4", "s5", "s6", "s7")
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the lowest id per identical text; expose the group size."""
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("text_md5"))
+        .agg(
+            F.min(id_col).alias("keeper_id"),
+            F.count("*").alias("n_copies"),
+        )
+    )
+
+
+def fingerprint_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Word-set fingerprint groups (order-insensitive near-dup)."""
+    from skewer_spark.functions.text import word_fingerprint
+
+    return (
+        df.withColumn("fp", word_fingerprint(text_col))
+        .groupBy("fp")
+        .agg(F.min(id_col).alias("keeper_id"), F.count("*").alias("n_members"))
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seeds: tuple[str, ...] = DEFAULT_SEEDS,
+) -> DataFrame:
+    """Per-document MinHash signature over whitespace tokens.
+
+    min-hash h_i(doc) = min over tokens of md5(seed_i || token); the
+    lexicographic min of the hex digest is a uniform order statistic,
+    so P(h_i(a)==h_i(b)) = Jaccard(a,b) as usual.  One explode + one
+    groupBy(doc) shuffle; signature width = len(seeds).
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(F.split(F.col(text_col), " "))).alias("tok"),
+    )
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(seed), F.lit("|"), F.col("tok")))).alias(f"mh_{i}")
+        for i, seed in enumerate(seeds)
+    ]
+    return toks.groupBy(id_col).agg(*aggs)
+
+
+def minhash_lsh_buckets(
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    bands: int = 4,
+    rows_per_band: int = 2,
+) -> DataFrame:
+    """Band the signature: (band_id, band_key) per doc.
+
+    Docs sharing a band key are near-dup candidates; downstream joins
+    group on (band_id, band_key) — a small-key shuffle even at 10^12
+    docs.
+    """
+    out = []
+    for b in range(bands):
+        cols = [f"mh_{b * rows_per_band + r}" for r in range(rows_per_band)]
+        out.append(
+            sigs.select(
+                F.col(id_col),
+                F.lit(b).alias("band_id"),
+                F.md5(F.concat_ws("|", *cols)).alias("band_key"),
+            )
+        )
+    un = out[0]
+    for o in out[1:]:
+        un = un.unionByName(o)
+    return un
+
+
+def minhash_candidate_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bands: int = 4,
+    rows_per_band: int = 2,
+) -> DataFrame:
+    """Distinct candidate near-dup pairs (a<b) from LSH banding."""
+    sigs = minhash_signatures(
+        df, text_col, id_col, DEFAULT_SEEDS[: bands * rows_per_band]
+    )
+    buckets = minhash_lsh_buckets(sigs, id_col, bands, rows_per_band)
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    return (
+        a.join(
+            b,
+            on=[
+                F.col("a.band_id") == F.col("b.band_id"),
+                F.col("a.band_key") == F.col("b.band_key"),
+                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+            ],
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash per document (xxhash64 token bits, sign-sum).
+
+    Pure JVM expressions: explode tokens → per-bit ±1 contributions →
+    one groupBy(doc) with 64 sums → signature reassembled as a long.
+    Oracle note: xxhash64 is Spark-specific, so the driver check for
+    this one is rows-only.
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.col(text_col), " ")).alias("tok"),
+    ).select(F.col(id_col), F.xxhash64("tok").alias("h"))
+    sums = toks.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) * 2 - 1
+            ).alias(f"b{b}")
+            for b in range(64)
+        ]
+    )
+    sig = None
+    for b in range(64):
+        bit = F.when(F.col(f"b{b}") > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        term = F.shiftleft(bit, b)
+        sig = term if sig is None else sig.bitwiseXOR(term)
+    return sums.select(F.col(id_col), sig.alias("simhash"))
