@@ -200,7 +200,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 "hostname", "appname", "procid", "msgid", "message",
                 F.col("severity").cast("int").alias("severity"),
                 F.date_format("time_reported", "yyyy-MM-dd HH:mm:ss").alias("tr_str"),
-                F.col("properties")["meta"]["k"].alias("meta_k"),
+                F.get_json_object("properties_json", "$.meta.k").alias("meta_k"),
             )
         )
 

@@ -1,0 +1,99 @@
+"""Benchmark harness.
+
+Headline metric: end-to-end parsed+routed turns/sec — the full
+parse → enrich → route → fan-out(4 sinks) → aggregate pipeline over a
+1M-turn deterministic synthetic transcript table (FIXTURES.md bench
+scale: 2k convs × 500 turns, hot-conv skew included), all writes to
+local parquet.
+
+Also times every __spark_entry__ query at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) with a noop-materialized write.
+
+Prints ONE JSON line:
+{"metric": ..., "value": <pipeline sec>, "unit": "sec",
+ "queries": {...}, "sf": ..., "rows": ..., "rows_per_sec": ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+BENCH_CONVS = int(os.environ.get("SKEWER_BENCH_CONVS", "2000"))
+BENCH_TURNS = int(os.environ.get("SKEWER_BENCH_TURNS", "500"))
+
+
+def materialize(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    from skewer_spark.session import build_session
+    from skewer_spark.synth import transcripts_df
+    from skewer_spark.plans.job import run_flat
+
+    import __spark_entry__ as entrymod
+
+    spark = build_session(
+        app_name="skewer-bench",
+        master=f"local[{CPUS}]",
+        shuffle_partitions=max(CPUS, 8),
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    work = tempfile.mkdtemp(prefix="skewer_bench_")
+    try:
+        # --- headline: end-to-end pipeline over 1M synthetic turns ---
+        inp = os.path.join(work, "transcripts")
+        transcripts_df(spark, BENCH_CONVS, BENCH_TURNS, partitions=CPUS * 2)\
+            .write.mode("overwrite").parquet(inp)
+
+        # warm the Python UDF worker pool + JIT once (a real cluster job
+        # amortizes worker spawn over the whole table; the headline is
+        # steady-state throughput)
+        warm_in = os.path.join(work, "warm_t")
+        transcripts_df(spark, 8, 50).write.mode("overwrite").parquet(warm_in)
+        run_flat(spark, warm_in, os.path.join(work, "warm_out"))
+
+        out = os.path.join(work, "out")
+        t0 = time.monotonic()
+        n_rows = run_flat(spark, inp, out)
+        pipeline_sec = time.monotonic() - t0
+
+        # --- per-query timings at SF_DIR ---
+        qtimes: dict[str, float] = {}
+        for name, fn in entrymod.queries().items():
+            t0 = time.monotonic()
+            try:
+                materialize(fn(spark, SF_DIR))
+                qtimes[name] = round(time.monotonic() - t0, 3)
+            except Exception as e:  # pragma: no cover
+                qtimes[name] = -1.0
+                print(f"# bench query {name} failed: {e}", file=sys.stderr)
+
+        result = {
+            "metric": "end-to-end parse+enrich+route+sink+aggregate wall sec "
+                      f"({n_rows} turns, local[{CPUS}])",
+            "value": round(pipeline_sec, 3),
+            "unit": "sec",
+            "queries": qtimes,
+            "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
+            "rows": n_rows,
+            "rows_per_sec": round(n_rows / pipeline_sec),
+        }
+        print(json.dumps(result))
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()

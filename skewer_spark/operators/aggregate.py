@@ -30,6 +30,30 @@ from pyspark.sql import functions as F
 from skewer_spark.operators.route import SINKS
 
 
+def metric_grouping_sets(routed: DataFrame) -> DataFrame:
+    """All counter-style metric tables in ONE scan + ONE shuffle.
+
+    GROUPING SETS ((filter_status, role), (parser_name, parse_ok),
+    (role)) — the per-set results are split back out by the caller
+    (grouping-set id column ``gid``).  The combined result cardinality
+    is tiny at any input scale (products of enum dims), so callers can
+    collect it and write the final tables driver-side without extra
+    Spark jobs — this halves the fixed job count per slice, which is
+    what dominates wall time for small slices.
+    """
+    return (
+        routed.groupingSets(
+            [["filter_status", "role"], ["parser_name", "parse_ok"], ["role"]],
+            "filter_status", "role", "parser_name", "parse_ok",
+        )
+        .agg(
+            F.count("*").alias("n_messages"),
+            F.count_distinct("conv_id").alias("n_convs"),
+            F.grouping_id().alias("gid"),
+        )
+    )
+
+
 def incoming_counts(df: DataFrame) -> DataFrame:
     return df.groupBy("role").agg(
         F.count("*").alias("n_messages"),
@@ -53,33 +77,43 @@ def filter_counts(routed: DataFrame) -> DataFrame:
 
 
 def sink_counts(routed: DataFrame) -> DataFrame:
-    """Per-sink routed-row counts by severity name (ack-total analog)."""
-    parts = []
-    for name, pred in SINKS.items():
-        parts.append(
-            routed.filter(F.expr(pred))
-            .groupBy("severity_name")
-            .agg(F.count("*").alias("n_messages"))
-            .withColumn("sink", F.lit(name))
+    """Per-sink routed-row counts by severity name (ack-total analog).
+
+    Single pass: explode the matching-sink array instead of N filtered
+    unions — one scan regardless of destination count.
+    """
+    from skewer_spark.operators.route import with_sink_labels
+
+    return (
+        with_sink_labels(routed)
+        .groupBy("sink", "severity_name")
+        .agg(F.count("*").alias("n_messages"))
+        .select("sink", "severity_name", "n_messages")
+    )
+
+
+def windowed_counts_from_labeled(labeled: DataFrame, window: str = "1 hour") -> DataFrame:
+    """Hourly rollup on an already sink-labeled frame."""
+    return (
+        labeled
+        .groupBy(
+            F.window("ts", window).alias("w"), "sink", "severity_name", "tool"
         )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out.select("sink", "severity_name", "n_messages")
+        .agg(F.count("*").alias("n_messages"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "sink", "severity_name", "tool", "n_messages",
+        )
+    )
 
 
 def windowed_counts(routed: DataFrame, window: str = "1 hour") -> DataFrame:
-    """Hourly rollup per (sink, severity_name, tool) over PASS rows."""
-    parts = []
-    for name, pred in SINKS.items():
-        parts.append(
-            routed.filter(F.expr(pred)).withColumn("sink", F.lit(name))
-        )
-    un = parts[0]
-    for p in parts[1:]:
-        un = un.unionByName(p)
+    """Hourly rollup per (sink, severity_name, tool) — one exploded pass."""
+    from skewer_spark.operators.route import with_sink_labels
+
     return (
-        un.groupBy(
+        with_sink_labels(routed)
+        .groupBy(
             F.window("ts", window).alias("w"), "sink", "severity_name", "tool"
         )
         .agg(F.count("*").alias("n_messages"))

@@ -1,0 +1,185 @@
+"""JSON-family and W3C decoders (SURVEY.md §2.2) — pure expressions.
+
+Each mirrors a reference decoder:
+
+* ``parse_regular_json`` — the "Regular" JSON shape with facility /
+  severity *names* and RFC3339 times
+  (``/root/reference/decoders/json_format.go:13-20``,
+  ``model/types.go:223-242``): names map back to codes via the reverse
+  dictionaries with unknown → user/info defaults, ``priority`` is
+  recomputed as ``fac*8+sev`` (``model/types.go:439-441``).
+* ``parse_rsyslog_json`` — rsyslog's JSON export
+  (``decoders/json_format.go:22-98``): ``pri`` may arrive as string,
+  ``"-"`` sentinels mean empty, the ``$!`` bag lands in
+  ``properties["rsyslog"]``.
+* ``parse_gelf`` — Graylog GELF (``decoders/gelf.go:11-91``):
+  ``level`` → severity, facility from the string field else 1 (user),
+  ``_``-prefixed extras → ``properties["gelf"]``.
+* ``parse_w3c`` — W3C extended log (``decoders/w3c.go:14-43``):
+  parametrized field list, each line's space-separated values map into
+  ``properties["w3c"]``.
+
+All JVM-side (``from_json`` + map ops) — no Python in these paths.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from skewer_spark.schema import RFACILITIES, RSEVERITIES
+
+REGULAR_SCHEMA = T.StructType([
+    T.StructField("facility", T.StringType()),
+    T.StructField("severity", T.StringType()),
+    T.StructField("timereported", T.StringType()),
+    T.StructField("timegenerated", T.StringType()),
+    T.StructField("hostname", T.StringType()),
+    T.StructField("appname", T.StringType()),
+    T.StructField("procid", T.StringType()),
+    T.StructField("msgid", T.StringType()),
+    T.StructField("message", T.StringType()),
+    T.StructField(
+        "properties", T.MapType(T.StringType(), T.MapType(T.StringType(), T.StringType()))
+    ),
+])
+
+RSYSLOG_SCHEMA = T.StructType([
+    T.StructField("pri", T.StringType()),
+    T.StructField("timereported", T.StringType()),
+    T.StructField("timegenerated", T.StringType()),
+    T.StructField("hostname", T.StringType()),
+    T.StructField("app-name", T.StringType()),
+    T.StructField("procid", T.StringType()),
+    T.StructField("msgid", T.StringType()),
+    T.StructField("msg", T.StringType()),
+    T.StructField("$!", T.MapType(T.StringType(), T.StringType())),
+])
+
+GELF_SCHEMA = T.StructType([
+    T.StructField("version", T.StringType()),
+    T.StructField("host", T.StringType()),
+    T.StructField("short_message", T.StringType()),
+    T.StructField("full_message", T.StringType()),
+    T.StructField("timestamp", T.DoubleType()),
+    T.StructField("level", T.IntegerType()),
+    T.StructField("facility", T.StringType()),
+])
+
+
+def _name_to_code(col: Column, mapping: dict[str, int], default: int) -> Column:
+    expr = F.lit(default)
+    for name, code in mapping.items():
+        expr = F.when(col == name, F.lit(code)).otherwise(expr)
+    return expr
+
+
+def parse_regular_json(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """RegularSyslog JSON → canonical parsed columns."""
+    j = F.from_json(F.col(text_col), REGULAR_SCHEMA)
+    fac = _name_to_code(j["facility"], RFACILITIES, RFACILITIES["user"])
+    sev = _name_to_code(j["severity"], RSEVERITIES, RSEVERITIES["info"])
+    return df.select(
+        "*",
+        (fac * 8 + sev).alias("priority"),
+        fac.alias("facility"),
+        sev.alias("severity"),
+        F.lit(1).alias("version"),
+        F.to_timestamp(j["timereported"]).alias("time_reported"),
+        F.coalesce(j["hostname"], F.lit("")).alias("hostname"),
+        F.coalesce(j["appname"], F.lit("")).alias("appname"),
+        F.coalesce(j["procid"], F.lit("")).alias("procid"),
+        F.coalesce(j["msgid"], F.lit("")).alias("msgid"),
+        F.coalesce(j["message"], F.lit("")).alias("message"),
+        F.to_json(j["properties"]).alias("properties_json"),
+        j.isNotNull().alias("parse_ok"),
+        F.lit("json").alias("parser_name"),
+    )
+
+
+def parse_rsyslog_json(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """rsyslog JSON → canonical parsed columns ('-' sentinel → empty)."""
+    j = F.from_json(F.col(text_col), RSYSLOG_SCHEMA)
+
+    def dash(c: Column) -> Column:
+        return F.when(c == "-", F.lit("")).otherwise(F.coalesce(c, F.lit("")))
+
+    pri = j["pri"].cast("int")
+    rbag = j["$!"]
+    props = F.when(
+        rbag.isNotNull(),
+        F.to_json(F.create_map(F.lit("rsyslog"), rbag)),
+    )
+    return df.select(
+        "*",
+        F.coalesce(pri, F.lit(0)).alias("priority"),
+        F.coalesce((pri / 8).cast("int"), F.lit(0)).alias("facility"),
+        F.coalesce(F.pmod(pri, F.lit(8)), F.lit(0)).alias("severity"),
+        F.lit(1).alias("version"),
+        F.to_timestamp(j["timereported"]).alias("time_reported"),
+        dash(j["hostname"]).alias("hostname"),
+        dash(j["app-name"]).alias("appname"),
+        dash(j["procid"]).alias("procid"),
+        dash(j["msgid"]).alias("msgid"),
+        F.coalesce(j["msg"], F.lit("")).alias("message"),
+        props.alias("properties_json"),
+        j.isNotNull().alias("parse_ok"),
+        F.lit("rsyslogjson").alias("parser_name"),
+    )
+
+
+def parse_gelf(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """GELF JSON → canonical parsed columns.
+
+    level → severity; facility name → code, unknown/missing → 1 (user);
+    timestamp is epoch seconds (float).
+    """
+    j = F.from_json(F.col(text_col), GELF_SCHEMA)
+    sev = F.coalesce(j["level"], F.lit(6))
+    fac = _name_to_code(j["facility"], RFACILITIES, 1)
+    return df.select(
+        "*",
+        (fac * 8 + sev).alias("priority"),
+        fac.alias("facility"),
+        sev.alias("severity"),
+        F.lit(1).alias("version"),
+        F.to_timestamp(j["timestamp"]).alias("time_reported"),
+        F.coalesce(j["host"], F.lit("")).alias("hostname"),
+        F.lit("").alias("appname"),
+        F.lit("").alias("procid"),
+        F.lit("").alias("msgid"),
+        F.coalesce(j["short_message"], F.lit("")).alias("message"),
+        F.lit(None).cast("string").alias("properties_json"),
+        j.isNotNull().alias("parse_ok"),
+        F.lit("gelf").alias("parser_name"),
+    )
+
+
+def parse_w3c(df: DataFrame, fields: list[str], text_col: str = "text") -> DataFrame:
+    """W3C extended log: each line's values → properties['w3c'][field].
+
+    The field list comes from the `#Fields:` directive (configured, as
+    in the reference where the decoder is parametrized per source).
+    """
+    vals = F.split(F.col(text_col), " ")
+    kv = F.map_from_arrays(
+        F.array(*[F.lit(f) for f in fields]),
+        F.slice(vals, 1, len(fields)),
+    )
+    return df.select(
+        "*",
+        F.lit(0).alias("priority"),
+        F.lit(0).alias("facility"),
+        F.lit(0).alias("severity"),
+        F.lit(0).alias("version"),
+        F.lit(None).cast("timestamp").alias("time_reported"),
+        F.lit("").alias("hostname"),
+        F.lit("").alias("appname"),
+        F.lit("").alias("procid"),
+        F.lit("").alias("msgid"),
+        F.lit("").alias("message"),
+        F.to_json(F.create_map(F.lit("w3c"), kv)).alias("properties_json"),
+        (F.size(vals) >= len(fields)).alias("parse_ok"),
+        F.lit("w3c").alias("parser_name"),
+    )

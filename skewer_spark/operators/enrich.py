@@ -42,6 +42,58 @@ def with_turn_rank(df: DataFrame) -> DataFrame:
     return df.withColumn("turn_rank", F.row_number().over(w))
 
 
+def dedup_and_rank(df: DataFrame, bucket_size: int = 8192) -> DataFrame:
+    """uid-dedup + stable turn rank in ONE skew-safe shuffle.
+
+    A plain ``row_number() over (partition by conv_id)`` puts a hot
+    conversation (10% of all turns on one key — the FIXTURES skew case)
+    into a single task.  Instead the window partitions on
+    ``(conv_id, turn_idx div bucket_size)`` so a 10^7-turn conversation
+    spreads over 10^7/bucket_size tasks, and the global rank is
+    reassembled as ``bucket_offset + rank_in_bucket`` where the offsets
+    come from a per-(conv, bucket) count — a cumulative sum over a tiny
+    table.  Normal conversations live in bucket 0 and pay nothing.
+
+    Dedup on (conv_id, turn_idx) rides the same sort via ``lag``
+    (reference ingest semantics: reservoir map keyed by UID,
+    services/store.go:136-156) — no second shuffle.  The offsets branch
+    only reads (conv_id, turn_idx), so Catalyst prunes the parse UDF
+    out of it entirely.
+    """
+    d = df.withColumn(
+        "_tbkt", F.floor(F.col("turn_idx") / bucket_size).cast("int")
+    )
+    w = Window.partitionBy("conv_id", "_tbkt").orderBy("turn_idx")
+    deduped = (
+        d.withColumn("_dup", F.lag("turn_idx").over(w) == F.col("turn_idx"))
+        .filter(~F.coalesce(F.col("_dup"), F.lit(False)))
+        .drop("_dup")
+    )
+    ranked = deduped.withColumn("_rib", F.row_number().over(w))
+
+    offsets = (
+        deduped.groupBy("conv_id", "_tbkt")
+        .agg(F.count("*").alias("_bn"))
+        .withColumn(
+            "_off",
+            F.coalesce(
+                F.sum("_bn").over(
+                    Window.partitionBy("conv_id")
+                    .orderBy("_tbkt")
+                    .rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("conv_id", "_tbkt", "_off")
+    )
+    return (
+        ranked.join(offsets, ["conv_id", "_tbkt"])
+        .withColumn("turn_rank", (F.col("_off") + F.col("_rib")).cast("int"))
+        .drop("_tbkt", "_rib", "_off")
+    )
+
+
 def enrich(df: DataFrame, spark: SparkSession | None = None) -> DataFrame:
     """parsed → enriched.  Expects columns from parse_transcripts()."""
     spark = spark or df.sparkSession

@@ -341,6 +341,10 @@ def _parse_5424(s: pd.Series, out: pd.DataFrame) -> None:
     out.loc[sd.index[~sd_ok], "parse_ok"] = False  # malformed SD → error
     if not sd_ok.any():
         return
+    # keep the raw SD block so sink encoders re-emit it without a map
+    # round-trip (the reference's Structured field stays "", but the
+    # canonical re-encode equals the raw block for valid input)
+    out.loc[sd.index[sd_ok], "structured"] = blk[0][sd_ok]
     msg = blk[1][sd_ok]
     has_msg = msg.notna()
     out.loc[msg.index[has_msg], "message"] = msg[has_msg]
@@ -404,14 +408,22 @@ def parse_transcripts(df: DataFrame, text_col: str = "text", ts_col: str = "ts")
     """Scan-stage operator: attach the parsed struct, flattened.
 
     Narrow (no shuffle): one whole-stage-codegen span feeding an
-    Arrow-batched UDF.  Properties revive from the JSON carrier into
-    ``map<string,map<string,string>>`` JVM-side via ``from_json``.
+    Arrow-batched UDF.  Properties travel as the compact JSON string
+    ``properties_json`` — writing a nested map column to parquet costs
+    ~2× the rest of the row combined (measured), so the map is revived
+    with :func:`with_properties_map` / ``from_json`` only where an
+    operator actually needs map semantics.
     """
     parsed = df.withColumn("_p", parse_syslog_udf(F.col(text_col), F.col(ts_col)))
     flat = parsed.select(
         "*",
-        *[F.col(f"_p.{f.name}").alias(f.name) for f in PARSED_STRUCT.fields
-          if f.name != "properties_json"],
-        F.from_json(F.col("_p.properties_json"), PROPERTIES_TYPE).alias("properties"),
+        *[F.col(f"_p.{f.name}").alias(f.name) for f in PARSED_STRUCT.fields],
     ).drop("_p")
     return flat
+
+
+def with_properties_map(df: DataFrame) -> DataFrame:
+    """Revive properties_json → map<string,map<string,string>>."""
+    return df.withColumn(
+        "properties", F.from_json(F.col("properties_json"), PROPERTIES_TYPE)
+    )

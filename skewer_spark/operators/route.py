@@ -90,3 +90,36 @@ def sink_frames(routed: DataFrame) -> dict[str, DataFrame]:
     ``store/store.go:1161-1177``) — see plans.job.
     """
     return {name: routed.filter(F.expr(pred)) for name, pred in SINKS.items()}
+
+
+DROPPED_SINK = "_dropped"
+
+# every message lands in exactly one of these (PASS → firehose,
+# REJECTED/ERROR → rejects, DROPPED → audit) — so per-message metrics
+# can be derived from the sink files alone, no second scan of the input
+CANONICAL_SINKS = ("sink_firehose", "sink_rejects", DROPPED_SINK)
+
+
+def sink_label_col(include_dropped: bool = False) -> Column:
+    """Array of sink names a row fans out to (destination bitmask analog,
+    conf/destinations.go:94-112).  ``explode`` of this gives the
+    one-pass multi-sink write: a single scan replicates each row into
+    every matching destination.  With ``include_dropped`` the DROPPED
+    verdict goes to an audit sink so no message is lost from metrics
+    (the reference counts dropped messages too, store/store.go:77-84).
+    """
+    cols = [
+        F.when(F.expr(pred), F.lit(name)).otherwise(F.lit(None))
+        for name, pred in SINKS.items()
+    ]
+    if include_dropped:
+        cols.append(
+            F.when(F.col("filter_status") == "DROPPED", F.lit(DROPPED_SINK))
+            .otherwise(F.lit(None))
+        )
+    return F.array_compact(F.array(*cols))
+
+
+def with_sink_labels(routed: DataFrame, include_dropped: bool = False) -> DataFrame:
+    """One row per (message, destination) — the fan-out frame."""
+    return routed.withColumn("sink", F.explode(sink_label_col(include_dropped)))

@@ -35,27 +35,23 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.storagelevel import StorageLevel
-
 from skewer_spark.operators.aggregate import (
-    filter_counts,
-    incoming_counts,
-    parse_error_counts,
-    sink_counts,
-    windowed_counts,
+    metric_grouping_sets,
+    windowed_counts_from_labeled,
 )
-from skewer_spark.operators.enrich import enrich, with_turn_rank
+from skewer_spark.operators.enrich import dedup_and_rank, enrich
 from skewer_spark.operators.parse import parse_transcripts
-from skewer_spark.operators.route import SINKS, route
+from skewer_spark.operators.route import route
 from skewer_spark.plans import checkpoint as ckpt
-from skewer_spark.sinks.encoders import with_encoded
 
+# the routed table keeps full message fidelity; sink files are
+# Kafka-message-shaped (store/dests/kafkadest.go:78-108: key, partition,
+# topic, value=encoded, timestamp=time_reported) plus the join/test keys
+ROUTED_COLUMNS_FULL = True  # routed table: all columns
 SINK_COLUMNS = [
-    "uid", "conv_id", "turn_idx", "turn_rank", "role", "tool", "ts",
-    "priority", "facility", "severity", "facility_name", "severity_name",
-    "version", "time_reported", "time_generated", "hostname", "appname",
-    "procid", "msgid", "message", "properties", "parse_ok", "parser_name",
-    "filter_status", "topic", "partition_key", "partition_number", "encoded",
+    "uid", "conv_id", "turn_idx", "role", "tool", "ts", "severity",
+    "severity_name", "filter_status", "parse_ok", "parser_name",
+    "topic", "partition_key", "partition_number", "time_reported", "encoded",
 ]
 
 AGG_TABLES = ("filter_counts", "sink_counts", "windowed_counts",
@@ -91,43 +87,136 @@ def stage_input(
 
 
 def build_routed(df: DataFrame) -> DataFrame:
-    """The logical plan for one slice of transcripts → routed rows."""
-    parsed = parse_transcripts(df)
-    parsed = parsed.dropDuplicates(["conv_id", "turn_idx"])
-    enriched = with_turn_rank(enrich(parsed))
-    return route(enriched)
+    """The logical plan for one slice of transcripts → routed rows.
+
+    dedup + turn rank share one skew-safe shuffle (dedup_and_rank);
+    parse runs before it so the UDF work is spread over the scan's even
+    partitioning rather than the conv-keyed (skewed) layout."""
+    parsed = parse_transcripts(df).drop("text")
+    # raw line dropped post-parse — the reference Store also persists
+    # only the parsed message (protobuf), not the raw bytes
+    return route(enrich(dedup_and_rank(parsed)))
+
+
+def write_outputs(
+    spark: SparkSession,
+    routed,
+    out_dir: str,
+    sub: str = "",
+    write_routed: bool = True,
+) -> tuple[int, int]:
+    """Materialize one slice.
+
+    Two modes, mirroring the reference's two delivery paths:
+
+    * ``write_routed=True`` — Store mode (badger durable queue analog,
+      store/store.go): the full-fidelity routed table is written once,
+      then the sink fan-out and aggregates read it back with column
+      pruning.  Lineage keeps every parsed field.
+    * ``write_routed=False`` — DirectRELP mode
+      (services/network/directrelp.go: parse → produce straight to
+      Kafka, no store): ONE pass from raw input to the exploded
+      per-destination write; metrics derive from the sink files.
+      This is the throughput shape.
+
+    Either way the metrics come from the sink parquet: every message
+    lands in exactly one CANONICAL sink (firehose / rejects / _dropped
+    audit), so counter metrics never rescan the input.
+    """
+    from skewer_spark.operators.route import (
+        CANONICAL_SINKS, DROPPED_SINK, with_sink_labels,
+    )
+    from skewer_spark.sinks.encoders import encoded_by_sink
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    src = routed
+    if write_routed:
+        routed_path = os.path.join(out_dir, "routed", sub)
+        # REBALANCE: the turn-rank window shuffles by conv_id, so a hot
+        # conversation lands in one partition; AQE rebalance splits it
+        # for the write stage (straggler kill, SURVEY.md §4.2).
+        routed.hint("rebalance").write.mode("overwrite").parquet(routed_path)
+        src = spark.read.parquet(routed_path)
+
+    sinks_path = os.path.join(out_dir, "sinks", sub)
+    labeled = with_sink_labels(src, include_dropped=True).withColumn(
+        "encoded", encoded_by_sink()
+    )
+    cols = [c for c in SINK_COLUMNS if c in labeled.columns]
+    labeled.select(*cols, "sink").write.partitionBy("sink").mode(
+        "overwrite"
+    ).parquet(sinks_path)
+
+    sinks_p = spark.read.option("basePath", sinks_path).parquet(sinks_path)
+    canonical = sinks_p.filter(F.col("sink").isin(*CANONICAL_SINKS))
+
+    def _windowed():
+        # per-destination hourly rollup (excludes the _dropped audit)
+        windowed_counts_from_labeled(
+            sinks_p.filter(F.col("sink") != DROPPED_SINK)
+        ).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(out_dir, "agg", "windowed_counts", sub)
+        )
+
+    def _metrics():
+        # every counter-style metric in ONE scan of the canonical sinks
+        # via grouping sets; result is tiny → written driver-side.
+        return metric_grouping_sets(canonical).toPandas()
+
+    # both jobs read the (small-column) sink parquet — run concurrently
+    # so planning/commit phases overlap.  SKEWER_SEQUENTIAL_JOBS=1
+    # disables (ablation hook).
+    if os.environ.get("SKEWER_SEQUENTIAL_JOBS"):
+        _windowed()
+        gs = _metrics()
+    else:
+        with ThreadPoolExecutor(max_workers=2) as ex:
+            f_win = ex.submit(_windowed)
+            f_gs = ex.submit(_metrics)
+            f_win.result()
+            gs = f_gs.result()
+    fc = (
+        gs[gs["gid"] == 3][["filter_status", "role", "n_messages"]]
+        .reset_index(drop=True)
+    )
+    perr_src = gs[(gs["gid"] == 12) & (gs["parse_ok"] == False)]  # noqa: E712
+    perr = perr_src[["parser_name", "n_messages"]].rename(
+        columns={"n_messages": "n_errors"}
+    ).reset_index(drop=True)
+    inc = gs[gs["gid"] == 11][["role", "n_messages", "n_convs"]].reset_index(
+        drop=True
+    )
+    for name, pdf_out in (
+        ("filter_counts", fc),
+        ("parse_error_counts", perr),
+        ("incoming_counts", inc),
+    ):
+        _write_pandas_parquet(pdf_out, os.path.join(out_dir, "agg", name, sub))
+
+    n_rows = int(fc["n_messages"].sum())
+    n_pass = int(fc.loc[fc["filter_status"] == "PASS", "n_messages"].sum())
+    return n_rows, n_pass
+
+
+def _write_pandas_parquet(pdf, path: str) -> None:
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(path, exist_ok=True)
+    pq.write_table(
+        pa.Table.from_pandas(pdf, preserve_index=False),
+        os.path.join(path, "part-00000.parquet"),
+    )
 
 
 def process_bucket(
     spark: SparkSession, staged: str, out_dir: str, bucket: int
 ) -> tuple[int, int]:
     src = spark.read.parquet(os.path.join(staged, f"bucket={bucket}"))
-    routed = build_routed(src).persist(StorageLevel.MEMORY_AND_DISK)
-    try:
-        n_rows = routed.count()
-
-        for name, pred in SINKS.items():
-            sink_df = with_encoded(routed.filter(F.expr(pred)), name)
-            cols = [c for c in SINK_COLUMNS if c in sink_df.columns]
-            sink_df.select(*cols).write.mode("overwrite").parquet(
-                os.path.join(out_dir, name, f"bucket={bucket}")
-            )
-
-        aggs = {
-            "filter_counts": filter_counts(routed),
-            "sink_counts": sink_counts(routed),
-            "windowed_counts": windowed_counts(routed),
-            "parse_error_counts": parse_error_counts(routed),
-            "incoming_counts": incoming_counts(routed),
-        }
-        for name, adf in aggs.items():
-            adf.coalesce(1).write.mode("overwrite").parquet(
-                os.path.join(out_dir, "agg", name, f"bucket={bucket}")
-            )
-        n_pass = routed.filter(F.col("filter_status") == "PASS").count()
-        return n_rows, n_pass
-    finally:
-        routed.unpersist()
+    routed = build_routed(src)
+    return write_outputs(spark, routed, out_dir, f"bucket={bucket}",
+                         write_routed=True)
 
 
 def run_pipeline(
@@ -162,30 +251,72 @@ def run_pipeline(
 
 _AGG_KEYS = {
     "filter_counts": ["filter_status", "role"],
-    "sink_counts": ["sink", "severity_name"],
     "windowed_counts": ["window_start", "sink", "severity_name", "tool"],
     "parse_error_counts": ["parser_name"],
+    "incoming_counts": ["role"],
 }
 
 
 def finalize_aggregates(spark: SparkSession, out_dir: str) -> None:
-    """Merge per-bucket partials (counts are associative)."""
+    """Merge per-bucket partials (counts are associative); sink_counts
+    is the (sink, severity_name) rollup of the merged windowed table."""
     for name, keys in _AGG_KEYS.items():
         src = os.path.join(out_dir, "agg", name)
         try:
             df = spark.read.option("basePath", src).parquet(src)
         except Exception:
             continue
-        val = "n_errors" if name == "parse_error_counts" else "n_messages"
+        if name == "parse_error_counts":
+            agg = [F.sum("n_errors").alias("n_errors")]
+        elif name == "incoming_counts":
+            agg = [F.sum("n_messages").alias("n_messages"),
+                   F.sum("n_convs").alias("n_convs")]
+        else:
+            agg = [F.sum("n_messages").alias("n_messages")]
         (
             df.groupBy(*keys)
-            .agg(F.sum(val).alias(val))
+            .agg(*agg)
             .coalesce(1)
             .write.mode("overwrite")
             .parquet(os.path.join(out_dir, "agg_final", name))
         )
+    wfin = os.path.join(out_dir, "agg_final", "windowed_counts")
+    try:
+        wdf = spark.read.parquet(wfin)
+    except Exception:
+        return
+    (
+        wdf.groupBy("sink", "severity_name")
+        .agg(F.sum("n_messages").alias("n_messages"))
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(os.path.join(out_dir, "agg_final", "sink_counts"))
+    )
+
+
+def run_flat(spark: SparkSession, input_path: str, out_dir: str) -> int:
+    """Single-slice pipeline (no checkpoint waves) — the bench shape:
+    scan → parse → enrich → route → routed table → one-pass fan-out +
+    aggregates.  Returns routed row count."""
+    src = spark.read.parquet(input_path)
+    routed = build_routed(src)
+    # Store mode measured faster AND better-scaling than the fused
+    # single-pass on local[N] (the mega-stage saturates memory
+    # bandwidth at high core counts); it is also the full-lineage path.
+    n_rows, _ = write_outputs(spark, routed, out_dir, "", write_routed=True)
+    return n_rows
+
+
+def read_routed(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Read the full-fidelity routed table (all parsed/enriched columns)."""
+    path = os.path.join(out_dir, "routed")
+    return spark.read.option("basePath", path).parquet(path)
 
 
 def read_sink(spark: SparkSession, out_dir: str, name: str) -> DataFrame:
-    path = os.path.join(out_dir, name)
-    return spark.read.option("basePath", path).parquet(path)
+    """Read one destination's rows (partition-pruned on sink=)."""
+    path = os.path.join(out_dir, "sinks")
+    return (
+        spark.read.option("basePath", path).parquet(path)
+        .filter(F.col("sink") == name)
+    )

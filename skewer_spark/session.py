@@ -39,6 +39,9 @@ def build_session(
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     master = master or f"local[{cpus}]"
     if shuffle_partitions is None:
+        # 1x cores: measured best on local mode — over-partitioning
+        # multiplies python-worker/task overhead and small files
+        # (ablation: 4x cores was ~1.5x slower end-to-end)
         n = cpus if cpus.isdigit() else str(os.cpu_count() or 8)
         shuffle_partitions = max(int(n), 8)
 
@@ -58,8 +61,15 @@ def build_session(
         # stats are missing.
         .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.driver.memory", os.environ.get("SKEWER_DRIVER_MEM", "16g"))
+        .config("spark.driver.memory", os.environ.get("SKEWER_DRIVER_MEM", "48g"))
+        # local mode: every task shares the one JVM heap — size it for
+        # max-cores concurrency or wide sorts spill; spills go to tmpfs
+        .config("spark.local.dir",
+                os.environ.get("SKEWER_LOCAL_DIR",
+                               "/dev/shm/spark-local"
+                               if os.path.isdir("/dev/shm") else "/tmp"))
         .config("spark.ui.enabled", "false")
+        .config("spark.scheduler.mode", "FAIR")
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)

@@ -49,7 +49,10 @@ def encode_json() -> Column:
             F.nullif(F.col("procid"), F.lit("")).alias("procid"),
             F.nullif(F.col("msgid"), F.lit("")).alias("msgid"),
             F.nullif(F.col("message"), F.lit("")).alias("message"),
-            F.col("properties").alias("properties"),
+            F.from_json(
+                F.col("properties_json"),
+                "map<string,map<string,string>>",
+            ).alias("properties"),
         ),
         {"ignoreNullFields": "true"},
     )
@@ -73,10 +76,12 @@ def _sd_from_properties() -> Column:
 
 
 def encode_rfc5424() -> Column:
+    # the parser keeps the raw SD block in `structured`; re-emitting it
+    # avoids a map round-trip (reference rebuilds from the map with the
+    # same escaping — byte-equal for valid input)
     sd = F.when(
-        F.col("properties").isNull() | (F.size(F.map_keys(F.col("properties"))) == 0),
-        F.lit("-"),
-    ).otherwise(_sd_from_properties())
+        F.coalesce(F.col("structured"), F.lit("")) == "", F.lit("-")
+    ).otherwise(F.col("structured"))
     body = F.concat(
         F.lit("<"), F.col("priority").cast("string"), F.lit(">1 "),
         _iso("time_reported"), F.lit(" "),
@@ -139,3 +144,17 @@ SINK_ENCODERS = {
 def with_encoded(df, sink_name: str):
     enc = SINK_ENCODERS.get(sink_name, encode_json)
     return df.withColumn("encoded", enc())
+
+
+def encoded_by_sink() -> Column:
+    """Per-destination payload on a sink-labeled frame: one expression,
+    branch on the ``sink`` column — lets the one-pass fan-out write
+    encode all destinations in a single projection."""
+    expr = None
+    for name, enc in SINK_ENCODERS.items():
+        expr = (
+            F.when(F.col("sink") == name, enc())
+            if expr is None
+            else expr.when(F.col("sink") == name, enc())
+        )
+    return expr.otherwise(encode_json())

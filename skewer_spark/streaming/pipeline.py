@@ -1,0 +1,110 @@
+"""Structured Streaming variant of the pipeline.
+
+The reference IS a streaming daemon (long-running listeners → parse →
+store → forward); this module is the Spark-native equivalent of that
+always-on mode, sharing every operator with the batch path:
+
+* source: file stream over the transcript table directory (swap for
+  ``format("kafka")`` on a real bus — the plan is identical),
+* parse / enrich / route: the same narrow operators (they are
+  streaming-safe: no windows, no global sorts),
+* dedup: ``dropDuplicatesWithinWatermark`` on (conv_id, turn_idx) —
+  the streaming analog of the reservoir UID-dedup
+  (``/root/reference/utils/reservoir/reservoir.go:40-50``),
+* fan-out: ``foreachBatch`` reuses the batch one-pass exploded sink
+  write per micro-batch (micro-batch = the reference's ingest batch,
+  ``store.batch_size`` at ``conf/defaults.go:320``),
+* aggregates: watermarked sliding-window counts — the streaming twin
+  of the batch windowed_counts table,
+* delivery: the streaming checkpoint dir IS the Ready/Sent/ACK state
+  (exactly-once file sinks), replacing the badger queue.
+
+Turn-rank is intentionally absent here: a global per-conversation rank
+is a batch construct; the streaming contract orders turns by
+(conv_id, turn_idx) at read time, like RELP txnr ordering per
+connection (``services/network/relp.go:81-149``).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from skewer_spark.operators.enrich import enrich
+from skewer_spark.operators.parse import parse_transcripts
+from skewer_spark.operators.route import route, with_sink_labels
+from skewer_spark.schema import TRANSCRIPT_SCHEMA
+from skewer_spark.sinks.encoders import encoded_by_sink
+
+
+def streaming_transcripts(
+    spark: SparkSession, input_dir: str, max_files_per_trigger: int = 8
+) -> DataFrame:
+    return (
+        spark.readStream.schema(TRANSCRIPT_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_dir)
+    )
+
+
+def build_streaming_routed(stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    deduped = (
+        stream.withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(["conv_id", "turn_idx"])
+    )
+    return route(enrich(parse_transcripts(deduped).drop("text")))
+
+
+def run_streaming(
+    spark: SparkSession,
+    input_dir: str,
+    out_dir: str,
+    watermark: str = "1 hour",
+    trigger_once: bool = True,
+):
+    """Start the streaming pipeline; returns the streaming queries.
+
+    ``trigger_once`` processes everything available then stops —
+    the incremental-batch mode (kicked by a scheduler, resuming from
+    the checkpoint), which is how a 10^12-row table is drained in
+    bounded runs.
+    """
+    routed = build_streaming_routed(
+        streaming_transcripts(spark, input_dir), watermark
+    )
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        labeled = with_sink_labels(batch_df, include_dropped=True).withColumn(
+            "encoded", encoded_by_sink()
+        )
+        labeled.write.partitionBy("sink").mode("append").parquet(
+            os.path.join(out_dir, "sinks")
+        )
+
+    sink_q = (
+        routed.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", os.path.join(out_dir, "_ckpt", "sinks"))
+        .trigger(**({"availableNow": True} if trigger_once else {"processingTime": "10 seconds"}))
+        .start()
+    )
+
+    windowed = (
+        routed.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour"), "severity_name", "tool")
+        .agg(F.count("*").alias("n_messages"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            "severity_name", "tool", "n_messages",
+        )
+    )
+    agg_q = (
+        windowed.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", os.path.join(out_dir, "agg", "windowed_counts"))
+        .option("checkpointLocation", os.path.join(out_dir, "_ckpt", "agg"))
+        .trigger(**({"availableNow": True} if trigger_once else {"processingTime": "10 seconds"}))
+        .start()
+    )
+    return sink_q, agg_q

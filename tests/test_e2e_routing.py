@@ -54,9 +54,32 @@ def test_row_counts(pipeline_out):
     assert res["rows"] == N_CONVS * TURNS
 
 
+def test_routed_table_row_equality(spark, pipeline_out, oracle_rows):
+    """Full-fidelity routed-row equality (every parsed/enriched field)."""
+    _, out, _ = pipeline_out
+    got = {
+        r["uid"]: r
+        for r in job.read_routed(spark, out).toPandas().to_dict("records")
+    }
+    want = {r["uid"]: r for r in oracle_rows}
+    assert set(got) == set(want)
+    for uid, w in want.items():
+        g = got[uid]
+        for c in COMPARE_COLS:
+            assert g[c] == w[c], f"routed uid={uid[:8]} col={c}: {g[c]!r} != {w[c]!r}"
+        for c in ("time_reported", "time_generated", "ts"):
+            assert pd.Timestamp(g[c]) == pd.Timestamp(w[c]), (
+                f"routed uid={uid[:8]} {c}: {g[c]} != {w[c]}")
+
+
+SINK_SLIM_COLS = ["conv_id", "turn_idx", "role", "tool", "severity",
+                  "severity_name", "filter_status", "topic", "partition_key"]
+
+
 @pytest.mark.parametrize("sink", ["sink_alerts", "sink_tools",
                                   "sink_firehose", "sink_rejects"])
 def test_routed_row_equality(spark, pipeline_out, oracle_rows, sink):
+    """Per-sink membership + Kafka-message-shaped fields vs oracle."""
     _, out, _ = pipeline_out
     got = {
         r["uid"]: r
@@ -71,10 +94,9 @@ def test_routed_row_equality(spark, pipeline_out, oracle_rows, sink):
     )
     for uid, w in want.items():
         g = got[uid]
-        for c in COMPARE_COLS:
+        for c in SINK_SLIM_COLS:
             assert g[c] == w[c], f"{sink} uid={uid[:8]} col={c}: {g[c]!r} != {w[c]!r}"
-        # timestamps (second granularity)
-        for c in ("time_reported", "time_generated", "ts"):
+        for c in ("time_reported", "ts"):
             assert pd.Timestamp(g[c]) == pd.Timestamp(w[c]), (
                 f"{sink} uid={uid[:8]} {c}: {g[c]} != {w[c]}")
 
@@ -128,7 +150,7 @@ def test_turn_rank_is_stable_ordering(spark, pipeline_out):
     """turn_rank == dense position of turn_idx within conv regardless of
     file order (the RELP txnr analog)."""
     _, out, _ = pipeline_out
-    pdf = job.read_sink(spark, out, "sink_firehose").toPandas()
+    pdf = job.read_routed(spark, out).toPandas()
     for conv, grp in pdf.groupby("conv_id"):
         srt = grp.sort_values("turn_idx")
         # ranks must be strictly increasing with turn_idx
