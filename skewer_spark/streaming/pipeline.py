@@ -90,8 +90,10 @@ def run_streaming(
         .start()
     )
 
+    # watermark already set upstream (dedup stage) — redefining is
+    # disallowed when chaining stateful operators
     windowed = (
-        routed.withWatermark("ts", watermark)
+        routed
         .groupBy(F.window("ts", "1 hour"), "severity_name", "tool")
         .agg(F.count("*").alias("n_messages"))
         .select(
