@@ -306,6 +306,62 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs = spark.read.parquet(f"{sf}/documents.parquet")
         return docs.select("doc_id", word_fingerprint().alias("fp"))
 
+    def q_parse_json(spark, sf):
+        # Regular-JSON decoder: build the JSON line from event fields,
+        # decode with the real operator; oracle recomputes by construction
+        from skewer_spark.operators.decode_json import parse_regular_json
+        ev = spark.read.parquet(f"{sf}/events.parquet")
+        fac_name = F.element_at(
+            F.array(*[F.lit(x) for x in
+                      ("kern", "auth", "cron", "local3")]),
+            F.pmod(F.col("event_id"), F.lit(4)).cast("int") + 1,
+        )
+        sev_name = F.element_at(
+            F.array(*[F.lit(x) for x in
+                      ("emerg", "crit", "notice", "debug")]),
+            F.pmod(F.col("event_id"), F.lit(3)).cast("int") + 1,
+        )
+        line = F.to_json(F.struct(
+            fac_name.alias("facility"),
+            sev_name.alias("severity"),
+            F.date_format(F.date_trunc("second", "ts"),
+                          "yyyy-MM-dd'T'HH:mm:ss'Z'").alias("timereported"),
+            F.format_string("jh%02d", F.pmod(F.col("user_id"), F.lit(30))).alias("hostname"),
+            F.lit("japp").alias("appname"),
+            F.col("event_type").alias("message"),
+        ))
+        src = ev.select(F.col("event_id"), line.alias("text"))
+        out = parse_regular_json(src)
+        return out.select(
+            "event_id", "priority", "facility", "severity", "hostname",
+            "appname", "message",
+            F.date_format("time_reported", "yyyy-MM-dd HH:mm:ss").alias("tr_str"),
+        )
+
+    def q_parse_influx(spark, sf):
+        from skewer_spark.operators.decode_influx import parse_influx
+        ev = spark.read.parquet(f"{sf}/events.parquet")
+        line = F.format_string(
+            "cpu,host=ih%02d,region=r%d count=%di,ok=true,note=\"n%d\" %d",
+            F.pmod(F.col("user_id"), F.lit(40)),
+            F.pmod(F.col("event_id"), F.lit(5)),
+            F.pmod(F.col("event_id"), F.lit(1000)),
+            F.pmod(F.col("event_id"), F.lit(7)),
+            F.col("event_id") * F.lit(1_000_000_000),
+        )
+        src = ev.select("event_id", line.alias("text"),
+                        F.col("ts"))
+        out = parse_influx(src)
+        return out.select(
+            "event_id", "priority", "facility", "severity", "hostname",
+            "appname", "message",
+            F.get_json_object("properties_json",
+                              "$.influxdb_fields.count_integer").alias("count_i"),
+            F.get_json_object("properties_json",
+                              "$.influxdb_tags.region").alias("region"),
+            F.date_format("time_reported", "yyyy-MM-dd HH:mm:ss").alias("tr_str"),
+        )
+
     def q_tpch_q1(spark, sf):
         li = spark.read.parquet(f"{sf}/lineitem.parquet")
         return (
@@ -341,6 +397,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_text_stats": q_text_stats,
         "q_lang_id": q_lang_id,
         "q_doc_fingerprint": q_doc_fingerprint,
+        "q_parse_json": q_parse_json,
+        "q_parse_influx": q_parse_influx,
         "q_tpch_q1": q_tpch_q1,
     }
 
@@ -562,6 +620,39 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, md5(array_to_string(list_sort(list_distinct(
                      string_split(text, ' '))), ' ')) AS fp
             FROM documents
+        """,
+        "q_parse_json": """
+            WITH j AS (
+              SELECT event_id,
+                ['kern','auth','cron','local3'][(event_id % 4)::int + 1] AS fn,
+                ['emerg','crit','notice','debug'][(event_id % 3)::int + 1] AS sn,
+                'jh' || lpad((user_id % 30)::varchar, 2, '0') AS hostname,
+                event_type AS message,
+                date_trunc('second', ts) AS tr
+              FROM events
+            ), c AS (
+              SELECT *,
+                CASE fn WHEN 'kern' THEN 0 WHEN 'auth' THEN 4
+                        WHEN 'cron' THEN 15 ELSE 19 END AS facility,
+                CASE sn WHEN 'emerg' THEN 0 WHEN 'crit' THEN 2
+                        WHEN 'notice' THEN 5 ELSE 7 END AS severity
+              FROM j
+            )
+            SELECT event_id, (facility * 8 + severity)::int AS priority,
+                   facility::int AS facility, severity::int AS severity,
+                   hostname, 'japp' AS appname, message,
+                   strftime(tr, '%Y-%m-%d %H:%M:%S') AS tr_str
+            FROM c
+        """,
+        "q_parse_influx": """
+            SELECT event_id,
+                   134 AS priority, 16 AS facility, 6 AS severity,
+                   'ih' || lpad((user_id % 40)::varchar, 2, '0') AS hostname,
+                   'influxdb' AS appname, 'cpu' AS message,
+                   (event_id % 1000)::varchar AS count_i,
+                   'r' || (event_id % 5)::varchar AS region,
+                   strftime(to_timestamp(event_id), '%Y-%m-%d %H:%M:%S') AS tr_str
+            FROM events
         """,
         "q_tpch_q1": """
             SELECT l_returnflag, l_linestatus,
