@@ -48,7 +48,10 @@ def metric_grouping_sets(routed: DataFrame) -> DataFrame:
         )
         .agg(
             F.count("*").alias("n_messages"),
-            F.count_distinct("conv_id").alias("n_convs"),
+            # approx HLL: exact count_distinct under grouping sets
+            # expands the input 3x before the shuffle — far too heavy
+            # for a metrics side-channel
+            F.approx_count_distinct("conv_id").alias("n_convs"),
             F.grouping_id().alias("gid"),
         )
     )

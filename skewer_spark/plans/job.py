@@ -153,9 +153,12 @@ def write_outputs(
 
     def _windowed():
         # per-destination hourly rollup (excludes the _dropped audit)
+        # no coalesce(1): it would run the final aggregation of every
+        # window group in a single task (serial tail); finalize
+        # re-aggregates the partials anyway
         windowed_counts_from_labeled(
             sinks_p.filter(F.col("sink") != DROPPED_SINK)
-        ).coalesce(1).write.mode("overwrite").parquet(
+        ).write.mode("overwrite").parquet(
             os.path.join(out_dir, "agg", "windowed_counts", sub)
         )
 
