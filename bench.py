@@ -63,10 +63,16 @@ def main() -> None:
         transcripts_df(spark, 8, 50).write.mode("overwrite").parquet(warm_in)
         run_flat(spark, warm_in, os.path.join(work, "warm_out"))
 
-        out = os.path.join(work, "out")
-        t0 = time.monotonic()
-        n_rows = run_flat(spark, inp, out)
-        pipeline_sec = time.monotonic() - t0
+        # min of 2 runs: this sandbox's CPU grant fluctuates ~2x on a
+        # minutes timescale (see BENCH.md); a single sample is noise
+        pipeline_sec = None
+        n_rows = 0
+        for i in range(2):
+            out = os.path.join(work, f"out{i}")
+            t0 = time.monotonic()
+            n_rows = run_flat(spark, inp, out)
+            dt = time.monotonic() - t0
+            pipeline_sec = dt if pipeline_sec is None else min(pipeline_sec, dt)
 
         # --- per-query timings at SF_DIR ---
         qtimes: dict[str, float] = {}
