@@ -362,6 +362,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.date_format("time_reported", "yyyy-MM-dd HH:mm:ss").alias("tr_str"),
         )
 
+    def q_quality_score(spark, sf):
+        from skewer_spark.functions.text import quality_score
+        docs = spark.read.parquet(f"{sf}/documents.parquet")
+        return (
+            docs.select(quality_score().alias("quality"))
+            .groupBy("quality").agg(F.count("*").alias("n"))
+        )
+
     def q_tpch_q1(spark, sf):
         li = spark.read.parquet(f"{sf}/lineitem.parquet")
         return (
@@ -399,6 +407,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_doc_fingerprint": q_doc_fingerprint,
         "q_parse_json": q_parse_json,
         "q_parse_influx": q_parse_influx,
+        "q_quality_score": q_quality_score,
         "q_tpch_q1": q_tpch_q1,
     }
 
@@ -653,6 +662,21 @@ def oracle_sql() -> dict[str, str]:
                    'r' || (event_id % 5)::varchar AS region,
                    strftime(to_timestamp(event_id), '%Y-%m-%d %H:%M:%S') AS tr_str
             FROM events
+        """,
+        "q_quality_score": """
+            WITH q AS (
+              SELECT
+                CASE WHEN length(text) >= 100 THEN 0.5
+                     ELSE length(text) / 200.0 END
+                + CASE WHEN length(regexp_replace(text, '[^.,;:!?]', '', 'g'))::DOUBLE
+                            / length(text)::DOUBLE <= 0.1 THEN 0.25 ELSE 0.0 END
+                + CASE WHEN len(list_filter(string_split(text, ' '),
+                          x -> x IN ('the','a','of','and','to','in','is','it')))::DOUBLE
+                            / len(string_split(text, ' '))::DOUBLE >= 0.05
+                       THEN 0.25 ELSE 0.0 END AS raw
+              FROM documents
+            )
+            SELECT round(raw, 4) AS quality, count(*) AS n FROM q GROUP BY 1
         """,
         "q_tpch_q1": """
             SELECT l_returnflag, l_linestatus,
