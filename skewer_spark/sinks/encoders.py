@@ -125,6 +125,30 @@ def encode_rfc3164() -> Column:
     )
 
 
+def encode_gelf() -> Column:
+    """GELF 1.1 JSON (encoders/gelf.go:15-45): version/host/
+    short_message/timestamp(epoch s)/level=severity/_facility name +
+    _appname/_procid/_msgid extras when present (GELF extras carry a
+    leading underscore on the wire) and the properties map."""
+    return F.to_json(
+        F.struct(
+            F.lit("1.1").alias("version"),
+            F.col("hostname").alias("host"),
+            F.col("message").alias("short_message"),
+            F.unix_timestamp("time_reported").cast("double").alias("timestamp"),
+            F.col("severity").alias("level"),
+            F.col("facility_name").alias("_facility"),
+            F.nullif(F.col("appname"), F.lit("")).alias("_appname"),
+            F.nullif(F.col("procid"), F.lit("")).alias("_procid"),
+            F.nullif(F.col("msgid"), F.lit("")).alias("_msgid"),
+            F.from_json(
+                F.col("properties_json"), "map<string,map<string,string>>"
+            ).alias("_properties"),
+        ),
+        {"ignoreNullFields": "true"},
+    )
+
+
 def encode_file() -> Column:
     return F.concat_ws(
         " ", _iso("time_reported"), _dash("hostname"), _dash("appname"),

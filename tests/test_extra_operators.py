@@ -170,3 +170,21 @@ def test_streaming_pipeline(spark, tmp_path):
     assert n_firehose == batch_pass
     wc = spark.read.parquet(f"{out}/agg/windowed_counts")
     assert wc.count() >= 0  # append-mode windows may be withheld by watermark
+
+
+def test_encode_gelf(spark):
+    from skewer_spark.sinks.encoders import encode_gelf
+    from datetime import datetime
+    df = spark.createDataFrame(
+        [("h1", "boom", datetime(2026, 1, 1), 3, "auth", "sshd", "42", "m1",
+          '{"a":{"k":"v"}}')],
+        "hostname string, message string, time_reported timestamp, "
+        "severity int, facility_name string, appname string, procid string, "
+        "msgid string, properties_json string",
+    )
+    out = json.loads(df.select(encode_gelf().alias("g")).collect()[0].g)
+    assert out["version"] == "1.1" and out["host"] == "h1"
+    assert out["short_message"] == "boom" and out["level"] == 3
+    assert out["_facility"] == "auth" and out["_appname"] == "sshd"
+    assert out["_properties"] == {"a": {"k": "v"}}
+    assert out["timestamp"] == 1767225600.0
