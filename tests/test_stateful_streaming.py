@@ -60,5 +60,11 @@ def test_sessionizer_accumulates_across_restarts(spark, tmp_path):
     assert set(got) == set(want)
     for conv, (n, mx) in got.items():
         assert n == want[conv], f"{conv}: {n} != {want[conv]}"
-    # max_turn_idx reflects batch-2 data → state really persisted
-    assert all(mx >= 6 for _, mx in got.values())
+    # max_turn_idx reflects the true per-conv max across BOTH batches →
+    # state really persisted across the restart
+    true_max = {
+        r.conv_id: r.mx
+        for r in df.groupBy("conv_id").agg(F.max("turn_idx").alias("mx")).collect()
+    }
+    for conv, (_, mx) in got.items():
+        assert mx == true_max[conv], f"{conv}: {mx} != {true_max[conv]}"
