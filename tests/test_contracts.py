@@ -1,0 +1,71 @@
+"""Contract guards: synth determinism (FIXTURES.md) + encoder goldens."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from skewer_spark.synth import transcripts_df
+
+
+def test_synth_is_deterministic(spark):
+    """Same parameters → identical content regardless of partitioning."""
+    a = transcripts_df(spark, 30, 10, partitions=4)
+    b = transcripts_df(spark, 30, 10, partitions=16)
+
+    def fp(df):
+        return (
+            df.select(
+                F.sha2(F.concat_ws("\x1f", "conv_id", "turn_idx", "role",
+                                   "text", "tool",
+                                   F.date_format("ts", "yyyy-MM-dd HH:mm:ss")),
+                       256).alias("h"))
+            .agg(F.count("*").alias("n"),
+                 F.sum(F.conv(F.substring("h", 1, 8), 16, 10)
+                       .cast("decimal(38,0)")).alias("s"))
+            .collect()[0]
+        )
+
+    ra, rb = fp(a), fp(b)
+    assert ra["n"] == rb["n"] == 300
+    assert ra["s"] == rb["s"]
+
+
+def test_synth_hot_conv_skew(spark):
+    """conv 0 owns ~10% of all turns (FIXTURES.md skew contract)."""
+    df = transcripts_df(spark, 100, 40)  # 4000 rows
+    n0 = df.filter(F.col("conv_id") == "conv-00000000").count()
+    assert abs(n0 - 400) <= 1
+
+
+def test_synth_format_mix(spark):
+    """All seven text shapes appear with roughly FIXTURES.md weights."""
+    df = transcripts_df(spark, 100, 40)
+    n = df.count()
+    shapes = {
+        "rfc5424_full": df.filter(F.col("text").rlike(r"^<\d+>1 2026")).count(),
+        "rfc5424_nil": df.filter(F.col("text").startswith("<14>1 - ")).count(),
+        "bare": df.filter(F.col("text").startswith("plain text")).count(),
+        "badpri": df.filter(F.col("text").startswith("<9999999999>")).count(),
+    }
+    assert 0.25 < shapes["rfc5424_full"] / n < 0.35   # 3/10 (minus bad-ts rows still match)
+    assert 0.05 < shapes["rfc5424_nil"] / n < 0.15    # 1/10
+    assert 0.05 < shapes["bare"] / n < 0.15
+    assert 0.05 < shapes["badpri"] / n < 0.15
+
+
+def test_encode_rfc3164_golden(spark):
+    from skewer_spark.sinks.encoders import encode_rfc3164
+    df = spark.createDataFrame(
+        [(34, datetime(2026, 1, 10, 13, 14, 15), "host42", "sshd", "42", "msg x"),
+         (13, datetime(2026, 1, 1, 0, 0, 5), "", "app", "", "y")],
+        "priority int, time_reported timestamp, hostname string, "
+        "appname string, procid string, message string",
+    )
+    out = [r.e for r in df.select(encode_rfc3164().alias("e")).collect()]
+    # Go 'Jan _2 15:04:05' day padding; procid bracketed only when set;
+    # empty hostname → deterministic localhost (documented deviation
+    # from os.Hostname())
+    assert out[0] == "<34>Jan 10 13:14:15 host42 sshd[42]: msg x"
+    assert out[1] == "<13>Jan  1 00:00:05 localhost app: y"
