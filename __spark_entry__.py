@@ -292,8 +292,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs = spark.read.parquet(f"{sf}/documents.parquet")
         return docs.groupBy("lang").agg(
             F.count("*").alias("n_docs"),
-            F.sum(token_count()).alias("sum_tokens"),
-            F.sum(char_count()).alias("sum_chars"),
+            F.sum(token_count()).cast("long").alias("sum_tokens"),
+            F.sum(char_count()).cast("long").alias("sum_chars"),
         )
 
     def q_lang_id(spark, sf):
@@ -610,10 +610,13 @@ def oracle_sql() -> dict[str, str]:
         """,
         # q_embed_neardup: hyperplanes derive from xxhash64 → rows-only
         "q_text_stats": """
+            -- sums cast to BIGINT: DuckDB sum(BIGINT) yields HUGEINT,
+            -- which the driver's normalizer renders as float64 while
+            -- Spark returns int64 (CLAUDE.md cast-both-sides contract)
             SELECT lang, count(*) AS n_docs,
-                   sum(length(text) - length(replace(text, ' ', '')) + 1)
+                   sum(length(text) - length(replace(text, ' ', '')) + 1)::BIGINT
                      AS sum_tokens,
-                   sum(length(text)) AS sum_chars
+                   sum(length(text))::BIGINT AS sum_chars
             FROM documents GROUP BY lang
         """,
         "q_lang_id": """

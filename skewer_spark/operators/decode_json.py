@@ -69,19 +69,36 @@ GELF_SCHEMA = T.StructType([
 
 
 def _name_to_code(col: Column, mapping: dict[str, int], default: int) -> Column:
-    expr = F.lit(default)
-    for name, code in mapping.items():
-        expr = F.when(col == name, F.lit(code)).otherwise(expr)
-    return expr
+    """name → code via a literal-map lookup (single expression).
+
+    A 24-branch ``when()`` chain here re-evaluates its input per branch
+    (CaseWhen defeats codegen subexpression elimination — measured 72
+    ``from_json`` evals/row in r01); ``try_element_at`` on a literal map
+    evaluates the key exactly once and stays in codegen.
+    """
+    m = F.create_map(
+        *[F.lit(x) for name, code in mapping.items() for x in (name, code)]
+    )
+    return F.coalesce(F.try_element_at(m, col), F.lit(default))
+
+
+def _materialized(df: DataFrame, expr: Column) -> tuple[DataFrame, Column]:
+    """Project ``expr`` into a temp column so downstream references share
+    ONE evaluation.  CollapseProject keeps the projection separate
+    because the expression is non-cheap and referenced many times —
+    without this, every field reference re-runs ``from_json`` on the
+    raw line (the r01 q_parse_json 25× slowdown)."""
+    tmp = "_j"
+    return df.withColumn(tmp, expr), F.col(tmp)
 
 
 def parse_regular_json(df: DataFrame, text_col: str = "text") -> DataFrame:
     """RegularSyslog JSON → canonical parsed columns."""
-    j = F.from_json(F.col(text_col), REGULAR_SCHEMA)
+    base, j = _materialized(df, F.from_json(F.col(text_col), REGULAR_SCHEMA))
     fac = _name_to_code(j["facility"], RFACILITIES, RFACILITIES["user"])
     sev = _name_to_code(j["severity"], RSEVERITIES, RSEVERITIES["info"])
-    return df.select(
-        "*",
+    return base.select(
+        *df.columns,
         (fac * 8 + sev).alias("priority"),
         fac.alias("facility"),
         sev.alias("severity"),
@@ -100,7 +117,7 @@ def parse_regular_json(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 def parse_rsyslog_json(df: DataFrame, text_col: str = "text") -> DataFrame:
     """rsyslog JSON → canonical parsed columns ('-' sentinel → empty)."""
-    j = F.from_json(F.col(text_col), RSYSLOG_SCHEMA)
+    base, j = _materialized(df, F.from_json(F.col(text_col), RSYSLOG_SCHEMA))
 
     def dash(c: Column) -> Column:
         return F.when(c == "-", F.lit("")).otherwise(F.coalesce(c, F.lit("")))
@@ -111,8 +128,8 @@ def parse_rsyslog_json(df: DataFrame, text_col: str = "text") -> DataFrame:
         rbag.isNotNull(),
         F.to_json(F.create_map(F.lit("rsyslog"), rbag)),
     )
-    return df.select(
-        "*",
+    return base.select(
+        *df.columns,
         F.coalesce(pri, F.lit(0)).alias("priority"),
         F.coalesce((pri / 8).cast("int"), F.lit(0)).alias("facility"),
         F.coalesce(F.pmod(pri, F.lit(8)), F.lit(0)).alias("severity"),
@@ -135,11 +152,11 @@ def parse_gelf(df: DataFrame, text_col: str = "text") -> DataFrame:
     level → severity; facility name → code, unknown/missing → 1 (user);
     timestamp is epoch seconds (float).
     """
-    j = F.from_json(F.col(text_col), GELF_SCHEMA)
+    base, j = _materialized(df, F.from_json(F.col(text_col), GELF_SCHEMA))
     sev = F.coalesce(j["level"], F.lit(6))
     fac = _name_to_code(j["facility"], RFACILITIES, 1)
-    return df.select(
-        "*",
+    return base.select(
+        *df.columns,
         (fac * 8 + sev).alias("priority"),
         fac.alias("facility"),
         sev.alias("severity"),
@@ -162,13 +179,13 @@ def parse_w3c(df: DataFrame, fields: list[str], text_col: str = "text") -> DataF
     The field list comes from the `#Fields:` directive (configured, as
     in the reference where the decoder is parametrized per source).
     """
-    vals = F.split(F.col(text_col), " ")
+    base, vals = _materialized(df, F.split(F.col(text_col), " "))
     kv = F.map_from_arrays(
         F.array(*[F.lit(f) for f in fields]),
         F.slice(vals, 1, len(fields)),
     )
-    return df.select(
-        "*",
+    return base.select(
+        *df.columns,
         F.lit(0).alias("priority"),
         F.lit(0).alias("facility"),
         F.lit(0).alias("severity"),

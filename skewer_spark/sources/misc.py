@@ -29,15 +29,21 @@ def parse_journald(df: DataFrame, text_col: str = "text") -> DataFrame:
     time_reported; remaining ``_``-prefixed keys →
     properties["journald"]; skewer.client = hostname.
     """
-    e = F.from_json(F.col(text_col), JOURNALD_SCHEMA)
-    # keys lowercased by the reference
-    low = F.map_from_entries(
-        F.transform(
-            F.map_entries(e), lambda kv: F.struct(
-                F.lower(kv["key"]).alias("key"), kv["value"].alias("value")
+    # materialize the decoded+lowercased map ONCE: referencing the raw
+    # from_json expression per field re-parses the line per reference
+    # (the r01 q_parse_json lesson — decode_json._materialized)
+    e_raw = F.from_json(F.col(text_col), JOURNALD_SCHEMA)
+    base = df.withColumn("_e", e_raw).withColumn(
+        "_low",
+        F.map_from_entries(
+            F.transform(
+                F.map_entries(F.col("_e")), lambda kv: F.struct(
+                    F.lower(kv["key"]).alias("key"), kv["value"].alias("value")
+                )
             )
-        )
+        ),
     )
+    e, low = F.col("_e"), F.col("_low")
     sev = F.coalesce(low["priority"].cast("int"), F.lit(0))
     fac = F.coalesce(low["syslog_facility"].cast("int"), F.lit(0))
     hostname = F.coalesce(low["_hostname"], F.lit(""))
@@ -55,8 +61,8 @@ def parse_journald(df: DataFrame, text_col: str = "text") -> DataFrame:
             F.lit("skewer"), F.create_map(F.lit("client"), hostname),
         )
     )
-    return df.select(
-        "*",
+    return base.select(
+        *df.columns,
         (fac * 8 + sev).alias("priority"),
         fac.alias("facility"),
         sev.alias("severity"),
@@ -94,14 +100,16 @@ _MACOS_SEV = {"Fault": 2, "Error": 3, "Default": 5, "Info": 6, "Debug": 7}
 
 def parse_macos(df: DataFrame, text_col: str = "text") -> DataFrame:
     """macOS `log stream --style ndjson` records → canonical columns."""
-    j = F.from_json(F.col(text_col), MACOS_SCHEMA)
-    sev = F.lit(5)
-    for k, v in _MACOS_SEV.items():
-        sev = F.when(j["messageType"] == k, F.lit(v)).otherwise(sev)
+    base = df.withColumn("_j", F.from_json(F.col(text_col), MACOS_SCHEMA))
+    j = F.col("_j")
+    sev_map = F.create_map(
+        *[F.lit(x) for k, v in _MACOS_SEV.items() for x in (k, v)]
+    )
+    sev = F.coalesce(F.try_element_at(sev_map, j["messageType"]), F.lit(5))
     fac = F.lit(1)  # user
     app = F.element_at(F.split(j["processImagePath"], "/"), -1)
-    return df.select(
-        "*",
+    return base.select(
+        *df.columns,
         (fac * 8 + sev).alias("priority"),
         fac.alias("facility"),
         sev.alias("severity"),

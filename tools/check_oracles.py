@@ -27,7 +27,11 @@ def norm_cell(v) -> str:
     if v is None or (isinstance(v, float) and pd.isna(v)):
         return "NULL"
     if isinstance(v, float):
-        return f"{v:.6f}".rstrip("0").rstrip(".")
+        # do NOT strip the fractional part entirely: an int64 on one
+        # side vs a float64 on the other (e.g. DuckDB HUGEINT→float64)
+        # must FAIL here like it fails in the driver's stricter
+        # normalizer (learned from the r01 q_text_stats red row)
+        return f"{v:.6f}"
     if isinstance(v, pd.Timestamp):
         return v.strftime("%Y-%m-%d %H:%M:%S")
     if isinstance(v, (bytes, bytearray)):
