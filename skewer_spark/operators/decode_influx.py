@@ -1,4 +1,4 @@
-"""InfluxDB line-protocol decoder (SURVEY.md §2.2, low-volume path).
+"""InfluxDB line-protocol decoder (SURVEY.md §2.2) — vectorized.
 
 Semantics from ``/root/reference/decoders/influxdb.go:13-95``:
 ``measurement[,tag=v...] field=v[,field=v...] [ts]`` →
@@ -6,19 +6,23 @@ appname="influxdb", facility=16 (local0), severity=6 (info), version 1,
 message = measurement, tags → properties["influxdb_tags"] (tag ``host``
 also fills hostname), fields → properties["influxdb_fields"] with a
 type-suffixed key (``_integer`` / ``_float`` / ``_boolean`` /
-``_string``).  ``ProcId`` carries the point hash in the reference; we
-use a deterministic hash of the line (documented deviation — the
-reference's HashID is a series-key FNV hash).
+``_string``).  ``ProcId`` carries a deterministic per-line hash
+(documented deviation — the reference's HashID is a series-key FNV
+hash; here it's pandas' stable 64-bit line hash, vectorized).
 
-Vectorized pandas UDF (line splitting with escape handling is beyond
-native regex) — matches the reference's own "parse in code" choice.
+Fully pandas-vectorized: the line is split with escape-aware regexes,
+tag/field pairs are exploded into ONE pairs table whose classification
+and typing run as column-wise ``.str`` ops, and the JSON properties
+string is assembled with a sorted segment-join — no per-row Python in
+the hot path (the only ``.map`` is Go-style float canonicalization over
+float-typed field values).
 """
 
 from __future__ import annotations
 
-import json
 import re
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -26,83 +30,177 @@ from pyspark.sql.functions import pandas_udf
 
 from skewer_spark.schema import PARSED_STRUCT
 
-# split on unescaped comma / space / equals
+# split on unescaped comma / space
 _RE_UNESC_SPACE = re.compile(r"(?<!\\) ")
 _RE_UNESC_COMMA = re.compile(r"(?<!\\),")
 _RE_INT = re.compile(r"^-?\d+i$")
 _RE_FLOAT = re.compile(r"^-?(\d+(\.\d*)?|\.\d+)([eE][+-]?\d+)?$")
+_RE_TS = re.compile(r"^-?\d+$")
+_BOOL_TRUE = ("t", "T", "true", "True", "TRUE")
+_BOOL_FALSE = ("f", "F", "false", "False", "FALSE")
 
 
-def _parse_line(line: str) -> dict | None:
-    parts = _RE_UNESC_SPACE.split(line.strip(), maxsplit=2)
-    if len(parts) < 2 or not parts[0]:
-        return None
-    head = _RE_UNESC_COMMA.split(parts[0])
-    measurement = head[0].replace("\\ ", " ").replace("\\,", ",")
-    tags = {}
-    for t in head[1:]:
-        if "=" in t:
-            k, v = t.split("=", 1)
-            tags[k] = v
-    fields = {}
-    for fkv in _RE_UNESC_COMMA.split(parts[1]):
-        if "=" not in fkv:
-            return None
-        k, v = fkv.split("=", 1)
-        if _RE_INT.match(v):
-            fields[k + "_integer"] = v[:-1]
-        elif v in ("t", "T", "true", "True", "TRUE"):
-            fields[k + "_boolean"] = "true"
-        elif v in ("f", "F", "false", "False", "FALSE"):
-            fields[k + "_boolean"] = "false"
-        elif v.startswith('"') and v.endswith('"') and len(v) >= 2:
-            fields[k + "_string"] = v[1:-1].replace('\\"', '"')
-        elif _RE_FLOAT.match(v):
-            # Go FormatFloat(-1) canonical form
-            fields[k + "_float"] = repr(float(v)).rstrip("0").rstrip(".") \
-                if "." in repr(float(v)) else repr(float(v))
-        else:
-            return None
-    if not fields:
-        return None
-    ts = None
-    if len(parts) == 3 and parts[2]:
-        if not re.fullmatch(r"-?\d+", parts[2]):
-            return None
-        ts = int(parts[2])
-    return {"measurement": measurement, "tags": tags, "fields": fields, "ts": ts}
+def _go_float(x: float) -> str:
+    """Go strconv.FormatFloat(f, 'g'-ish, -1) canonical form."""
+    r = repr(x)
+    return r.rstrip("0").rstrip(".") if "." in r else r
+
+
+def _json_escape(s: pd.Series) -> pd.Series:
+    out = (
+        s.str.replace("\\", "\\\\", regex=False)
+        .str.replace('"', '\\"', regex=False)
+    )
+    # control chars are rare: escape them JSON-style only when present
+    if out.str.contains(r"[\x00-\x1f]", regex=True, na=False).any():
+        out = out.str.replace(
+            r"[\x00-\x1f]", lambda m: "\\u%04x" % ord(m.group()), regex=True
+        )
+    return out
+
+
+def _segment_join(rows: pd.Series, keys: pd.Series, js: pd.Series) -> pd.Series:
+    """Per-row ``,``-join of ``js`` fragments sorted by key (the
+    json.dumps(sort_keys=True) order), duplicate keys keep the LAST
+    occurrence like dict insertion did in the reference."""
+    d = pd.DataFrame({"r": rows.to_numpy(), "k": keys.to_numpy(),
+                      "j": js.to_numpy()})
+    d = d.drop_duplicates(subset=["r", "k"], keep="last")
+    d = d.sort_values(["r", "k"], kind="stable")
+    return d.groupby("r")["j"].agg(",".join)
+
+
+def parse_influx_batch(text: pd.Series) -> pd.DataFrame:
+    s = text.fillna("").str.strip()
+    idx = s.index
+
+    parts = s.str.split(_RE_UNESC_SPACE, n=2, expand=True, regex=True)
+    for c in (0, 1, 2):
+        if c not in parts.columns:
+            parts[c] = None
+    meas_tags, fields_str, ts_str = parts[0], parts[1], parts[2]
+
+    # ---- timestamp (3rd token must be all digits when present) ----
+    no_ts = ts_str.isna() | (ts_str == "")
+    ts_digits = ts_str.str.match(_RE_TS, na=False)
+    bad_ts = ~no_ts & ~ts_digits
+    ts_ns = pd.to_numeric(ts_str.where(ts_digits), errors="coerce")
+    time_reported = pd.to_datetime(ts_ns, unit="ns", errors="coerce")
+
+    # ---- measurement + tags ----
+    head = meas_tags.fillna("").str.split(_RE_UNESC_COMMA, regex=True)
+    measurement = (
+        head.str[0]
+        .str.replace("\\ ", " ", regex=False)
+        .str.replace("\\,", ",", regex=False)
+        .fillna("")
+    )
+    te = head.explode()
+    tpos = te.groupby(level=0).cumcount()
+    tags_only = te[(tpos > 0) & te.str.contains("=", regex=False, na=False)]
+    tkv = tags_only.str.split("=", n=1, expand=True)
+    for c in (0, 1):
+        if c not in tkv.columns:
+            tkv[c] = ""
+    tk, tv = tkv[0].fillna(""), tkv[1].fillna("")
+    hostname = tv[tk == "host"].groupby(level=0).last()
+    tag_join = _segment_join(
+        pd.Series(tags_only.index),
+        tk,
+        '"' + _json_escape(tk) + '":"' + _json_escape(tv) + '"',
+    )
+
+    # ---- fields: explode to one pairs table, classify vectorized ----
+    fl = fields_str.fillna("").str.split(_RE_UNESC_COMMA, regex=True)
+    fe = fl.explode()
+    has_eq = fe.str.contains("=", regex=False, na=False)
+    fkv = fe.str.split("=", n=1, expand=True)
+    for c in (0, 1):
+        if c not in fkv.columns:
+            fkv[c] = None
+    fk, fv = fkv[0].fillna(""), fkv[1]
+
+    is_int = fv.str.match(_RE_INT, na=False)
+    is_bt = fv.isin(_BOOL_TRUE)
+    is_bf = fv.isin(_BOOL_FALSE)
+    is_str = (
+        fv.str.len().ge(2).fillna(False)
+        & fv.str.startswith('"', na=False)
+        & fv.str.endswith('"', na=False)
+    )
+    # precedence per the reference: int, bool, quoted string, float
+    is_str &= ~(is_int | is_bt | is_bf)
+    is_flt = fv.str.match(_RE_FLOAT, na=False) & ~(is_int | is_bt | is_bf | is_str)
+    classified = is_int | is_bt | is_bf | is_str | is_flt
+    bad_pair = ~has_eq | (has_eq & ~classified)
+
+    typed_key = pd.Series(
+        np.select(
+            [is_int, is_bt | is_bf, is_str, is_flt],
+            [fk + "_integer", fk + "_boolean", fk + "_string", fk + "_float"],
+            default=fk,
+        ),
+        index=fe.index,
+    )
+    typed_val = pd.Series("", index=fe.index, dtype="object")
+    typed_val[is_int] = fv[is_int].str[:-1]
+    typed_val[is_bt] = "true"
+    typed_val[is_bf] = "false"
+    typed_val[is_str] = (
+        fv[is_str].str.slice(1, -1).str.replace('\\"', '"', regex=False)
+    )
+    if is_flt.any():
+        typed_val[is_flt] = pd.to_numeric(fv[is_flt]).map(_go_float)
+
+    goodf = classified
+    field_join = _segment_join(
+        pd.Series(fe.index[goodf]),
+        typed_key[goodf],
+        '"' + _json_escape(typed_key[goodf]) + '":"'
+        + _json_escape(typed_val[goodf]) + '"',
+    )
+
+    bad_rows = pd.Index(fe.index[bad_pair]).unique()
+    valid = (
+        (meas_tags.fillna("") != "")
+        & fields_str.notna()
+        & ~bad_ts
+        & ~idx.isin(bad_rows)
+        & idx.isin(field_join.index)
+    )
+
+    # ---- assemble (sort_keys order: influxdb_fields < influxdb_tags) ----
+    props = (
+        '{"influxdb_fields":{'
+        + field_join.reindex(idx).fillna("")
+        + '},"influxdb_tags":{'
+        + tag_join.reindex(idx).fillna("")
+        + "}}"
+    )
+    host = hostname.reindex(idx).fillna("")
+    procid = pd.util.hash_pandas_object(s, index=False).astype(str)
+
+    out = pd.DataFrame(index=idx)
+    out["priority"] = np.where(valid, 16 * 8 + 6, 0).astype("int32")
+    out["facility"] = np.where(valid, 16, 0).astype("int32")
+    out["severity"] = np.where(valid, 6, 0).astype("int32")
+    out["version"] = np.where(valid, 1, 0).astype("int32")
+    out["time_reported"] = time_reported.where(valid)
+    out["hostname"] = host.where(valid, "")
+    out["appname"] = np.where(valid, "influxdb", "")
+    out["procid"] = procid.where(valid, "")
+    out["msgid"] = ""
+    out["structured"] = ""
+    out["message"] = measurement.where(valid, "")
+    out["properties_json"] = props.where(valid, None)
+    out["parse_ok"] = valid.to_numpy()
+    out["parser_name"] = "influx"
+    return out
 
 
 @pandas_udf(PARSED_STRUCT)
 def parse_influx_udf(text: pd.Series, ts: pd.Series) -> pd.DataFrame:
-    import hashlib
-    out = []
-    for line in text.fillna(""):
-        p = _parse_line(line)
-        if p is None:
-            out.append(dict(
-                priority=0, facility=0, severity=0, version=0,
-                time_reported=pd.NaT, hostname="", appname="", procid="",
-                msgid="", structured="", message="", properties_json=None,
-                parse_ok=False, parser_name="influx"))
-            continue
-        props = {"influxdb_tags": p["tags"], "influxdb_fields": p["fields"]}
-        tr = (pd.Timestamp(p["ts"], unit="ns") if p["ts"] is not None else pd.NaT)
-        out.append(dict(
-            priority=16 * 8 + 6, facility=16, severity=6, version=1,
-            time_reported=tr,
-            hostname=p["tags"].get("host", ""),
-            appname="influxdb",
-            procid=str(int(hashlib.sha256(line.encode()).hexdigest()[:8], 16)),
-            msgid="", structured="",
-            message=p["measurement"],
-            properties_json=json.dumps(props, sort_keys=True,
-                                       separators=(",", ":")),
-            parse_ok=True, parser_name="influx"))
-    df = pd.DataFrame(out)
-    for c in ("priority", "facility", "severity", "version"):
-        df[c] = df[c].astype("int32")
-    return df
+    return parse_influx_batch(text)
 
 
 def parse_influx(df: DataFrame, text_col: str = "text", ts_col: str = "ts") -> DataFrame:
