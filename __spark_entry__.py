@@ -284,9 +284,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         qvec = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
         return brute_force_topk(emb, list(qvec), k=10)
 
+    def q_ann_lsh(spark, sf):
+        from skewer_spark.operators.similarity import lsh_bucketed_topk
+        emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+        qvec = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+        return lsh_bucketed_topk(
+            emb, list(qvec), k=10, n_planes=8, probe_hamming=2
+        )
+
     def q_embed_neardup(spark, sf):
         emb = spark.read.parquet(f"{sf}/embeddings.parquet")
-        return cosine_pairs_above(emb, threshold=0.2, n_planes=4)
+        return cosine_pairs_above(
+            emb, threshold=0.3, bands=4, rows_per_band=8, bucket_cap=200
+        )
 
     def q_text_stats(spark, sf):
         docs = spark.read.parquet(f"{sf}/documents.parquet")
@@ -401,6 +411,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_minhash_lsh": q_minhash_lsh,
         "q_simhash": q_simhash,
         "q_ann_topk": q_ann_topk,
+        "q_ann_lsh": q_ann_lsh,
         "q_embed_neardup": q_embed_neardup,
         "q_text_stats": q_text_stats,
         "q_lang_id": q_lang_id,
@@ -482,6 +493,68 @@ def oracle_sql() -> dict[str, str]:
         THEN ',"properties":{{"meta":{{"k":"v"}}}}' ELSE '' END) ||
       '}}' AS encoded
     FROM routed
+    """
+
+    # ---- hyperplane-LSH oracles: identical integer LCG planes ----
+    from skewer_spark.operators.similarity import lcg_plane
+
+    def plane_sql(p: int, dim: int = 64) -> str:
+        return "[" + ",".join(str(c) for c in lcg_plane(p, dim)) + "]::DOUBLE[]"
+
+    def bucket_sql(plane_offset: int, n_planes: int) -> str:
+        bits = [
+            f"(CASE WHEN list_dot_product(v, {plane_sql(plane_offset + r)}) >= 0 "
+            f"THEN {1 << r} ELSE 0 END)"
+            for r in range(n_planes)
+        ]
+        return " + ".join(bits)
+
+    band_rows = " UNION ALL ".join(
+        f"SELECT vec_id, {b} AS band_id, {bucket_sql(b * 8, 8)} AS bucket FROM e"
+        for b in range(4)
+    )
+    neardup_sql = f"""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), b AS (
+      {band_rows}
+    ), capped AS (
+      SELECT vec_id, band_id, bucket FROM (
+        SELECT *, row_number() OVER (PARTITION BY band_id, bucket
+                                     ORDER BY vec_id) AS rn FROM b
+      ) WHERE rn <= 200
+    ), pairs AS (
+      SELECT DISTINCT a.vec_id AS id_a, c.vec_id AS id_b
+      FROM capped a JOIN capped c USING (band_id, bucket)
+      WHERE a.vec_id < c.vec_id
+    ), scored AS (
+      SELECT id_a, id_b,
+        round(list_dot_product(ea.v, eb.v) /
+              (sqrt(list_dot_product(ea.v, ea.v)) *
+               sqrt(list_dot_product(eb.v, eb.v))), 6) AS cos_sim
+      FROM pairs
+      JOIN e ea ON ea.vec_id = pairs.id_a
+      JOIN e eb ON eb.vec_id = pairs.id_b
+    )
+    SELECT id_a, id_b, cos_sim FROM scored WHERE cos_sim >= 0.3
+    """
+
+    ann_lsh_sql = f"""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), b AS (
+      SELECT vec_id, v, {bucket_sql(0, 8)} AS bucket FROM e
+    ), q AS (
+      SELECT bucket AS qb, v AS qv FROM b WHERE vec_id = 0
+    ), cand AS (
+      SELECT vec_id, v FROM b, q WHERE bit_count(xor(bucket, qb)) <= 2
+    )
+    SELECT vec_id,
+      round(list_dot_product(cand.v, q.qv) /
+            (sqrt(list_dot_product(cand.v, cand.v)) *
+             sqrt(list_dot_product(q.qv, q.qv))), 6) AS cos_sim
+    FROM cand, q
+    ORDER BY cos_sim DESC, vec_id LIMIT 10
     """
 
     mh_seeds = [f"min(md5('s{i}|' || tok)) AS mh_{i}" for i in range(8)]
@@ -608,7 +681,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT vec_id, cos_sim FROM sims
             ORDER BY cos_sim DESC, vec_id LIMIT 10
         """,
-        # q_embed_neardup: hyperplanes derive from xxhash64 → rows-only
+        "q_ann_lsh": ann_lsh_sql,
+        "q_embed_neardup": neardup_sql,
         "q_text_stats": """
             -- sums cast to BIGINT: DuckDB sum(BIGINT) yields HUGEINT,
             -- which the driver's normalizer renders as float64 while

@@ -1,25 +1,34 @@
 """Similarity search over embedding columns (array<float>).
 
-Two paths:
+Three paths:
 
 * ``brute_force_topk`` — exact cosine top-k.  The dot product is a
   sequential ``aggregate`` fold over ``zip_with`` in double precision
   (JVM expressions, no UDF); top-k is a single ``ORDER BY … LIMIT k``
   which Spark executes as per-partition top-k + driver merge
   (TakeOrderedAndProject) — no global sort, scales linearly.
-* ``lsh_bucketed_topk`` — random-hyperplane LSH: ``n_planes``
-  deterministic pseudo-random hyperplanes (derived from xxhash64 of
-  (plane, dim), so no data shipping and reproducible across runs);
-  sign pattern = bucket key.  Query probes only its own bucket —
-  the 100 TB path: candidate set shrinks by ~2^n_planes.
+* ``lsh_bucketed_topk`` — random-hyperplane LSH ANN with multi-probe:
+  the query's bucket is computed DRIVER-SIDE (plain numpy — no 1-row
+  Spark job), and all buckets within ``probe_hamming`` bit flips are
+  probed (``bit_count(bucket XOR qbucket) <= h``), then exact-ranked.
+* ``cosine_pairs_above`` — embedding near-duplicate pairs via BANDED
+  multi-signature hyperplane LSH (the MinHash-LSH shape from
+  operators/dedup.py): ``bands`` independent signatures of
+  ``rows_per_band`` planes each; docs sharing any band bucket are
+  candidates; candidates are exact-cosine filtered.  Buckets are
+  width-capped (deterministic ``row_number <= cap``) so one degenerate
+  bucket can never go quadratic — the property that matters at 10^10
+  docs.  Candidate volume ≈ bands · Σ_bucket min(|bucket|, cap)² ≪ n².
 
-Embedding near-duplicate detection = ``cosine_pairs_above`` on
-LSH-bucket candidates.
+Hyperplane components are INTEGER-VALUED (an LCG over the (plane, dim)
+index, range [-1000, 1000]) rather than hashed floats: exact in IEEE
+double on any engine, so the DuckDB oracle reproduces buckets — and
+therefore candidate sets and result hashes — bit-for-bit.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -55,21 +64,50 @@ def brute_force_topk(
     )
 
 
-def _plane_component(plane: int, dim: int) -> Column:
-    """Deterministic pseudo-random hyperplane component in [-1, 1)."""
-    h = F.xxhash64(F.lit(f"plane-{plane}-dim-{dim}"))
-    return (F.pmod(h, F.lit(2_000_000)).cast("double") / 1_000_000.0) - 1.0
+# ---------------------------------------------------------------------------
+# deterministic integer hyperplanes (oracle-reproducible)
+# ---------------------------------------------------------------------------
+
+def lcg_plane(plane: int, dim: int) -> list[int]:
+    """Integer pseudo-random hyperplane components in [-1000, 1000].
+
+    Plain LCG over the flat (plane, dim) index — expressible verbatim in
+    ANSI SQL, so DuckDB derives the identical plane and the sign of the
+    double-precision dot product matches bit-for-bit (integer
+    coefficients make the products exact; only the sum rounds, and both
+    engines fold left-to-right)."""
+    return [
+        ((plane * dim + d) * 1103515245 + 12345) % 2001 - 1000
+        for d in range(dim)
+    ]
+
+
+def _plane_col(plane: int, dim: int) -> Column:
+    return F.array(*[F.lit(float(c)) for c in lcg_plane(plane, dim)])
 
 
 def hyperplane_bucket(
-    vec_col: str, n_planes: int = 8, dim: int = 64
+    vec_col: str, n_planes: int = 8, dim: int = 64, plane_offset: int = 0
 ) -> Column:
     """Sign-pattern bucket id (0 .. 2^n_planes-1) for an embedding."""
     bucket = F.lit(0).cast("long")
     for p in range(n_planes):
-        plane = F.array(*[_plane_component(p, d) for d in range(dim)])
-        bit = F.when(dot(F.col(vec_col), plane) >= 0, F.lit(1)).otherwise(F.lit(0))
-        bucket = bucket + F.shiftleft(bit.cast("long"), p)
+        plane = _plane_col(plane_offset + p, dim)
+        bit = (dot(F.col(vec_col), plane) >= 0).cast("long")
+        bucket = bucket + F.shiftleft(bit, p)
+    return bucket
+
+
+def query_bucket(vec: list[float], n_planes: int, plane_offset: int = 0) -> int:
+    """Driver-side bucket for a literal query vector (no Spark job)."""
+    bucket = 0
+    for p in range(n_planes):
+        plane = lcg_plane(plane_offset + p, len(vec))
+        acc = 0.0
+        for x, c in zip(vec, plane):
+            acc += float(x) * float(c)
+        if acc >= 0:
+            bucket |= 1 << p
     return bucket
 
 
@@ -79,16 +117,24 @@ def lsh_bucketed_topk(
     k: int = 10,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-    n_planes: int = 6,
+    n_planes: int = 8,
     dim: int = 64,
+    probe_hamming: int = 2,
 ) -> DataFrame:
-    """ANN: probe only the query's hyperplane bucket, then exact rank."""
-    bucketed = df.withColumn("_bucket", hyperplane_bucket(vec_col, n_planes, dim))
-    qdf = df.sparkSession.range(1).select(
-        hyperplane_bucket_for_literal(query_vec, n_planes).alias("_qb")
+    """ANN top-k: multi-probe the query's LSH bucket, then exact rank.
+
+    ``probe_hamming=h`` admits every bucket within h sign flips of the
+    query's (``C(n_planes, <=h)`` of ``2^n_planes`` buckets) — the
+    standard multi-probe recall fix for points near a hyperplane.  With
+    the defaults that is 37/256 buckets ≈ 7× candidate reduction while
+    planted near-dups (cos ≥ 0.95) are recalled w.p. ≥ 0.9."""
+    qb = query_bucket(query_vec, n_planes)
+    bucketed = df.withColumn(
+        "_bucket", hyperplane_bucket(vec_col, n_planes, dim)
     )
-    qb = qdf.collect()[0][0]
-    cand = bucketed.filter(F.col("_bucket") == F.lit(qb))
+    cand = bucketed.filter(
+        F.bit_count(F.col("_bucket").bitwiseXOR(F.lit(qb))) <= probe_hamming
+    )
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     return (
         cand.select(
@@ -100,36 +146,89 @@ def lsh_bucketed_topk(
     )
 
 
-def hyperplane_bucket_for_literal(vec: list[float], n_planes: int = 6) -> Column:
-    lit_vec = F.array(*[F.lit(float(x)) for x in vec])
-    bucket = F.lit(0).cast("long")
-    for p in range(n_planes):
-        plane = F.array(*[_plane_component(p, d) for d in range(len(vec))])
-        bit = F.when(dot(lit_vec, plane) >= 0, F.lit(1)).otherwise(F.lit(0))
-        bucket = bucket + F.shiftleft(bit.cast("long"), p)
-    return bucket
+# ---------------------------------------------------------------------------
+# banded near-duplicate pairs
+# ---------------------------------------------------------------------------
+
+def band_buckets(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    bands: int = 4,
+    rows_per_band: int = 8,
+    dim: int = 64,
+    bucket_cap: int | None = 200,
+) -> DataFrame:
+    """(id, band_id, bucket) — ``bands`` independent sign signatures.
+
+    One narrow pass computes every plane dot (bands · rows_per_band
+    array folds, all inside one codegen span), then explodes to the
+    per-band rows.  ``bucket_cap`` deterministically truncates each
+    (band, bucket) group to its ``cap`` lowest ids (``row_number``) so
+    a degenerate bucket — all-zero vectors, adversarial dumps — bounds
+    join work at cap² instead of |bucket|²; at 100 TB pair the cap with
+    a salted re-join of the truncated tail if full recall inside jumbo
+    buckets matters."""
+    sig_cols = []
+    for b in range(bands):
+        bucket = F.lit(0).cast("long")
+        for r in range(rows_per_band):
+            plane = _plane_col(b * rows_per_band + r, dim)
+            bit = (dot(F.col(vec_col), plane) >= 0).cast("long")
+            bucket = bucket + F.shiftleft(bit, r)
+        sig_cols.append(
+            F.struct(F.lit(b).alias("band_id"), bucket.alias("bucket"))
+        )
+    out = (
+        df.select(F.col(id_col), F.explode(F.array(*sig_cols)).alias("e"))
+        .select(id_col, "e.band_id", "e.bucket")
+    )
+    if bucket_cap is not None:
+        w = Window.partitionBy("band_id", "bucket").orderBy(id_col)
+        out = (
+            out.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= bucket_cap)
+            .drop("_rn")
+        )
+    return out
 
 
 def cosine_pairs_above(
     df: DataFrame,
-    threshold: float = 0.95,
+    threshold: float = 0.9,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-    n_planes: int = 6,
+    bands: int = 4,
+    rows_per_band: int = 8,
     dim: int = 64,
+    bucket_cap: int | None = 200,
 ) -> DataFrame:
-    """Embedding near-dup pairs: LSH bucket join + exact cosine filter."""
-    b = df.withColumn("_bucket", hyperplane_bucket(vec_col, n_planes, dim))
+    """Embedding near-dup pairs: banded LSH candidates + exact cosine.
+
+    Candidates come from a per-band bucket self-join (union across
+    bands via the exploded band column, one shuffle on tiny
+    (band, bucket) keys), deduped, then the exact cosine is computed by
+    joining the embeddings back on id — the big vectors never ride
+    through the bucket shuffle."""
+    b = band_buckets(df, vec_col, id_col, bands, rows_per_band, dim, bucket_cap)
     a_side = b.select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "_bucket"
+        F.col(id_col).alias("id_a"), "band_id", "bucket"
     )
     b_side = b.select(
-        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), "_bucket"
+        F.col(id_col).alias("id_b"), "band_id", "bucket"
     )
-    return (
-        a_side.join(b_side, on="_bucket")
+    pairs = (
+        a_side.join(b_side, on=["band_id", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("cos_sim", F.round(cosine(F.col("va"), F.col("vb")), 6))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    emb_a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+    emb_b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    return (
+        pairs.join(emb_a, "id_a")
+        .join(emb_b, "id_b")
+        .withColumn("cos_sim", F.round(cosine(F.col("_va"), F.col("_vb")), 6))
         .filter(F.col("cos_sim") >= threshold)
         .select("id_a", "id_b", "cos_sim")
     )
