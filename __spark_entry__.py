@@ -279,6 +279,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs = spark.read.parquet(f"{sf}/documents.parquet")
         return simhash(docs)
 
+    def q_simhash_pairs(spark, sf):
+        from skewer_spark.operators.dedup import simhash_candidate_pairs
+        docs = spark.read.parquet(f"{sf}/documents.parquet")
+        return simhash_candidate_pairs(docs, max_hamming=3)
+
     def q_ann_topk(spark, sf):
         emb = spark.read.parquet(f"{sf}/embeddings.parquet")
         qvec = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
@@ -410,6 +415,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dedup_fingerprint": q_dedup_fingerprint,
         "q_minhash_lsh": q_minhash_lsh,
         "q_simhash": q_simhash,
+        "q_simhash_pairs": q_simhash_pairs,
         "q_ann_topk": q_ann_topk,
         "q_ann_lsh": q_ann_lsh,
         "q_embed_neardup": q_embed_neardup,
@@ -557,6 +563,58 @@ def oracle_sql() -> dict[str, str]:
     ORDER BY cos_sim DESC, vec_id LIMIT 10
     """
 
+    # ---- SimHash oracle: same md5 token bits, same banding ----
+    sim_sums = ", ".join(
+        f"sum((({src} >> {b}) & 1) * 2 - 1) AS {name}{b}"
+        for src, name in (("thi", "h"), ("tlo", "l"))
+        for b in range(32)
+    )
+
+    def sim_reassemble(prefix: str) -> str:
+        return " + ".join(
+            f"(CASE WHEN {prefix}{b} > 0 THEN {1 << b}::BIGINT ELSE 0 END)"
+            for b in range(32)
+        )
+
+    simhash_prelude = f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ), halves AS (
+      SELECT doc_id,
+        ('0x' || substr(md5(tok), 1, 8))::BIGINT AS thi,
+        ('0x' || substr(md5(tok), 9, 8))::BIGINT AS tlo
+      FROM toks
+    ), sums AS (
+      SELECT doc_id, {sim_sums} FROM halves GROUP BY doc_id
+    ), sigs AS (
+      SELECT doc_id, {sim_reassemble('h')} AS sig_hi,
+             {sim_reassemble('l')} AS sig_lo
+      FROM sums
+    )
+    """
+
+    simhash_sql = simhash_prelude + "SELECT doc_id, sig_hi, sig_lo FROM sigs"
+
+    simhash_pairs_sql = simhash_prelude + """
+    , buckets AS (
+      SELECT doc_id, sig_hi, sig_lo, 0 AS band_id,
+             (sig_lo & 65535) AS band_key FROM sigs
+      UNION ALL SELECT doc_id, sig_hi, sig_lo, 1,
+             ((sig_lo >> 16) & 65535) FROM sigs
+      UNION ALL SELECT doc_id, sig_hi, sig_lo, 2,
+             (sig_hi & 65535) FROM sigs
+      UNION ALL SELECT doc_id, sig_hi, sig_lo, 3,
+             ((sig_hi >> 16) & 65535) FROM sigs
+    )
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+      (bit_count(xor(a.sig_hi, b.sig_hi))
+       + bit_count(xor(a.sig_lo, b.sig_lo))) AS hamming
+    FROM buckets a JOIN buckets b USING (band_id, band_key)
+    WHERE a.doc_id < b.doc_id
+      AND bit_count(xor(a.sig_hi, b.sig_hi))
+          + bit_count(xor(a.sig_lo, b.sig_lo)) <= 3
+    """
+
     mh_seeds = [f"min(md5('s{i}|' || tok)) AS mh_{i}" for i in range(8)]
     minhash_sql = f"""
     WITH toks AS (
@@ -665,7 +723,8 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY 1
         """,
         "q_minhash_lsh": minhash_sql,
-        # q_simhash: xxhash64-based, Spark-specific → rows-only check
+        "q_simhash": simhash_sql,
+        "q_simhash_pairs": simhash_pairs_sql,
         "q_ann_topk": """
             WITH q AS (
               SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0

@@ -14,9 +14,15 @@ each stage shrinks the candidate set for the next:
    has no DuckDB twin).  The band join is a self-join on the band
    signature: Catalyst turns it into a shuffled hash join keyed on tiny
    strings; no O(n²) pair scan ever materializes.
-4. **SimHash** — 64-bit sign-sum signature via xxhash64 bit extraction
-   (pure JVM expressions); hamming-close docs share signatures after
-   per-band masking.
+4. **SimHash** — 64-bit sign-sum signature carried as two 32-bit
+   halves (``sig_hi``, ``sig_lo``), token bits from md5 so the DuckDB
+   oracle reproduces signatures exactly (xxhash64 would be ~2× faster
+   at scale but has no DuckDB twin — same trade as MinHash above);
+   near-dup candidates via a 4×16-bit banded self-join
+   (``simhash_candidate_pairs``): by pigeonhole, any pair within
+   hamming distance 3 shares at least one exact band, so the banded
+   join is COMPLETE for the default radius while never materializing
+   O(n²) pairs.
 
 Embedding near-dup lives in operators/similarity.py.
 """
@@ -135,30 +141,96 @@ def minhash_candidate_pairs(
 
 
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """64-bit SimHash per document (xxhash64 token bits, sign-sum).
+    """64-bit SimHash per document as two 32-bit halves (sign-sum).
 
-    Pure JVM expressions: explode tokens → per-bit ±1 contributions →
-    one groupBy(doc) with 64 sums → signature reassembled as a long.
-    Oracle note: xxhash64 is Spark-specific, so the driver check for
-    this one is rows-only.
+    Pure JVM expressions: explode tokens → md5 hex → two 32-bit token
+    halves (``conv`` is materialized once per token, not per bit) →
+    per-bit ±1 contributions → one groupBy(doc) with 64 sums →
+    signature halves reassembled as longs.  md5 (not xxhash64) is the
+    price of a bit-exact DuckDB oracle — see the module docstring.
     """
     toks = df.select(
         F.col(id_col),
         F.explode(F.split(F.col(text_col), " ")).alias("tok"),
-    ).select(F.col(id_col), F.xxhash64("tok").alias("h"))
-    sums = toks.groupBy(id_col).agg(
+    ).select(F.col(id_col), F.md5("tok").alias("h"))
+    halves = toks.select(
+        F.col(id_col),
+        F.conv(F.substring("h", 1, 8), 16, 10).cast("long").alias("thi"),
+        F.conv(F.substring("h", 9, 8), 16, 10).cast("long").alias("tlo"),
+    )
+    sums = halves.groupBy(id_col).agg(
         *[
             F.sum(
-                F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) * 2 - 1
-            ).alias(f"b{b}")
-            for b in range(64)
+                F.shiftright(F.col(src), b).bitwiseAND(F.lit(1)) * 2 - 1
+            ).alias(f"{name}{b}")
+            for src, name in (("thi", "h"), ("tlo", "l"))
+            for b in range(32)
         ]
     )
-    sig = None
-    for b in range(64):
-        bit = F.when(F.col(f"b{b}") > 0, F.lit(1).cast("long")).otherwise(
-            F.lit(0).cast("long")
+
+    def _reassemble(prefix: str):
+        sig = F.lit(0).cast("long")
+        for b in range(32):
+            bit = (F.col(f"{prefix}{b}") > 0).cast("long")
+            sig = sig + F.shiftleft(bit, b)
+        return sig
+
+    return sums.select(
+        F.col(id_col),
+        _reassemble("h").alias("sig_hi"),
+        _reassemble("l").alias("sig_lo"),
+    )
+
+
+def simhash_candidate_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs within ``max_hamming`` bits, banded join.
+
+    The 64-bit signature splits into four 16-bit bands; a pair within
+    hamming distance 3 must agree on ≥1 band (pigeonhole over 4 bands),
+    so the per-band self-join finds ALL such pairs — one shuffle on
+    16-bit band keys, never an all-pairs scan.  The exact distance is
+    re-checked with ``bit_count(xor)`` on the joined signatures.
+    """
+    sigs = simhash(df, text_col, id_col)
+    mask = F.lit(0xFFFF)
+    band_exprs = [
+        F.col("sig_lo").bitwiseAND(mask),
+        F.shiftright("sig_lo", 16).bitwiseAND(mask),
+        F.col("sig_hi").bitwiseAND(mask),
+        F.shiftright("sig_hi", 16).bitwiseAND(mask),
+    ]
+    buckets = sigs.select(
+        F.col(id_col), "sig_hi", "sig_lo",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(i).alias("band_id"), e.alias("band_key"))
+                for i, e in enumerate(band_exprs)
+            ])
+        ).alias("e"),
+    ).select(id_col, "sig_hi", "sig_lo", "e.band_id", "e.band_key")
+    a = buckets.select(
+        F.col(id_col).alias("id_a"), F.col("sig_hi").alias("hi_a"),
+        F.col("sig_lo").alias("lo_a"), "band_id", "band_key",
+    )
+    b = buckets.select(
+        F.col(id_col).alias("id_b"), F.col("sig_hi").alias("hi_b"),
+        F.col("sig_lo").alias("lo_b"), "band_id", "band_key",
+    )
+    return (
+        a.join(b, on=["band_id", "band_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b",
+            (
+                F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b")))
+                + F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b")))
+            ).alias("hamming"),
         )
-        term = F.shiftleft(bit, b)
-        sig = term if sig is None else sig.bitwiseXOR(term)
-    return sums.select(F.col(id_col), sig.alias("simhash"))
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

@@ -188,3 +188,27 @@ def test_encode_gelf(spark):
     assert out["_facility"] == "auth" and out["_appname"] == "sshd"
     assert out["_properties"] == {"a": {"k": "v"}}
     assert out["timestamp"] == 1767225600.0
+
+
+def test_simhash_order_insensitive_and_banded_pairs(spark):
+    from skewer_spark.operators.dedup import simhash, simhash_candidate_pairs
+
+    base = " ".join(f"word{i}" for i in range(80))
+    reordered = " ".join(f"word{i}" for i in reversed(range(80)))
+    near = base.replace("word7 ", "word7x ")  # one token swapped
+    other = " ".join(f"zzz{i}" for i in range(80))
+    docs = spark.createDataFrame(
+        [(0, base), (1, reordered), (2, near), (3, other)],
+        "doc_id int, text string",
+    )
+    sigs = {r.doc_id: (r.sig_hi, r.sig_lo) for r in simhash(docs).collect()}
+    # multiset sign-sum is order-insensitive
+    assert sigs[0] == sigs[1]
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in simhash_candidate_pairs(docs, max_hamming=16).collect()
+    }
+    assert pairs.get((0, 1)) == 0
+    # one token in 80 flips only the bits whose sign-sum sat at +-1
+    assert (0, 2) in pairs and 0 < pairs[(0, 2)] <= 16
+    assert not any(3 in p for p in pairs)
