@@ -263,6 +263,116 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             encode_json().alias("encoded"),
         )
 
+    def q_encode_fulljson(spark, sf):
+        from skewer_spark.sinks.encoders import encode_fulljson
+        r = (
+            _routed_events(spark, sf)
+            .withColumn(
+                "client_addr",
+                F.format_string(
+                    "10.0.0.%d:%d",
+                    F.pmod(F.col("conv_id").cast("long"), F.lit(200)),
+                    F.lit(40000) + F.pmod(F.col("turn_idx"), F.lit(1000)),
+                ),
+            )
+            .withColumn("source_type", F.lit("tcp"))
+            .withColumn("source_path", F.lit(""))
+            .withColumn("source_port", F.lit(1514))
+        )
+        return r.select(
+            F.col("turn_idx").cast("long").alias("event_id"),
+            encode_fulljson().alias("encoded"),
+        )
+
+    def q_parse_rsyslog(spark, sf):
+        from skewer_spark.operators.decode_json import parse_rsyslog_json
+        ev = spark.read.parquet(f"{sf}/events.parquet")
+        pri = F.pmod(F.col("event_id"), F.lit(192))
+        hostname = F.when(
+            F.pmod(F.col("event_id"), F.lit(5)) == 0, F.lit("-")
+        ).otherwise(
+            F.format_string("rh%02d", F.pmod(F.col("user_id"), F.lit(25)))
+        )
+        line = F.to_json(F.struct(
+            pri.cast("string").alias("pri"),
+            F.date_format(F.date_trunc("second", "ts"),
+                          "yyyy-MM-dd'T'HH:mm:ss'Z'").alias("timereported"),
+            hostname.alias("hostname"),
+            F.format_string("rapp%d", F.pmod(F.col("event_id"), F.lit(6)))
+            .alias("app-name"),
+            F.pmod(F.col("event_id"), F.lit(500)).cast("string").alias("procid"),
+            F.lit("-").alias("msgid"),
+            F.concat(F.lit("rsys msg "), F.col("event_id")).alias("msg"),
+            F.create_map(F.lit("k1"), F.col("event_type")).alias("$!"),
+        ))
+        out = parse_rsyslog_json(ev.select("event_id", line.alias("text")))
+        return out.select(
+            "event_id",
+            F.col("priority").cast("int").alias("priority"),
+            F.col("facility").cast("int").alias("facility"),
+            F.col("severity").cast("int").alias("severity"),
+            "hostname", "appname", "procid", "msgid", "message",
+            F.get_json_object("properties_json", "$.rsyslog.k1").alias("k1"),
+            F.date_format("time_reported", "yyyy-MM-dd HH:mm:ss").alias("tr_str"),
+        )
+
+    def q_parse_gelf(spark, sf):
+        from skewer_spark.operators.decode_json import parse_gelf
+        ev = spark.read.parquet(f"{sf}/events.parquet")
+        fac_name = F.element_at(
+            F.array(*[F.lit(x) for x in
+                      ("kern", "daemon", "authpriv", "nosuchfac")]),
+            F.pmod(F.col("event_id"), F.lit(4)).cast("int") + 1,
+        )
+        line = F.to_json(F.struct(
+            F.lit("1.1").alias("version"),
+            F.format_string("gh%02d", F.pmod(F.col("user_id"), F.lit(35)))
+            .alias("host"),
+            F.concat(F.lit("gelf msg "), F.col("event_id"))
+            .alias("short_message"),
+            F.unix_timestamp(F.date_trunc("second", "ts")).cast("double")
+            .alias("timestamp"),
+            F.pmod(F.col("event_id"), F.lit(8)).cast("int").alias("level"),
+            fac_name.alias("facility"),
+        ))
+        out = parse_gelf(ev.select("event_id", line.alias("text")))
+        return out.select(
+            "event_id",
+            F.col("priority").cast("int").alias("priority"),
+            F.col("facility").cast("int").alias("facility"),
+            F.col("severity").cast("int").alias("severity"),
+            "hostname", "message",
+            F.date_format("time_reported", "yyyy-MM-dd HH:mm:ss").alias("tr_str"),
+        )
+
+    def q_parse_w3c(spark, sf):
+        from skewer_spark.operators.decode_json import parse_w3c
+        from skewer_spark.schema import PROPERTIES_TYPE
+        ev = spark.read.parquet(f"{sf}/events.parquet")
+        fields = ["date", "time", "c-ip", "cs-method", "sc-status"]
+        line = F.concat_ws(
+            " ",
+            F.date_format("ts", "yyyy-MM-dd"),
+            F.date_format("ts", "HH:mm:ss"),
+            F.format_string("192.168.%d.%d",
+                            F.pmod(F.col("user_id"), F.lit(50)),
+                            F.pmod(F.col("event_id"), F.lit(200))),
+            F.element_at(
+                F.array(F.lit("GET"), F.lit("POST"), F.lit("PUT")),
+                F.pmod(F.col("event_id"), F.lit(3)).cast("int") + 1,
+            ),
+            (F.lit(200) + F.pmod(F.col("event_id"), F.lit(5))).cast("string"),
+        )
+        out = parse_w3c(ev.select("event_id", line.alias("text")), fields)
+        w3c = F.from_json("properties_json", PROPERTIES_TYPE)["w3c"]
+        return out.withColumn("_w", w3c).select(
+            "event_id",
+            F.col("_w")["c-ip"].alias("c_ip"),
+            F.col("_w")["cs-method"].alias("method"),
+            F.col("_w")["sc-status"].alias("status"),
+            F.col("parse_ok").cast("boolean").alias("parse_ok"),
+        )
+
     def q_dedup_exact(spark, sf):
         docs = spark.read.parquet(f"{sf}/documents.parquet")
         return exact_dedup(docs)
@@ -411,6 +521,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_incoming_counts": q_incoming_counts,
         "q_encode_rfc5424": q_encode_rfc5424,
         "q_encode_json": q_encode_json,
+        "q_encode_fulljson": q_encode_fulljson,
+        "q_parse_rsyslog": q_parse_rsyslog,
+        "q_parse_gelf": q_parse_gelf,
+        "q_parse_w3c": q_parse_w3c,
         "q_dedup_exact": q_dedup_exact,
         "q_dedup_fingerprint": q_dedup_fingerprint,
         "q_minhash_lsh": q_minhash_lsh,
@@ -469,10 +583,10 @@ def oracle_sql() -> dict[str, str]:
     FROM routed
     """
 
-    encode_json_sql = f"""
-    {EV_PRELUDE}
-    SELECT event_id,
-      '{{"facility":"' ||
+    # the Regular JSON body over the oracle's `routed` CTE — shared by
+    # the json and fulljson encoder oracles (plain string: { unescaped)
+    reg_json_expr = """
+      '{"facility":"' ||
       (CASE WHEN facility = 0 THEN 'kern' WHEN facility = 1 THEN 'user'
         WHEN facility = 2 THEN 'mail' WHEN facility = 3 THEN 'daemon'
         WHEN facility = 4 THEN 'auth' WHEN facility = 5 THEN 'syslog'
@@ -496,8 +610,23 @@ def oracle_sql() -> dict[str, str]:
       ',"msgid":"' || (CASE WHEN p_msgid = '' THEN uid ELSE p_msgid END) || '"' ||
       (CASE WHEN message = '' THEN '' ELSE ',"message":"' || message || '"' END) ||
       (CASE WHEN shape = 0 AND ok
-        THEN ',"properties":{{"meta":{{"k":"v"}}}}' ELSE '' END) ||
-      '}}' AS encoded
+        THEN ',"properties":{"meta":{"k":"v"}}' ELSE '' END) ||
+      '}'
+    """
+
+    encode_json_sql = f"""
+    {EV_PRELUDE}
+    SELECT event_id, {reg_json_expr} AS encoded
+    FROM routed
+    """
+
+    encode_fulljson_sql = f"""
+    {EV_PRELUDE}
+    SELECT event_id,
+      '{{"client_addr":"10.0.0.' || (user_id % 200)::varchar || ':' ||
+        (40000 + event_id % 1000)::varchar ||
+      '","source_type":"tcp","source_port":1514,"uid":"' || uid ||
+      '","fields":' || {reg_json_expr} || '}}' AS encoded
     FROM routed
     """
 
@@ -711,6 +840,50 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_encode_rfc5424": encode_5424,
         "q_encode_json": encode_json_sql,
+        "q_encode_fulljson": encode_fulljson_sql,
+        "q_parse_rsyslog": """
+            SELECT event_id,
+                   (event_id % 192)::int AS priority,
+                   ((event_id % 192) // 8)::int AS facility,
+                   ((event_id % 192) % 8)::int AS severity,
+                   CASE WHEN event_id % 5 = 0 THEN ''
+                        ELSE 'rh' || lpad((user_id % 25)::varchar, 2, '0')
+                   END AS hostname,
+                   'rapp' || (event_id % 6)::varchar AS appname,
+                   (event_id % 500)::varchar AS procid,
+                   '' AS msgid,
+                   'rsys msg ' || event_id::varchar AS message,
+                   event_type AS k1,
+                   strftime(date_trunc('second', ts), '%Y-%m-%d %H:%M:%S')
+                     AS tr_str
+            FROM events
+        """,
+        "q_parse_gelf": """
+            WITH g AS (
+              SELECT event_id, user_id, event_type, ts,
+                CASE (event_id % 4)::int WHEN 0 THEN 0 WHEN 1 THEN 3
+                     WHEN 2 THEN 10 ELSE 1 END AS facility,
+                (event_id % 8)::int AS severity
+              FROM events
+            )
+            SELECT event_id,
+                   (facility * 8 + severity)::int AS priority,
+                   facility::int AS facility, severity::int AS severity,
+                   'gh' || lpad((user_id % 35)::varchar, 2, '0') AS hostname,
+                   'gelf msg ' || event_id::varchar AS message,
+                   strftime(date_trunc('second', ts), '%Y-%m-%d %H:%M:%S')
+                     AS tr_str
+            FROM g
+        """,
+        "q_parse_w3c": """
+            SELECT event_id,
+                   '192.168.' || (user_id % 50)::varchar || '.' ||
+                     (event_id % 200)::varchar AS c_ip,
+                   ['GET','POST','PUT'][(event_id % 3)::int + 1] AS method,
+                   (200 + event_id % 5)::varchar AS status,
+                   true AS parse_ok
+            FROM events
+        """,
         "q_dedup_exact": """
             SELECT md5(text) AS text_md5, min(doc_id) AS keeper_id,
                    count(*) AS n_copies

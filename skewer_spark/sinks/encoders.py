@@ -36,26 +36,65 @@ def _dash(c: str) -> Column:
     return F.coalesce(F.nullif(F.col(c), F.lit("")), F.lit("-"))
 
 
+def _regular_struct() -> Column:
+    """RegularSyslog struct (model/types.go:210-221), field order kept."""
+    return F.struct(
+        F.col("facility_name").alias("facility"),
+        F.col("severity_name").alias("severity"),
+        _iso("time_reported").alias("timereported"),
+        _iso("time_generated").alias("timegenerated"),
+        F.nullif(F.col("hostname"), F.lit("")).alias("hostname"),
+        F.nullif(F.col("appname"), F.lit("")).alias("appname"),
+        F.nullif(F.col("procid"), F.lit("")).alias("procid"),
+        F.nullif(F.col("msgid"), F.lit("")).alias("msgid"),
+        F.nullif(F.col("message"), F.lit("")).alias("message"),
+        F.from_json(
+            F.col("properties_json"),
+            "map<string,map<string,string>>",
+        ).alias("properties"),
+    )
+
+
 def encode_json() -> Column:
     """Regular JSON view (field order = RegularSyslog struct order)."""
+    return F.to_json(_regular_struct(), {"ignoreNullFields": "true"})
+
+
+def encode_fulljson() -> Column:
+    """FullMessage envelope JSON (encoders/json.go:83-95): the
+    RegularFullMessage shape of model/types.go:310-348 — delivery
+    envelope (client_addr / source_type / source_path / source_port /
+    uid) around the RegularSyslog ``fields``.  ``source_port`` has no
+    omitempty in the reference so it always serializes; the string
+    envelope fields omit when empty.  Frames lacking envelope columns
+    should pass through :func:`with_envelope` first."""
     return F.to_json(
         F.struct(
-            F.col("facility_name").alias("facility"),
-            F.col("severity_name").alias("severity"),
-            _iso("time_reported").alias("timereported"),
-            _iso("time_generated").alias("timegenerated"),
-            F.nullif(F.col("hostname"), F.lit("")).alias("hostname"),
-            F.nullif(F.col("appname"), F.lit("")).alias("appname"),
-            F.nullif(F.col("procid"), F.lit("")).alias("procid"),
-            F.nullif(F.col("msgid"), F.lit("")).alias("msgid"),
-            F.nullif(F.col("message"), F.lit("")).alias("message"),
-            F.from_json(
-                F.col("properties_json"),
-                "map<string,map<string,string>>",
-            ).alias("properties"),
+            F.nullif(F.col("client_addr"), F.lit("")).alias("client_addr"),
+            F.nullif(F.col("source_type"), F.lit("")).alias("source_type"),
+            F.nullif(F.col("source_path"), F.lit("")).alias("source_path"),
+            F.col("source_port").cast("int").alias("source_port"),
+            F.nullif(F.col("uid"), F.lit("")).alias("uid"),
+            _regular_struct().alias("fields"),
         ),
         {"ignoreNullFields": "true"},
     )
+
+
+_ENVELOPE_DEFAULTS = {
+    "client_addr": "", "source_type": "", "source_path": "",
+}
+
+
+def with_envelope(df, source_port: int = 0):
+    """Backfill missing FullMessage envelope columns with zero values
+    (model/types.go ZeroFullMessage semantics)."""
+    for col, default in _ENVELOPE_DEFAULTS.items():
+        if col not in df.columns:
+            df = df.withColumn(col, F.lit(default))
+    if "source_port" not in df.columns:
+        df = df.withColumn("source_port", F.lit(source_port))
+    return df
 
 
 def _sd_from_properties() -> Column:
@@ -154,6 +193,51 @@ def encode_file() -> Column:
         " ", _iso("time_reported"), _dash("hostname"), _dash("appname"),
         F.col("message"),
     )
+
+
+# format-name → encoder registry (encoders/encoder.go:57-69); the avro
+# family and protobuf are jar-blocked in this container (COVERAGE.md
+# §2.2/§2.5) and intentionally absent.
+ENCODERS = {
+    "rfc5424": encode_rfc5424,
+    "rfc3164": encode_rfc3164,
+    "json": encode_json,
+    "fulljson": encode_fulljson,
+    "file": encode_file,
+    "gelf": encode_gelf,
+}
+
+# content-type negotiation (encoders/encoder.go:17-55): format → MIME
+# for responses, and accepted MIME → encoder for requests.
+PLAIN_MIMETYPE = "text/plain; charset=utf-8"
+JSON_MIMETYPE = "application/json"
+NDJSON_MIMETYPE = "application/x-ndjson"
+
+MIMETYPES = {
+    "rfc5424": PLAIN_MIMETYPE,
+    "rfc3164": PLAIN_MIMETYPE,
+    "json": JSON_MIMETYPE,
+    "fulljson": JSON_MIMETYPE,
+    "file": PLAIN_MIMETYPE,
+    "gelf": JSON_MIMETYPE,
+}
+
+RMIMETYPES = {
+    JSON_MIMETYPE: "json",
+    NDJSON_MIMETYPE: "json",
+    PLAIN_MIMETYPE: "rfc5424",
+    "text/plain": "rfc5424",
+}
+
+
+def encoder_for_content_type(content_type: str):
+    """HTTP-source/sink encoder selection (encoders/encoder.go:33-40).
+
+    Unknown types raise like the reference's 415 path."""
+    name = RMIMETYPES.get(content_type.strip().lower())
+    if name is None:
+        raise ValueError(f"unsupported content type: {content_type}")
+    return ENCODERS[name]
 
 
 # sink → encoder, mirroring per-destination encoder config

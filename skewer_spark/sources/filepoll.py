@@ -30,7 +30,15 @@ def read_log_files(
 
     df = (
         spark.read.text(glob)
-        .withColumn("_file", F.input_file_name())
+        .select(
+            "value",
+            F.col("_metadata.file_path").alias("_file"),
+            # file mtime, NOT wall-clock now(): resumed reruns over the
+            # same files are byte-equal (the repo's determinism
+            # contract — the reference stamps time.Now() here, which a
+            # batch engine must not)
+            F.col("_metadata.file_modification_time").alias("_mtime"),
+        )
         .filter(F.length("value") <= MAX_MESSAGE_SIZE)
     )
     w = Window.partitionBy("_file").orderBy(F.monotonically_increasing_id())
@@ -40,7 +48,7 @@ def read_log_files(
         F.lit("system").alias("role"),
         F.col("value").alias("text"),
         F.lit("none").alias("tool"),
-        F.current_timestamp().alias("ts"),
+        F.col("_mtime").alias("ts"),
         F.lit(source_type).alias("source_type"),
     )
 

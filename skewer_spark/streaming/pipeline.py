@@ -16,8 +16,12 @@ always-on mode, sharing every operator with the batch path:
   ``store.batch_size`` at ``conf/defaults.go:320``),
 * aggregates: watermarked sliding-window counts — the streaming twin
   of the batch windowed_counts table,
-* delivery: the streaming checkpoint dir IS the Ready/Sent/ACK state
-  (exactly-once file sinks), replacing the badger queue.
+* delivery: the streaming checkpoint dir IS the Ready/Sent/ACK state,
+  replacing the badger queue.  The parquet agg leg is exactly-once via
+  the file-sink commit log; the foreachBatch sink leg is
+  effectively-once because each micro-batch overwrites a
+  ``batch=<id>``-scoped directory (a retried batch replaces its own
+  partial output).
 
 Turn-rank is intentionally absent here: a global per-conversation rank
 is a batch construct; the streaming contract orders turns by
@@ -57,6 +61,21 @@ def build_streaming_routed(stream: DataFrame, watermark: str = "1 hour") -> Data
     return route(enrich(parse_transcripts(deduped).drop("text")))
 
 
+def write_sink_batch(batch_df: DataFrame, batch_id: int, out_dir: str) -> None:
+    """foreachBatch sink write, IDEMPOTENT: each micro-batch overwrites
+    its own ``batch=<id>`` directory, so a batch retried after a
+    failure replaces its partial output instead of appending duplicates
+    — this upgrades the foreachBatch leg from at-least-once to
+    effectively-once (the parquet agg leg gets it from the file-sink
+    commit log natively)."""
+    labeled = with_sink_labels(batch_df, include_dropped=True).withColumn(
+        "encoded", encoded_by_sink()
+    )
+    labeled.write.partitionBy("sink").mode("overwrite").parquet(
+        os.path.join(out_dir, "sinks", f"batch={batch_id}")
+    )
+
+
 def run_streaming(
     spark: SparkSession,
     input_dir: str,
@@ -76,12 +95,7 @@ def run_streaming(
     )
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        labeled = with_sink_labels(batch_df, include_dropped=True).withColumn(
-            "encoded", encoded_by_sink()
-        )
-        labeled.write.partitionBy("sink").mode("append").parquet(
-            os.path.join(out_dir, "sinks")
-        )
+        write_sink_batch(batch_df, batch_id, out_dir)
 
     sink_q = (
         routed.writeStream.foreachBatch(write_batch)

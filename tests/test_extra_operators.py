@@ -212,3 +212,69 @@ def test_simhash_order_insensitive_and_banded_pairs(spark):
     # one token in 80 flips only the bits whose sign-sum sat at +-1
     assert (0, 2) in pairs and 0 < pairs[(0, 2)] <= 16
     assert not any(3 in p for p in pairs)
+
+
+def test_streaming_sink_write_idempotent(spark, tmp_path):
+    """A retried micro-batch must replace, not duplicate (ADVICE r01)."""
+    from skewer_spark.plans.job import build_routed
+    from skewer_spark.streaming.pipeline import write_sink_batch
+    from skewer_spark.synth import transcripts_df
+
+    inp = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    transcripts_df(spark, 6, 8).write.parquet(inp)
+    routed = build_routed(spark.read.parquet(inp))
+    write_sink_batch(routed, 0, out)
+    n1 = spark.read.option("basePath", f"{out}/sinks").parquet(
+        f"{out}/sinks").count()
+    write_sink_batch(routed, 0, out)  # simulated retry of the same batch
+    n2 = spark.read.option("basePath", f"{out}/sinks").parquet(
+        f"{out}/sinks").count()
+    assert n1 == n2 > 0
+
+
+def test_stream_output_equals_batch(spark, tmp_path):
+    """VERDICT r01 #10: the streaming path and the batch one-pass
+    fan-out agree row-for-row on (uid, sink, encoded)."""
+    from skewer_spark.operators.route import with_sink_labels
+    from skewer_spark.plans.job import build_routed
+    from skewer_spark.sinks.encoders import encoded_by_sink
+    from skewer_spark.streaming.pipeline import run_streaming
+    from skewer_spark.synth import transcripts_df
+
+    inp = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    transcripts_df(spark, 8, 10).write.parquet(inp)
+    q1, q2 = run_streaming(spark, inp, out, trigger_once=True)
+    q1.awaitTermination(120)
+    q2.awaitTermination(120)
+    streamed = {
+        (r.uid, r.sink, r.encoded)
+        for r in spark.read.option("basePath", f"{out}/sinks")
+        .parquet(f"{out}/sinks").select("uid", "sink", "encoded").collect()
+    }
+    batch = with_sink_labels(
+        build_routed(spark.read.parquet(inp)), include_dropped=True
+    ).withColumn("encoded", encoded_by_sink())
+    expected = {
+        (r.uid, r.sink, r.encoded)
+        for r in batch.select("uid", "sink", "encoded").collect()
+    }
+    assert streamed == expected and len(streamed) > 0
+
+
+def test_read_log_files_ts_is_file_mtime(spark, tmp_path):
+    """Determinism contract: no wall-clock now() — ts = file mtime, so
+    two reads of the same files are byte-equal."""
+    import os as _os
+
+    from skewer_spark.sources.filepoll import read_log_files
+
+    p = tmp_path / "b.log"
+    p.write_text("one\ntwo\n")
+    glob = str(tmp_path / "*.log")
+    r1 = sorted(read_log_files(spark, glob).collect(), key=lambda r: r.turn_idx)
+    r2 = sorted(read_log_files(spark, glob).collect(), key=lambda r: r.turn_idx)
+    assert [row.ts for row in r1] == [row.ts for row in r2]
+    mtime = int(_os.stat(p).st_mtime)
+    assert int(r1[0].ts.timestamp()) == mtime
