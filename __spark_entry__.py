@@ -284,6 +284,75 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             encode_fulljson().alias("encoded"),
         )
 
+    def _enveloped(spark, sf):
+        return (
+            _routed_events(spark, sf)
+            .withColumn(
+                "client_addr",
+                F.format_string(
+                    "10.0.0.%d:%d",
+                    F.pmod(F.col("conv_id").cast("long"), F.lit(200)),
+                    F.lit(40000) + F.pmod(F.col("turn_idx"), F.lit(1000)),
+                ),
+            )
+            .withColumn("source_type", F.lit("tcp"))
+            .withColumn("source_path", F.lit(""))
+            .withColumn("source_port", F.lit(1514))
+        )
+
+    def q_encode_avro(spark, sf):
+        from skewer_spark.sinks.wire import encode_avro
+        return _routed_events(spark, sf).select(
+            F.col("turn_idx").cast("long").alias("event_id"),
+            F.lower(F.hex(encode_avro())).alias("encoded_hex"),
+        )
+
+    def q_encode_fullavro(spark, sf):
+        from skewer_spark.sinks.wire import encode_fullavro
+        return _enveloped(spark, sf).select(
+            F.col("turn_idx").cast("long").alias("event_id"),
+            F.lower(F.hex(encode_fullavro())).alias("encoded_hex"),
+        )
+
+    def q_encode_jsonavro(spark, sf):
+        from skewer_spark.sinks.wire import encode_jsonavro
+        return _routed_events(spark, sf).select(
+            F.col("turn_idx").cast("long").alias("event_id"),
+            encode_jsonavro().alias("encoded"),
+        )
+
+    def q_encode_protobuf(spark, sf):
+        from skewer_spark.sinks.wire import encode_protobuf
+        return _routed_events(spark, sf).select(
+            F.col("turn_idx").cast("long").alias("event_id"),
+            F.lower(F.hex(encode_protobuf())).alias("encoded_hex"),
+        )
+
+    def q_parse_protobuf(spark, sf):
+        from skewer_spark.operators.decode_protobuf import parse_protobuf
+        from skewer_spark.sinks.wire import encode_protobuf
+        enc = _routed_events(spark, sf).select(
+            F.col("turn_idx").cast("long").alias("event_id"),
+            encode_protobuf().alias("pb"),
+        )
+        d = enc.select("event_id", parse_protobuf("pb").alias("d"))
+        return d.select(
+            "event_id",
+            F.col("d.priority").cast("long").alias("priority"),
+            F.col("d.facility").cast("long").alias("facility"),
+            F.col("d.severity").cast("long").alias("severity"),
+            F.col("d.version").cast("long").alias("version"),
+            F.col("d.time_reported_num").alias("time_reported_num"),
+            F.col("d.time_generated_num").alias("time_generated_num"),
+            F.col("d.hostname").alias("hostname"),
+            F.col("d.appname").alias("appname"),
+            F.col("d.procid").alias("procid"),
+            F.col("d.msgid").alias("msgid"),
+            F.col("d.structured").alias("structured"),
+            F.col("d.message").alias("message"),
+            F.col("d.properties_json").alias("properties_json"),
+        )
+
     def q_parse_rsyslog(spark, sf):
         from skewer_spark.operators.decode_json import parse_rsyslog_json
         ev = spark.read.parquet(f"{sf}/events.parquet")
@@ -522,6 +591,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_encode_rfc5424": q_encode_rfc5424,
         "q_encode_json": q_encode_json,
         "q_encode_fulljson": q_encode_fulljson,
+        "q_encode_avro": q_encode_avro,
+        "q_encode_fullavro": q_encode_fullavro,
+        "q_encode_jsonavro": q_encode_jsonavro,
+        "q_encode_protobuf": q_encode_protobuf,
+        "q_parse_protobuf": q_parse_protobuf,
         "q_parse_rsyslog": q_parse_rsyslog,
         "q_parse_gelf": q_parse_gelf,
         "q_parse_w3c": q_parse_w3c,
@@ -627,6 +701,171 @@ def oracle_sql() -> dict[str, str]:
         (40000 + event_id % 1000)::varchar ||
       '","source_type":"tcp","source_port":1514,"uid":"' || uid ||
       '","fields":' || {reg_json_expr} || '}}' AS encoded
+    FROM routed
+    """
+
+    # ---- avro / protobuf wire oracles (hex-level) ----
+    # DuckDB builds the same bytes as skewer_spark/sinks/wire.py from the
+    # public wire specs: varints from first principles, strings as
+    # hex(utf8), the fixture's constant properties maps as precomputed
+    # hex (verified against an independent Python encoder in
+    # tests/test_wire_codecs.py).
+
+    def vh(n: str) -> str:
+        """Unsigned LEB128 varint hex for values < 2^21 (lengths)."""
+        n = f"({n})"
+        return (
+            f"(CASE WHEN {n} < 128 THEN printf('%02x', {n}) "
+            f"WHEN {n} < 16384 THEN printf('%02x%02x', ({n} % 128) + 128, {n} // 128) "
+            f"ELSE printf('%02x%02x%02x', ({n} % 128) + 128, "
+            f"(({n} // 128) % 128) + 128, {n} // 16384) END)"
+        )
+
+    def vh_big(n: str) -> str:
+        """Unsigned LEB128 varint hex for any non-negative BIGINT
+        (nanosecond timestamps take 9 bytes)."""
+        n = f"({n})"
+        branches = []
+        for nb in range(1, 9):
+            args = ", ".join(
+                f"(({n} >> {7 * i}) & 127)" + (" + 128" if i < nb - 1 else "")
+                for i in range(nb)
+            )
+            branches.append(
+                f"WHEN {n} < {1 << (7 * nb)} THEN printf('{'%02x' * nb}', {args})"
+            )
+        args9 = ", ".join(
+            f"(({n} >> {7 * i}) & 127)" + (" + 128" if i < 8 else "")
+            for i in range(9)
+        )
+        return (
+            "(CASE " + " ".join(branches)
+            + f" ELSE printf('{'%02x' * 9}', {args9}) END)"
+        )
+
+    def avh(e: str) -> str:
+        """Avro string: zig-zag varint byte length + utf8 hex."""
+        return (
+            f"({vh(f'2*octet_length(encode({e}))')} || lower(hex(encode({e}))))"
+        )
+
+    def pbs(tag: int, e: str) -> str:
+        """proto3 string field, omitted when empty."""
+        return (
+            f"(CASE WHEN octet_length(encode({e})) > 0 THEN '{tag:02x}' || "
+            f"{vh(f'octet_length(encode({e}))')} || lower(hex(encode({e}))) "
+            f"ELSE '' END)"
+        )
+
+    def pbv(tag: int, n: str) -> str:
+        """proto3 varint field, omitted when zero."""
+        return f"(CASE WHEN ({n}) > 0 THEN '{tag:02x}' || {vh(n)} ELSE '' END)"
+
+    from skewer_spark.schema import FACILITIES
+    fac_case = (
+        "(CASE facility "
+        + " ".join(f"WHEN {k} THEN '{v}'" for k, v in sorted(FACILITIES.items()))
+        + " ELSE 'user' END)"
+    )
+    msgid_eff = "(CASE WHEN p_msgid = '' THEN uid ELSE p_msgid END)"
+
+    def nano(e: str) -> str:
+        """RFC3339Nano: trailing-zero-trimmed microsecond fraction."""
+        return (
+            f"(strftime({e}, '%Y-%m-%dT%H:%M:%S') || "
+            f"(CASE WHEN rtrim(strftime({e}, '%f'), '0') = '' THEN '' "
+            f"ELSE '.' || rtrim(strftime({e}, '%f'), '0') END) || 'Z')"
+        )
+
+    # enrich backfills time_reported with the row ts (now→row-ts
+    # contract), so the Spark frame never carries a null here
+    tr_nano = nano("coalesce(time_reported, ts)")
+    tg_nano = nano("ts")
+    sd_expr = "(CASE WHEN shape = 0 AND ok THEN '[meta k=\"v\"]' ELSE '' END)"
+    version_expr = "(CASE WHEN shape = 0 AND ok THEN 1 ELSE 0 END)"
+    # avro map<string,map<string,string>> of {"meta":{"k":"v"}} / {}
+    avro_props = (
+        "(CASE WHEN shape = 0 AND ok THEN '02086d65746102026b02760000' "
+        "ELSE '00' END)"
+    )
+    # protobuf Properties field 13 for the same two map values
+    pb_props = (
+        "(CASE WHEN shape = 0 AND ok THEN "
+        "'6a120a100a046d65746112080a060a016b120176' ELSE '6a00' END)"
+    )
+
+    avro_body = " || ".join([
+        avh(fac_case), avh("severity_name"), avh(tr_nano), avh(tg_nano),
+        avh("hostname"), avh("appname"), avh("procid"), avh(msgid_eff),
+        avh("message"), avro_props,
+    ])
+    encode_avro_sql = f"""
+    {EV_PRELUDE}
+    SELECT event_id, {avro_body} AS encoded_hex FROM routed
+    """
+
+    client_addr = (
+        "('10.0.0.' || (user_id % 200)::varchar || ':' || "
+        "(40000 + event_id % 1000)::varchar)"
+    )
+    encode_fullavro_sql = f"""
+    {EV_PRELUDE}
+    SELECT event_id,
+      {avh(client_addr)} || {avh("'tcp'")} || '00' || 'd417' ||
+      {avh('uid')} || {avro_body} AS encoded_hex
+    FROM routed
+    """
+
+    encode_jsonavro_sql = f"""
+    {EV_PRELUDE}
+    SELECT event_id,
+      '{{"Facility":"' || {fac_case} ||
+      '","Severity":"' || severity_name ||
+      '","TimeReported":"' || {tr_nano} ||
+      '","TimeGenerated":"' || {tg_nano} ||
+      '","Hostname":"' || hostname ||
+      '","Appname":"' || appname ||
+      '","Procid":"' || procid ||
+      '","Msgid":"' || {msgid_eff} ||
+      '","Message":"' || message ||
+      '","Properties":' ||
+      (CASE WHEN shape = 0 AND ok
+        THEN '{{"meta":{{"k":"v"}}}}' ELSE '{{}}' END) ||
+      '}}' AS encoded
+    FROM routed
+    """
+
+    pb_body = " || ".join([
+        pbv(0x08, "(CASE WHEN ok THEN pri ELSE 0 END)"),
+        pbv(0x10, "(CASE WHEN ok THEN fac ELSE 0 END)"),
+        pbv(0x18, "(CASE WHEN ok THEN sev ELSE 0 END)"),
+        pbv(0x20, version_expr),
+        "'28'", vh_big("epoch_ns(coalesce(time_reported, ts))"),
+        "'30'", vh_big("epoch_ns(ts)"),
+        pbs(0x3A, "hostname"), pbs(0x42, "appname"), pbs(0x4A, "procid"),
+        pbs(0x52, msgid_eff), pbs(0x5A, sd_expr), pbs(0x62, "message"),
+        pb_props,
+    ])
+    encode_protobuf_sql = f"""
+    {EV_PRELUDE}
+    SELECT event_id, {pb_body} AS encoded_hex FROM routed
+    """
+
+    parse_protobuf_sql = f"""
+    {EV_PRELUDE}
+    SELECT event_id,
+      (CASE WHEN ok THEN pri ELSE 0 END)::BIGINT AS priority,
+      (CASE WHEN ok THEN fac ELSE 0 END)::BIGINT AS facility,
+      (CASE WHEN ok THEN sev ELSE 0 END)::BIGINT AS severity,
+      {version_expr}::BIGINT AS version,
+      epoch_ns(coalesce(time_reported, ts))::BIGINT AS time_reported_num,
+      epoch_ns(ts)::BIGINT AS time_generated_num,
+      hostname, appname, procid,
+      {msgid_eff} AS msgid,
+      {sd_expr} AS structured,
+      message,
+      (CASE WHEN shape = 0 AND ok THEN '{{"meta":{{"k":"v"}}}}'
+            ELSE '{{}}' END) AS properties_json
     FROM routed
     """
 
@@ -841,6 +1080,11 @@ def oracle_sql() -> dict[str, str]:
         "q_encode_rfc5424": encode_5424,
         "q_encode_json": encode_json_sql,
         "q_encode_fulljson": encode_fulljson_sql,
+        "q_encode_avro": encode_avro_sql,
+        "q_encode_fullavro": encode_fullavro_sql,
+        "q_encode_jsonavro": encode_jsonavro_sql,
+        "q_encode_protobuf": encode_protobuf_sql,
+        "q_parse_protobuf": parse_protobuf_sql,
         "q_parse_rsyslog": """
             SELECT event_id,
                    (event_id % 192)::int AS priority,

@@ -195,9 +195,17 @@ def encode_file() -> Column:
     )
 
 
-# format-name → encoder registry (encoders/encoder.go:57-69); the avro
-# family and protobuf are jar-blocked in this container (COVERAGE.md
-# §2.2/§2.5) and intentionally absent.
+# format-name → encoder registry (encoders/encoder.go:57-69).  The avro
+# family and protobuf have no jar in this container, so sinks/wire.py
+# produces both wire formats from the public specs in pure expressions.
+from skewer_spark.sinks.wire import (  # noqa: E402
+    encode_avro,
+    encode_fullavro,
+    encode_fulljsonavro,
+    encode_jsonavro,
+    encode_protobuf,
+)
+
 ENCODERS = {
     "rfc5424": encode_rfc5424,
     "rfc3164": encode_rfc3164,
@@ -205,6 +213,11 @@ ENCODERS = {
     "fulljson": encode_fulljson,
     "file": encode_file,
     "gelf": encode_gelf,
+    "avro": encode_avro,
+    "fullavro": encode_fullavro,
+    "jsonavro": encode_jsonavro,
+    "fulljsonavro": encode_fulljsonavro,
+    "protobuf": encode_protobuf,
 }
 
 # content-type negotiation (encoders/encoder.go:17-55): format → MIME
@@ -213,6 +226,9 @@ PLAIN_MIMETYPE = "text/plain; charset=utf-8"
 JSON_MIMETYPE = "application/json"
 NDJSON_MIMETYPE = "application/x-ndjson"
 
+AVRO_MIMETYPE = "application/avro"
+PROTOBUF_MIMETYPE = "application/vnd.google.protobuf"
+
 MIMETYPES = {
     "rfc5424": PLAIN_MIMETYPE,
     "rfc3164": PLAIN_MIMETYPE,
@@ -220,6 +236,11 @@ MIMETYPES = {
     "fulljson": JSON_MIMETYPE,
     "file": PLAIN_MIMETYPE,
     "gelf": JSON_MIMETYPE,
+    "avro": AVRO_MIMETYPE,
+    "fullavro": AVRO_MIMETYPE,
+    "jsonavro": JSON_MIMETYPE,
+    "fulljsonavro": JSON_MIMETYPE,
+    "protobuf": PROTOBUF_MIMETYPE,
 }
 
 RMIMETYPES = {

@@ -1,0 +1,342 @@
+"""Binary wire-format encoders: Avro and Protobuf, as Column expressions.
+
+The reference ships four Avro encoders (``avro``/``fullavro`` binary,
+``jsonavro``/``fulljsonavro`` textual — ``/root/reference/encoders/json.go:46-132``)
+over the schemas ``avro/syslogmessage.avsc`` and ``avro/fullmessage.avsc``,
+plus a protobuf encoder/decoder pair for the internal ``SyslogMessage``
+(``/root/reference/encoders/protobuf.go``, ``decoders/protobuf.go``,
+schema ``model/types.proto:19-33``).  No Avro/protobuf jar ships in this
+container, so both wire formats are produced here from first principles
+(the public Avro 1.x and protobuf-v3 binary specs) with pure
+``pyspark.sql.functions`` — varints via ``unhex(format_string(...))``,
+strings via ``encode()``, maps via ``aggregate(array_sort(map_entries()))``.
+Everything stays inside whole-stage codegen; no Python in the row path.
+
+Determinism note: Go map iteration is randomized, so the reference's own
+Avro/protobuf map output is byte-nondeterministic.  This implementation
+fixes ascending key order (documented deviation; field content identical).
+
+Timestamps follow ``model/types.go:262-278``: RFC3339Nano in UTC, i.e.
+second precision plus a fractional part with trailing zeros trimmed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+def X00() -> Column:
+    """``b"\\x00"`` literal, built lazily (F.lit needs a live session)."""
+    return F.lit(b"\x00")
+
+
+def EMPTY() -> Column:
+    return F.lit(b"")
+
+
+def _let(value: Column, body) -> Column:
+    """Bind ``value`` to a lambda variable so ``body`` can reference it
+    many times while it is *evaluated once* — ``transform(array(v), x ->
+    body(x))[0]``.  Without this, varint slots and length-delimited
+    framing would paste their operand subtree O(10) times each, which
+    compounds exponentially through nested messages (the naive protobuf
+    properties expression copied inner leaves ~11³ times and stalled
+    analysis for minutes)."""
+    return F.transform(F.array(value), body)[0]
+
+
+# ---------------------------------------------------------------------------
+# varint primitives (protobuf spec "Base 128 Varints"; avro zig-zag longs)
+# ---------------------------------------------------------------------------
+
+def _uvarint_hex_of_var(z: Column) -> Column:
+    """Hex of the unsigned LEB128 varint of an already-bound variable.
+
+    Ten fixed conditional byte slots (a 64-bit value needs at most 10);
+    slot *i* emits iff any bit at or above position ``7*i`` survives.
+    """
+    parts = []
+    for i in range(10):
+        sh = F.shiftrightunsigned(z, 7 * i) if i else z
+        more = F.shiftrightunsigned(z, 7 * (i + 1)) != 0
+        byte = F.when(more, sh.bitwiseAND(F.lit(127)) + 128).otherwise(
+            sh.bitwiseAND(F.lit(127))
+        )
+        piece = F.format_string("%02x", byte.cast("int"))
+        if i:
+            piece = F.when(sh != 0, piece).otherwise(F.lit(""))
+        parts.append(piece)
+    return F.concat(*parts)
+
+
+def uvarint_hex(z: Column) -> Column:
+    return _let(z.cast("long"), _uvarint_hex_of_var)
+
+
+def uvarint(z: Column) -> Column:
+    return F.unhex(uvarint_hex(z))
+
+
+def zigzag(n: Column) -> Column:
+    """Avro long zig-zag: ``(n << 1) ^ (n >> 63)`` (arithmetic shift)."""
+    n = n.cast("long")
+    return F.shiftleft(n, 1).bitwiseXOR(F.shiftright(n, 63))
+
+
+def avro_long(n: Column) -> Column:
+    return uvarint(zigzag(n))
+
+
+# ---------------------------------------------------------------------------
+# avro primitives
+# ---------------------------------------------------------------------------
+
+def avro_str(c: Column | str) -> Column:
+    """Avro string: zig-zag varint byte length + UTF-8 bytes (null → '')."""
+    col = F.col(c) if isinstance(c, str) else c
+    return _let(
+        F.encode(F.coalesce(col, F.lit("")), "UTF-8"),
+        lambda b: F.concat(uvarint(F.octet_length(b) * 2), b),
+    )
+
+
+def _by_key(a, b) -> Column:
+    return (
+        F.when(a.key < b.key, F.lit(-1))
+        .when(a.key > b.key, F.lit(1))
+        .otherwise(F.lit(0))
+    )
+
+
+def _avro_map(m: Column, item) -> Column:
+    """One-block avro map: count, items (key-sorted), 0 terminator.
+
+    Empty/null maps collapse to the single ``0x00`` end-of-blocks byte,
+    matching gogen-avro's ``writeMap`` (vendored generated serializers
+    under ``/root/reference/model/avro``).
+    """
+    def encode_map(mv: Column) -> Column:
+        body = F.aggregate(
+            F.array_sort(F.map_entries(mv), _by_key),
+            EMPTY(),
+            lambda acc, e: F.concat(acc, avro_str(e.key), item(e.value)),
+        )
+        return F.when(
+            mv.isNotNull() & (F.size(mv) > 0),
+            F.concat(uvarint(F.size(mv) * 2), body, X00()),
+        ).otherwise(X00())
+
+    return _let(m, encode_map)
+
+
+def avro_properties(m: Column) -> Column:
+    """``map<string, map<string,string>>`` (both .avsc Properties fields)."""
+    return _avro_map(m, lambda inner: _avro_map(inner, avro_str))
+
+
+def rfc3339nano(colname: str) -> Column:
+    """Go ``time.RFC3339Nano`` in UTC: trailing-zero-trimmed fraction
+    (``model/types.go:268-269``).  Null timestamps render as the epoch —
+    the reference formats ``time.Unix(0, 0)`` when the num field is 0."""
+    frac = F.expr(f"rtrim('0', date_format({colname}, 'SSSSSS'))")
+    return F.coalesce(
+        F.concat(
+            F.date_format(colname, "yyyy-MM-dd'T'HH:mm:ss"),
+            F.when(frac == "", F.lit("")).otherwise(F.concat(F.lit("."), frac)),
+            F.lit("Z"),
+        ),
+        F.lit("1970-01-01T00:00:00Z"),
+    )
+
+
+def _properties_map() -> Column:
+    return F.from_json(F.col("properties_json"), "map<string,map<string,string>>")
+
+
+# ---------------------------------------------------------------------------
+# avro encoders (field order = the .avsc declarations)
+# ---------------------------------------------------------------------------
+
+def encode_avro() -> Column:
+    """Binary avro SyslogMessage (``avro/syslogmessage.avsc``), value
+    mapping per ``SyslogMessage.Avro()`` (``model/types.go:262-278``):
+    facility/severity *names*, RFC3339Nano UTC times, raw strings."""
+    return F.concat(
+        avro_str("facility_name"),
+        avro_str("severity_name"),
+        avro_str(rfc3339nano("time_reported")),
+        avro_str(rfc3339nano("time_generated")),
+        avro_str("hostname"),
+        avro_str("appname"),
+        avro_str("procid"),
+        avro_str("msgid"),
+        avro_str("message"),
+        avro_properties(_properties_map()),
+    )
+
+
+def encode_fullavro() -> Column:
+    """Binary avro FullMessage (``avro/fullmessage.avsc``): envelope
+    fields then the nested SyslogMessage record
+    (``FullMessage.Avro()``, ``model/types.go:351-363``).  Frames lacking
+    envelope columns should pass through ``with_envelope`` first."""
+    return F.concat(
+        avro_str("client_addr"),
+        avro_str("source_type"),
+        avro_str("source_path"),
+        avro_long(F.col("source_port").cast("long")),
+        avro_str("uid"),
+        encode_avro(),
+    )
+
+
+def _avro_native_struct() -> Column:
+    """NativeAvro field set (``model/types.go:280-302``) in .avsc order;
+    avro strings are non-nullable so nothing is omitted."""
+    return F.struct(
+        F.coalesce("facility_name", F.lit("")).alias("Facility"),
+        F.coalesce("severity_name", F.lit("")).alias("Severity"),
+        rfc3339nano("time_reported").alias("TimeReported"),
+        rfc3339nano("time_generated").alias("TimeGenerated"),
+        F.coalesce("hostname", F.lit("")).alias("Hostname"),
+        F.coalesce("appname", F.lit("")).alias("Appname"),
+        F.coalesce("procid", F.lit("")).alias("Procid"),
+        F.coalesce("msgid", F.lit("")).alias("Msgid"),
+        F.coalesce("message", F.lit("")).alias("Message"),
+        F.coalesce(
+            _properties_map(),
+            F.from_json(F.lit("{}"), "map<string,map<string,string>>"),
+        ).alias("Properties"),
+    )
+
+
+def encode_jsonavro() -> Column:
+    """Avro *textual* SyslogMessage: goavro ``TextualFromNative`` emits
+    record fields in schema order as JSON (``encoders/json.go:58-81``)."""
+    return F.to_json(_avro_native_struct())
+
+
+def encode_fulljsonavro() -> Column:
+    """Avro textual FullMessage (``encodeFullJSONAVRO``,
+    ``encoders/json.go:107-132``; native map ``model/types.go:365-380``)."""
+    return F.to_json(
+        F.struct(
+            F.coalesce("client_addr", F.lit("")).alias("ClientAddr"),
+            F.coalesce("source_type", F.lit("")).alias("SourceType"),
+            F.coalesce("source_path", F.lit("")).alias("SourcePath"),
+            F.col("source_port").cast("int").alias("SourcePort"),
+            F.coalesce("uid", F.lit("")).alias("Uid"),
+            _avro_native_struct().alias("Fields"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# protobuf SyslogMessage encoder (model/types.proto:19-33)
+# ---------------------------------------------------------------------------
+
+def _pb_varint_field(tag: int, val: Column) -> Column:
+    """proto3 varint field, omitted when zero (gogo marshaler,
+    ``model/types.pb.go:603-632``)."""
+    val = val.cast("long")
+    return F.when(
+        val != 0, F.concat(F.unhex(F.lit("%02x" % tag)), uvarint(val))
+    ).otherwise(EMPTY())
+
+
+def _pb_str_field(tag: int, c: Column | str) -> Column:
+    """proto3 string field, omitted when empty (``types.pb.go:633-668``)."""
+    col = F.col(c) if isinstance(c, str) else c
+    return _let(
+        F.encode(F.coalesce(col, F.lit("")), "UTF-8"),
+        lambda b: F.when(
+            F.octet_length(b) > 0,
+            F.concat(F.unhex(F.lit("%02x" % tag)), uvarint(F.octet_length(b)), b),
+        ).otherwise(EMPTY()),
+    )
+
+
+def _pb_len_field(tag: int, body: Column) -> Column:
+    """Length-delimited field, always emitted (non-nullable embedded
+    message — ``types.pb.go:669-676`` writes Properties unconditionally)."""
+    return _let(
+        body,
+        lambda b: F.concat(
+            F.unhex(F.lit("%02x" % tag)), uvarint(F.octet_length(b)), b
+        ),
+    )
+
+
+def _pb_str_always(tag: int, c: Column) -> Column:
+    """Map key/value sub-fields are written even when empty
+    (``types.pb.go:517-540``)."""
+    return _let(
+        F.encode(F.coalesce(c, F.lit("")), "UTF-8"),
+        lambda b: F.concat(
+            F.unhex(F.lit("%02x" % tag)), uvarint(F.octet_length(b)), b
+        ),
+    )
+
+
+def _pb_inner_properties(im: Column) -> Column:
+    """``InnerProperties`` message: repeated map entries, each a
+    length-delimited (key=1, value=2) pair (``types.pb.go:517-540``)."""
+    return F.coalesce(
+        F.aggregate(
+            F.array_sort(F.map_entries(im), _by_key),
+            EMPTY(),
+            lambda acc, e: F.concat(
+                acc,
+                _pb_len_field(
+                    0x0A, F.concat(_pb_str_always(0x0A, e.key), _pb_str_always(0x12, e.value))
+                ),
+            ),
+        ),
+        EMPTY(),
+    )
+
+
+def pb_properties(m: Column) -> Column:
+    """``Properties`` message body (``types.pb.go:552-586``): one entry
+    per outer key — key field 1, value field 2 = InnerProperties msg."""
+    return F.coalesce(
+        F.aggregate(
+            F.array_sort(F.map_entries(m), _by_key),
+            EMPTY(),
+            lambda acc, e: F.concat(
+                acc,
+                _pb_len_field(
+                    0x0A,
+                    F.concat(
+                        _pb_str_always(0x0A, e.key),
+                        _pb_len_field(0x12, _pb_inner_properties(e.value)),
+                    ),
+                ),
+            ),
+        ),
+        EMPTY(),
+    )
+
+
+def encode_protobuf() -> Column:
+    """Binary protobuf of the parsed frame as a ``SyslogMessage``
+    (field numbers/types ``model/types.proto:19-33``; writer semantics
+    ``types.pb.go:598-678``): zero ints and empty strings omitted,
+    times as int64 UnixNano, properties message always present."""
+    ns_reported = F.unix_micros(F.col("time_reported").cast("timestamp")) * 1000
+    ns_generated = F.unix_micros(F.col("time_generated").cast("timestamp")) * 1000
+    return F.concat(
+        _pb_varint_field(0x08, F.col("priority")),
+        _pb_varint_field(0x10, F.col("facility")),
+        _pb_varint_field(0x18, F.col("severity")),
+        _pb_varint_field(0x20, F.col("version")),
+        _pb_varint_field(0x28, ns_reported),
+        _pb_varint_field(0x30, ns_generated),
+        _pb_str_field(0x3A, "hostname"),
+        _pb_str_field(0x42, "appname"),
+        _pb_str_field(0x4A, "procid"),
+        _pb_str_field(0x52, "msgid"),
+        _pb_str_field(0x5A, "structured"),
+        _pb_str_field(0x62, "message"),
+        _pb_len_field(0x6A, pb_properties(_properties_map())),
+    )
