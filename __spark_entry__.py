@@ -353,6 +353,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("d.properties_json").alias("properties_json"),
         )
 
+    def q_parse_collectd(spark, sf):
+        from skewer_spark.sources.binary import decode_collectd
+
+        ev = spark.read.parquet(f"{sf}/events.parquet")
+
+        def spart(t, s):
+            b = F.encode(s, "UTF-8")
+            return F.concat(
+                F.unhex(F.format_string("%04x", F.lit(t))),
+                F.unhex(F.format_string("%04x", F.octet_length(b) + 5)),
+                b, F.unhex(F.lit("00")),
+            )
+
+        host = F.format_string("cdh%02d", F.pmod("user_id", F.lit(30)))
+        time_part = F.unhex(
+            F.format_string("0001000c%016x", F.unix_timestamp("ts"))
+        )
+        # values part: n=2, kinds derive/derive, two BE int64 cells
+        values = F.unhex(F.format_string(
+            "00060018""0002""0202""%016x%016x",
+            F.col("event_id"), F.col("user_id"),
+        ))
+        pkt = F.concat(
+            spart(0x0000, host), time_part, spart(0x0002, F.lit("ifx")),
+            spart(0x0003, F.lit("eth0")), spart(0x0004, F.lit("if_octets")),
+            values,
+        )
+        staged = ev.select(
+            "event_id", pkt.alias("payload"),
+            F.date_trunc("second", "ts").alias("ts"),
+        )
+        out = decode_collectd(staged)
+        return out.select(
+            "event_id", "hostname", "procid", "properties_json", "message",
+            F.date_format("time_reported", "yyyy-MM-dd'T'HH:mm:ss'Z'")
+            .alias("tr_str"),
+        )
+
     def q_parse_rsyslog(spark, sf):
         from skewer_spark.operators.decode_json import parse_rsyslog_json
         ev = spark.read.parquet(f"{sf}/events.parquet")
@@ -596,6 +634,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_encode_jsonavro": q_encode_jsonavro,
         "q_encode_protobuf": q_encode_protobuf,
         "q_parse_protobuf": q_parse_protobuf,
+        "q_parse_collectd": q_parse_collectd,
         "q_parse_rsyslog": q_parse_rsyslog,
         "q_parse_gelf": q_parse_gelf,
         "q_parse_w3c": q_parse_w3c,
@@ -869,6 +908,28 @@ def oracle_sql() -> dict[str, str]:
     FROM routed
     """
 
+    parse_collectd_sql = """
+    WITH ev AS (
+      SELECT event_id, user_id,
+        'cdh' || lpad((user_id % 30)::varchar, 2, '0') AS host,
+        epoch(date_trunc('second', ts))::BIGINT AS es,
+        date_trunc('second', ts) AS tss
+      FROM events
+    )
+    SELECT event_id,
+      host AS hostname,
+      'ifx' AS procid,
+      '{"collectd":{"plugin_instance":"eth0","type":"if_octets"},"derive":{"rx":"'
+        || event_id || '","tx":"' || user_id || '"}}' AS properties_json,
+      '{"values":[' || event_id || ',' || user_id ||
+        '],"dstypes":["derive","derive"],"dsnames":["rx","tx"],"time":' ||
+        es || '.0,"interval":0.0,"host":"' || host ||
+        '","plugin":"ifx","plugin_instance":"eth0","type":"if_octets","type_instance":""}'
+        AS message,
+      strftime(tss, '%Y-%m-%dT%H:%M:%SZ') AS tr_str
+    FROM ev
+    """
+
     # ---- hyperplane-LSH oracles: identical integer LCG planes ----
     from skewer_spark.operators.similarity import lcg_plane
 
@@ -1085,6 +1146,7 @@ def oracle_sql() -> dict[str, str]:
         "q_encode_jsonavro": encode_jsonavro_sql,
         "q_encode_protobuf": encode_protobuf_sql,
         "q_parse_protobuf": parse_protobuf_sql,
+        "q_parse_collectd": parse_collectd_sql,
         "q_parse_rsyslog": """
             SELECT event_id,
                    (event_id % 192)::int AS priority,

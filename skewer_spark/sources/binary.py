@@ -267,3 +267,191 @@ def acct_to_canonical(df: DataFrame, hostname: str = "") -> DataFrame:
         F.col("decode_ok").alias("parse_ok"),
         F.lit("accounting").alias("parser_name"),
     )
+
+
+# ---------------------------------------------------------------------------
+# collectd binary network protocol
+# ---------------------------------------------------------------------------
+
+# Subset of the public collectd types.db shipped with collectd itself —
+# the reference embeds the full file via statik (decoders/collectd.go:20-32)
+# purely to resolve per-type data-source names; unknown types fall back to
+# ValueList.DSName semantics ("value" for single-source, index otherwise).
+COLLECTD_TYPES_DB: dict[str, tuple[str, ...]] = {
+    "load": ("shortterm", "midterm", "longterm"),
+    "cpu": ("value",),
+    "memory": ("value",),
+    "df_complex": ("value",),
+    "if_octets": ("rx", "tx"),
+    "if_packets": ("rx", "tx"),
+    "if_errors": ("rx", "tx"),
+    "disk_octets": ("read", "write"),
+    "disk_ops": ("read", "write"),
+    "uptime": ("value",),
+    "users": ("value",),
+    "ping": ("value",),
+}
+
+_CD_DS_NAMES = {0: "counter", 1: "gauge", 2: "derive", 3: "absolute"}
+
+COLLECTD_MSG_SCHEMA = T.ArrayType(T.StructType([
+    T.StructField("hostname", T.StringType()),
+    T.StructField("plugin", T.StringType()),
+    T.StructField("plugin_instance", T.StringType()),
+    T.StructField("type", T.StringType()),
+    T.StructField("type_instance", T.StringType()),
+    T.StructField("time_reported_num", T.LongType()),
+    T.StructField("message", T.StringType()),
+    T.StructField("properties_json", T.StringType()),
+]))
+
+
+def _collectd_dsname(typ: str, j: int, n: int) -> str:
+    names = COLLECTD_TYPES_DB.get(typ)
+    if names and j < len(names):
+        return names[j]
+    return "value" if n == 1 else str(j)
+
+
+def parse_collectd_packet(b: bytes) -> list[dict]:
+    """One collectd network packet → 0..N message dicts.
+
+    Wire format (public collectd network protocol, mirrored from the
+    reference's collectd.org/network Parse semantics used in
+    decoders/collectd.go:34-95): a sequence of parts, each
+    ``uint16 type | uint16 total_len | payload``.  String parts are
+    NUL-terminated; numeric parts are 8-byte big-endian; high-resolution
+    times/intervals are in 2^-30 s units.  Identifier parts accumulate
+    into parser state; every VALUES part (0x0006) emits one message
+    with the state in effect, exactly like the reference's per-ValueList
+    loop.  Malformed trailing bytes stop the walk (network.Parse errors
+    the whole packet; partial emit is the more forgiving batch choice).
+    """
+    import json as _json
+    import struct as _struct
+
+    out: list[dict] = []
+    host = plugin = pinst = typ = tinst = ""
+    t_ns = 0
+    interval_s = 0.0
+    i = 0
+    ln = len(b) if b is not None else 0
+    while i + 4 <= ln:
+        ptype = int.from_bytes(b[i:i + 2], "big")
+        plen = int.from_bytes(b[i + 2:i + 4], "big")
+        if plen < 5 or i + plen > ln:
+            break
+        payload = b[i + 4:i + plen]
+        i += plen
+        if ptype == 0x0000:
+            host = payload.rstrip(b"\x00").decode("utf-8", "replace")
+        elif ptype == 0x0002:
+            plugin = payload.rstrip(b"\x00").decode("utf-8", "replace")
+        elif ptype == 0x0003:
+            pinst = payload.rstrip(b"\x00").decode("utf-8", "replace")
+        elif ptype == 0x0004:
+            typ = payload.rstrip(b"\x00").decode("utf-8", "replace")
+        elif ptype == 0x0005:
+            tinst = payload.rstrip(b"\x00").decode("utf-8", "replace")
+        elif ptype == 0x0001 and len(payload) == 8:
+            t_ns = int.from_bytes(payload, "big") * 10**9
+        elif ptype == 0x0008 and len(payload) == 8:
+            t_ns = (int.from_bytes(payload, "big") * 10**9) >> 30
+        elif ptype == 0x0007 and len(payload) == 8:
+            interval_s = float(int.from_bytes(payload, "big"))
+        elif ptype == 0x0009 and len(payload) == 8:
+            interval_s = int.from_bytes(payload, "big") / float(1 << 30)
+        elif ptype == 0x0006 and len(payload) >= 2:
+            n = int.from_bytes(payload[0:2], "big")
+            if len(payload) < 2 + 9 * n:
+                break
+            kinds = payload[2:2 + n]
+            raw = payload[2 + n:2 + 9 * n]
+            values: list = []
+            dstypes: list[str] = []
+            dsnames: list[str] = []
+            gauges: dict[str, str] = {}
+            derives: dict[str, str] = {}
+            for j in range(n):
+                cell = raw[8 * j:8 * j + 8]
+                kind = kinds[j]
+                name = _collectd_dsname(typ, j, n)
+                dstypes.append(_CD_DS_NAMES.get(kind, str(kind)))
+                dsnames.append(name)
+                if kind == 1:  # gauge: little-endian double (x86 memcpy)
+                    v = _struct.unpack("<d", cell)[0]
+                    values.append(v)
+                    gauges[name] = "%.3f" % v
+                elif kind == 2:  # derive: big-endian int64
+                    v = _struct.unpack(">q", cell)[0]
+                    values.append(v)
+                    derives[name] = str(v)
+                else:  # counter/absolute: big-endian uint64 (JSON only,
+                    # the reference stashes only gauge/derive properties)
+                    values.append(_struct.unpack(">Q", cell)[0])
+            # ValueList.MarshalJSON shape (collectd.org/api encode.go)
+            message = _json.dumps({
+                "values": values, "dstypes": dstypes, "dsnames": dsnames,
+                "time": round(t_ns / 1e9, 3), "interval": interval_s,
+                "host": host, "plugin": plugin, "plugin_instance": pinst,
+                "type": typ, "type_instance": tinst,
+            }, separators=(",", ":"))
+            props: dict[str, dict[str, str]] = {"collectd": {}}
+            if pinst:
+                props["collectd"]["plugin_instance"] = pinst
+            if typ:
+                props["collectd"]["type"] = typ
+            if tinst:
+                props["collectd"]["type_instance"] = tinst
+            if gauges:
+                props["gauge"] = gauges
+            if derives:
+                props["derive"] = derives
+            out.append({
+                "hostname": host, "plugin": plugin, "plugin_instance": pinst,
+                "type": typ, "type_instance": tinst,
+                "time_reported_num": t_ns, "message": message,
+                "properties_json": _json.dumps(
+                    {k: dict(sorted(v.items())) for k, v in sorted(props.items())},
+                    separators=(",", ":"),
+                ),
+            })
+    return out
+
+
+@pandas_udf(COLLECTD_MSG_SCHEMA)
+def _collectd_udf(payload: pd.Series) -> pd.Series:
+    return pd.Series([parse_collectd_packet(b) for b in payload])
+
+
+def decode_collectd(df: DataFrame, payload_col: str = "payload",
+                    ts_col: str = "ts") -> DataFrame:
+    """Binary collectd packets → canonical parsed frame, one row per
+    ValueList, mirroring pCollectd (decoders/collectd.go:51-92):
+    severity=info(6), facility=user(1) → priority 14, version 1,
+    appname=collectd, procid=plugin, gauge/derive properties.
+    time_generated comes from the frame's ts column (now→row-ts
+    determinism contract)."""
+    exploded = df.withColumn(
+        "_m", F.explode(_collectd_udf(F.col(payload_col)))
+    )
+    return exploded.select(
+        "*",
+        F.lit(14).alias("priority"),
+        F.lit(1).alias("facility"),
+        F.lit(6).alias("severity"),
+        F.lit(1).alias("version"),
+        F.col("_m.hostname").alias("hostname"),
+        F.lit("collectd").alias("appname"),
+        F.col("_m.plugin").alias("procid"),
+        F.lit("").alias("msgid"),
+        F.lit("").alias("structured"),
+        F.col("_m.message").alias("message"),
+        F.col("_m.properties_json").alias("properties_json"),
+        F.timestamp_micros(
+            (F.col("_m.time_reported_num") / 1000).cast("long")
+        ).alias("time_reported"),
+        F.col(ts_col).alias("time_generated"),
+        F.lit(True).alias("parse_ok"),
+        F.lit("collectd").alias("parser_name"),
+    ).drop("_m")

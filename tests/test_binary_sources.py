@@ -96,3 +96,97 @@ def test_acct_to_canonical(spark):
     assert acc["pid_pid"] == "4242" and acc["uid"] == "1000"
     assert acc["flags"] == "forked" and acc["user_ns"] == "512000000000"
     assert props["skewer"]["client"] == "h9"
+
+
+# ---------------------------------------------------------------------------
+# collectd binary network protocol
+# ---------------------------------------------------------------------------
+
+def _cd_str(ptype: int, s: str) -> bytes:
+    b = s.encode() + b"\x00"
+    return ptype.to_bytes(2, "big") + (4 + len(b)).to_bytes(2, "big") + b
+
+
+def _cd_num(ptype: int, v: int) -> bytes:
+    return ptype.to_bytes(2, "big") + (12).to_bytes(2, "big") + v.to_bytes(8, "big")
+
+
+def _cd_values(pairs) -> bytes:
+    import struct
+    n = len(pairs)
+    body = n.to_bytes(2, "big") + bytes(k for k, _ in pairs)
+    for k, v in pairs:
+        if k == 1:
+            body += struct.pack("<d", v)
+        elif k == 2:
+            body += struct.pack(">q", int(v))
+        else:
+            body += struct.pack(">Q", int(v))
+    return (6).to_bytes(2, "big") + (4 + len(body)).to_bytes(2, "big") + body
+
+
+def test_collectd_packet_walker():
+    from skewer_spark.sources.binary import parse_collectd_packet
+
+    pkt = (
+        _cd_str(0, "h1")
+        + _cd_num(8, 1704067200 << 30)        # high-res time
+        + _cd_str(2, "load") + _cd_str(4, "load")
+        + _cd_values([(1, 0.5), (1, 0.25), (1, 1.75)])
+        + _cd_str(2, "interface") + _cd_str(3, "eth0")
+        + _cd_str(4, "if_octets")
+        + _cd_values([(2, 100), (2, 200)])
+        + _cd_str(4, "mystery")                # unknown type, 1 counter
+        + _cd_values([(0, 42)])
+    )
+    msgs = parse_collectd_packet(pkt)
+    assert len(msgs) == 3
+    load, ifo, myst = msgs
+    # types.db names + identifier state accumulation
+    assert load["hostname"] == "h1" and load["plugin"] == "load"
+    assert load["time_reported_num"] == 1704067200 * 10**9
+    import json
+    p = json.loads(load["properties_json"])
+    assert p["gauge"] == {"shortterm": "0.500", "midterm": "0.250",
+                          "longterm": "1.750"}
+    m = json.loads(load["message"])
+    assert m["dsnames"] == ["shortterm", "midterm", "longterm"]
+    assert m["values"] == [0.5, 0.25, 1.75]
+    # derive + plugin_instance carries over
+    assert json.loads(ifo["properties_json"])["derive"] == {
+        "rx": "100", "tx": "200"}
+    assert ifo["plugin_instance"] == "eth0"
+    # counter: in message JSON but NOT in properties (reference parity)
+    pm = json.loads(myst["properties_json"])
+    assert "gauge" not in pm and "derive" not in pm
+    assert json.loads(myst["message"])["values"] == [42]
+    assert json.loads(myst["message"])["dsnames"] == ["value"]
+    # truncated packet stops cleanly at the malformed part
+    assert len(parse_collectd_packet(pkt[: len(pkt) - 3])) == 2
+    assert parse_collectd_packet(b"") == []
+    assert parse_collectd_packet(b"\x00\x00\x00") == []
+
+
+def test_collectd_spark_decode(spark):
+    from skewer_spark.sources.binary import decode_collectd
+
+    pkt1 = (
+        _cd_str(0, "hostA") + _cd_num(1, 1704067200)
+        + _cd_str(2, "load") + _cd_str(4, "load")
+        + _cd_values([(1, 1.0), (1, 2.0), (1, 3.0)])
+        + _cd_values([(1, 4.0), (1, 5.0), (1, 6.0)])
+    )
+    df = spark.createDataFrame(
+        [(1, pkt1), (2, b"junk")],
+        "id int, payload binary",
+    ).withColumn("ts", __import__("pyspark.sql.functions", fromlist=["F"])
+                 .to_timestamp(__import__("pyspark.sql.functions",
+                                          fromlist=["F"]).lit("2024-06-01 00:00:00")))
+    out = decode_collectd(df).collect()
+    # two ValueLists from pkt1; the junk frame yields nothing
+    assert len(out) == 2
+    r = out[0]
+    assert r.priority == 14 and r.appname == "collectd" and r.procid == "load"
+    assert r.hostname == "hostA"
+    assert str(r.time_reported).startswith("2024-01-01 00:00:00")
+    assert str(r.time_generated).startswith("2024-06-01")
