@@ -1044,13 +1044,20 @@ def oracle_sql() -> dict[str, str]:
           + bit_count(xor(a.sig_lo, b.sig_lo)) <= 3
     """
 
-    mh_seeds = [f"min(md5('s{i}|' || tok)) AS mh_{i}" for i in range(8)]
+    # 4 independent 32-bit minhashes per md5 digest (one-permutation
+    # slicing) — mirrors dedup.minhash_signatures
+    mh_slices = [
+        f"min(substr(d{i // 4}, {8 * (i % 4) + 1}, 8)) AS mh_{i}" for i in range(8)
+    ]
     minhash_sql = f"""
     WITH toks AS (
       SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
       FROM documents
+    ), digs AS (
+      SELECT doc_id, md5('g0|' || tok) AS d0, md5('g1|' || tok) AS d1
+      FROM toks
     ), sigs AS (
-      SELECT doc_id, {', '.join(mh_seeds)} FROM toks GROUP BY doc_id
+      SELECT doc_id, {', '.join(mh_slices)} FROM digs GROUP BY doc_id
     ), buckets AS (
       SELECT doc_id, 0 AS band_id, md5(mh_0 || '|' || mh_1) AS band_key FROM sigs
       UNION ALL

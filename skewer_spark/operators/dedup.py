@@ -32,9 +32,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-DEFAULT_SEEDS = ("s0", "s1", "s2", "s3", "s4", "s5", "s6", "s7")
-
-
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Keep the lowest id per identical text; expose the group size."""
     return (
@@ -61,24 +58,38 @@ def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
-    seeds: tuple[str, ...] = DEFAULT_SEEDS,
+    n_hashes: int = 8,
 ) -> DataFrame:
     """Per-document MinHash signature over whitespace tokens.
 
-    min-hash h_i(doc) = min over tokens of md5(seed_i || token); the
-    lexicographic min of the hex digest is a uniform order statistic,
-    so P(h_i(a)==h_i(b)) = Jaccard(a,b) as usual.  One explode + one
-    groupBy(doc) shuffle; signature width = len(seeds).
+    One md5 digest yields FOUR independent 32-bit hash functions (slice
+    the 32 hex chars into 8-char windows — md5 bits are independent, so
+    per-slice minima are independent order statistics: the
+    one-permutation-hashing trick).  ``h_i(doc) = min over tokens of
+    substr(md5('g{i//4}|' || token), 8*(i%4)+1, 8)`` — ¼ the hashing of
+    one-md5-per-seed, still bit-replicable in any SQL engine with md5.
+    P(h_i(a)==h_i(b)) = Jaccard(a,b) + 2^-32 slack.  Digests are
+    pre-projected per token so each md5 runs ONCE (agg inputs would
+    otherwise re-evaluate it per slice).  One explode + one
+    groupBy(doc) shuffle; signature width = ``n_hashes``.
     """
+    n_digests = (n_hashes + 3) // 4
     toks = df.select(
         F.col(id_col),
         F.explode(F.array_distinct(F.split(F.col(text_col), " "))).alias("tok"),
     )
+    digs = toks.select(
+        id_col,
+        *[
+            F.md5(F.concat(F.lit(f"g{g}|"), F.col("tok"))).alias(f"d{g}")
+            for g in range(n_digests)
+        ],
+    )
     aggs = [
-        F.min(F.md5(F.concat(F.lit(seed), F.lit("|"), F.col("tok")))).alias(f"mh_{i}")
-        for i, seed in enumerate(seeds)
+        F.min(F.substring(F.col(f"d{i // 4}"), 8 * (i % 4) + 1, 8)).alias(f"mh_{i}")
+        for i in range(n_hashes)
     ]
-    return toks.groupBy(id_col).agg(*aggs)
+    return digs.groupBy(id_col).agg(*aggs)
 
 
 def minhash_lsh_buckets(
@@ -118,7 +129,7 @@ def minhash_candidate_pairs(
 ) -> DataFrame:
     """Distinct candidate near-dup pairs (a<b) from LSH banding."""
     sigs = minhash_signatures(
-        df, text_col, id_col, DEFAULT_SEEDS[: bands * rows_per_band]
+        df, text_col, id_col, n_hashes=bands * rows_per_band
     )
     buckets = minhash_lsh_buckets(sigs, id_col, bands, rows_per_band)
     a = buckets.alias("a")
