@@ -492,6 +492,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs = spark.read.parquet(f"{sf}/documents.parquet")
         return minhash_candidate_pairs(docs)
 
+    def q_ngram_jaccard(spark, sf):
+        from skewer_spark.operators.dedup import ngram_jaccard_pairs
+        docs = spark.read.parquet(f"{sf}/documents.parquet")
+        return ngram_jaccard_pairs(docs, n=3, threshold=0.3)
+
     def q_simhash(spark, sf):
         docs = spark.read.parquet(f"{sf}/documents.parquet")
         return simhash(docs)
@@ -641,6 +646,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dedup_exact": q_dedup_exact,
         "q_dedup_fingerprint": q_dedup_fingerprint,
         "q_minhash_lsh": q_minhash_lsh,
+        "q_ngram_jaccard": q_ngram_jaccard,
         "q_simhash": q_simhash,
         "q_simhash_pairs": q_simhash_pairs,
         "q_ann_topk": q_ann_topk,
@@ -1072,6 +1078,49 @@ def oracle_sql() -> dict[str, str]:
     WHERE a.doc_id < b.doc_id
     """
 
+    ngram_jaccard_sql = f"""
+    WITH tl AS (
+      SELECT doc_id, string_split(text, ' ') AS l FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id, md5(s) AS tok FROM (
+        SELECT doc_id,
+          unnest(list_transform(range(1, len(l) - 1),
+                                i -> array_to_string(l[i:i+2], ' '))) AS s
+        FROM tl WHERE len(l) >= 3
+      )
+    ), digs AS (
+      SELECT doc_id, md5('g0|' || tok) AS d0, md5('g1|' || tok) AS d1 FROM sh
+    ), sigs AS (
+      SELECT doc_id, {', '.join(mh_slices)} FROM digs GROUP BY doc_id
+    ), buckets AS (
+      SELECT doc_id, 0 AS band_id, md5(mh_0 || '|' || mh_1) AS band_key FROM sigs
+      UNION ALL
+      SELECT doc_id, 1, md5(mh_2 || '|' || mh_3) FROM sigs
+      UNION ALL
+      SELECT doc_id, 2, md5(mh_4 || '|' || mh_5) FROM sigs
+      UNION ALL
+      SELECT doc_id, 3, md5(mh_6 || '|' || mh_7) FROM sigs
+    ), cands AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM buckets a JOIN buckets b USING (band_id, band_key)
+      WHERE a.doc_id < b.doc_id
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+    ), inter AS (
+      SELECT id_a, id_b, count(*) AS n_inter
+      FROM cands
+      JOIN sh sa ON sa.doc_id = cands.id_a
+      JOIN sh sb ON sb.doc_id = cands.id_b AND sb.tok = sa.tok
+      GROUP BY id_a, id_b
+    )
+    SELECT id_a, id_b,
+      round(n_inter / (za.n_sh + zb.n_sh - n_inter), 6) AS jaccard
+    FROM inter
+    JOIN sizes za ON za.doc_id = id_a
+    JOIN sizes zb ON zb.doc_id = id_b
+    WHERE round(n_inter / (za.n_sh + zb.n_sh - n_inter), 6) >= 0.3
+    """
+
     return {
         "q_window_rank": """
             SELECT user_id, event_id, turn_rank FROM (
@@ -1209,6 +1258,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY 1
         """,
         "q_minhash_lsh": minhash_sql,
+        "q_ngram_jaccard": ngram_jaccard_sql,
         "q_simhash": simhash_sql,
         "q_simhash_pairs": simhash_pairs_sql,
         "q_ann_topk": """

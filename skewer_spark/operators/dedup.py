@@ -54,6 +54,39 @@ def fingerprint_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_
     )
 
 
+def word_shingles(text_col: str, n: int = 3):
+    """Distinct word n-gram shingles as an array column (empty when the
+    doc has fewer than ``n`` tokens)."""
+    t = F.split(F.col(text_col), " ")
+    return F.array_distinct(
+        F.when(
+            F.size(t) >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.size(t) - n),
+                lambda i: F.concat_ws(" ", F.slice(t, i + 1, n)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+    )
+
+
+def _signatures_from_tokens(toks: DataFrame, id_col: str, n_hashes: int) -> DataFrame:
+    """(id, tok) frame → minhash signature row per id (see
+    minhash_signatures for the one-permutation md5 slicing)."""
+    n_digests = (n_hashes + 3) // 4
+    digs = toks.select(
+        id_col,
+        *[
+            F.md5(F.concat(F.lit(f"g{g}|"), F.col("tok"))).alias(f"d{g}")
+            for g in range(n_digests)
+        ],
+    )
+    aggs = [
+        F.min(F.substring(F.col(f"d{i // 4}"), 8 * (i % 4) + 1, 8)).alias(f"mh_{i}")
+        for i in range(n_hashes)
+    ]
+    return digs.groupBy(id_col).agg(*aggs)
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",
@@ -73,23 +106,11 @@ def minhash_signatures(
     otherwise re-evaluate it per slice).  One explode + one
     groupBy(doc) shuffle; signature width = ``n_hashes``.
     """
-    n_digests = (n_hashes + 3) // 4
     toks = df.select(
         F.col(id_col),
         F.explode(F.array_distinct(F.split(F.col(text_col), " "))).alias("tok"),
     )
-    digs = toks.select(
-        id_col,
-        *[
-            F.md5(F.concat(F.lit(f"g{g}|"), F.col("tok"))).alias(f"d{g}")
-            for g in range(n_digests)
-        ],
-    )
-    aggs = [
-        F.min(F.substring(F.col(f"d{i // 4}"), 8 * (i % 4) + 1, 8)).alias(f"mh_{i}")
-        for i in range(n_hashes)
-    ]
-    return digs.groupBy(id_col).agg(*aggs)
+    return _signatures_from_tokens(toks, id_col, n_hashes)
 
 
 def minhash_lsh_buckets(
@@ -120,18 +141,9 @@ def minhash_lsh_buckets(
     return un
 
 
-def minhash_candidate_pairs(
-    df: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    bands: int = 4,
-    rows_per_band: int = 2,
-) -> DataFrame:
-    """Distinct candidate near-dup pairs (a<b) from LSH banding."""
-    sigs = minhash_signatures(
-        df, text_col, id_col, n_hashes=bands * rows_per_band
-    )
-    buckets = minhash_lsh_buckets(sigs, id_col, bands, rows_per_band)
+def _band_pairs(buckets: DataFrame, id_col: str) -> DataFrame:
+    """Distinct (a<b) pairs sharing a band bucket — a shuffled hash
+    self-join on small keys, never an all-pairs scan."""
     a = buckets.alias("a")
     b = buckets.alias("b")
     return (
@@ -148,6 +160,84 @@ def minhash_candidate_pairs(
             F.col(f"b.{id_col}").alias("id_b"),
         )
         .distinct()
+    )
+
+
+def minhash_candidate_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bands: int = 4,
+    rows_per_band: int = 2,
+) -> DataFrame:
+    """Distinct candidate near-dup pairs (a<b) from LSH banding."""
+    sigs = minhash_signatures(
+        df, text_col, id_col, n_hashes=bands * rows_per_band
+    )
+    return _band_pairs(
+        minhash_lsh_buckets(sigs, id_col, bands, rows_per_band), id_col
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+    bands: int = 4,
+    rows_per_band: int = 2,
+) -> DataFrame:
+    """LSH-propose, exactly-verify near-dup pairs on word n-grams.
+
+    Stage 1 runs MinHash banding over md5'd n-gram shingles (same
+    one-permutation signatures as :func:`minhash_signatures`, so no
+    O(n²) scan); stage 2 computes EXACT shingle-set Jaccard for the
+    surviving candidates only: |A∩B| via a candidates⋈shingles join
+    re-keyed on (doc, shingle-hash), set sizes from one groupBy.  The
+    verify cost is bounded by the LSH candidate count — at 10^12 docs
+    the banding parameters (bands × rows_per_band) control it, not the
+    corpus size.  Shingles travel as fixed 32-char md5 keys, not raw
+    n-gram text, so the verify shuffle stays narrow.
+    """
+    sh = (
+        df.select(
+            F.col(id_col), F.explode(word_shingles(text_col, n)).alias("s")
+        )
+        .select(F.col(id_col), F.md5("s").alias("tok"))
+    )
+    sigs = _signatures_from_tokens(sh, id_col, bands * rows_per_band)
+    cands = _band_pairs(
+        minhash_lsh_buckets(sigs, id_col, bands, rows_per_band), id_col
+    )
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    sa = sh.select(F.col(id_col).alias("id_a"), "tok")
+    sb = sh.select(F.col(id_col).alias("id_b"), "tok")
+    inter = (
+        cands.join(sa, "id_a")
+        .join(sb, ["id_b", "tok"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    return (
+        inter.join(
+            sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a")),
+            "id_a",
+        )
+        .join(
+            sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b")),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("n_inter")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+                6,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
     )
 
 

@@ -278,3 +278,28 @@ def test_read_log_files_ts_is_file_mtime(spark, tmp_path):
     assert [row.ts for row in r1] == [row.ts for row in r2]
     mtime = int(_os.stat(p).st_mtime)
     assert int(r1[0].ts.timestamp()) == mtime
+
+
+def test_ngram_jaccard_pairs(spark):
+    from skewer_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy cat"),   # near-dup of 1
+            (3, "completely different words in this one entirely"),
+            (4, "the quick brown fox jumps over the lazy dog"),   # exact dup of 1
+            (5, "too short"),                                     # < n tokens
+        ],
+        "doc_id int, text string",
+    )
+    out = {(r.id_a, r.id_b): r.jaccard
+           for r in ngram_jaccard_pairs(docs, threshold=0.2).collect()}
+    # exact dup → jaccard 1.0
+    assert out[(1, 4)] == 1.0
+    # 9 tokens → 7 shingles; docs 1/2 differ only in the last one:
+    # J = 6 shared / 8 union = 0.75
+    assert out[(1, 2)] == 0.75
+    assert out[(2, 4)] == 0.75
+    # disjoint and sub-n docs never pair
+    assert not any(3 in p or 5 in p for p in out)
