@@ -525,6 +525,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             emb, threshold=0.3, bands=4, rows_per_band=8, bucket_cap=200
         )
 
+    def q_ivf_topk(spark, sf):
+        # IVF-flat ANN: centroids = the 16 lowest-id vectors (deterministic
+        # zero-iteration seeding so the oracle is exact); probe 4 cells.
+        from skewer_spark.operators.similarity import ivf_topk
+        emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+        rows = emb.filter(F.col("vec_id") < 16).select("vec_id", "embedding").collect()
+        cents = {int(r["vec_id"]): [float(x) for x in r["embedding"]] for r in rows}
+        return ivf_topk(emb, cents[0], cents, k=10, nprobe=4)
+
+    def q_bpe_tokens(spark, sf):
+        from skewer_spark.functions.text import bpe_token_count
+        docs = spark.read.parquet(f"{sf}/documents.parquet")
+        return docs.groupBy("lang").agg(
+            F.count("*").alias("n_docs"),
+            F.sum(bpe_token_count()).cast("long").alias("sum_bpe_tokens"),
+        )
+
+    def q_winnow_fp(spark, sf):
+        from skewer_spark.functions.text import winnow_fingerprint
+        docs = spark.read.parquet(f"{sf}/documents.parquet")
+        return docs.select("doc_id", winnow_fingerprint(k=8, w=4).alias("wfp"))
+
     def q_text_stats(spark, sf):
         docs = spark.read.parquet(f"{sf}/documents.parquet")
         return docs.groupBy("lang").agg(
@@ -651,8 +673,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_simhash_pairs": q_simhash_pairs,
         "q_ann_topk": q_ann_topk,
         "q_ann_lsh": q_ann_lsh,
+        "q_ivf_topk": q_ivf_topk,
         "q_embed_neardup": q_embed_neardup,
         "q_text_stats": q_text_stats,
+        "q_bpe_tokens": q_bpe_tokens,
+        "q_winnow_fp": q_winnow_fp,
         "q_lang_id": q_lang_id,
         "q_doc_fingerprint": q_doc_fingerprint,
         "q_parse_json": q_parse_json,
@@ -1277,6 +1302,45 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY cos_sim DESC, vec_id LIMIT 10
         """,
         "q_ann_lsh": ann_lsh_sql,
+        "q_ivf_topk": """
+            WITH cents AS (
+              SELECT vec_id AS cid, embedding::DOUBLE[] AS ce
+              FROM embeddings WHERE vec_id < 16
+            ), q AS (
+              SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0
+            ), assign AS (
+              SELECT e.vec_id, c.cid,
+                row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                  round(list_dot_product(e.embedding::DOUBLE[], c.ce) /
+                    (sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                           e.embedding::DOUBLE[])) *
+                     sqrt(list_dot_product(c.ce, c.ce))), 6) DESC,
+                  c.cid DESC) AS rn
+              FROM embeddings e CROSS JOIN cents c
+            ), cells AS (
+              SELECT vec_id, cid FROM assign WHERE rn = 1
+            ), qprobe AS (
+              SELECT cid FROM (
+                SELECT c.cid, row_number() OVER (ORDER BY
+                  round(list_dot_product(c.ce, q.qe) /
+                    (sqrt(list_dot_product(c.ce, c.ce)) *
+                     sqrt(list_dot_product(q.qe, q.qe))), 6) DESC,
+                  c.cid DESC) AS rn
+                FROM cents c, q
+              ) WHERE rn <= 4
+            )
+            SELECT e.vec_id,
+              round(list_dot_product(e.embedding::DOUBLE[], q.qe) /
+                (sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                       e.embedding::DOUBLE[])) *
+                 sqrt(list_dot_product(q.qe, q.qe))), 6) AS cos_sim
+            FROM embeddings e
+            JOIN cells ON cells.vec_id = e.vec_id
+            CROSS JOIN q
+            WHERE cells.cid IN (SELECT cid FROM qprobe)
+            ORDER BY cos_sim DESC, e.vec_id
+            LIMIT 10
+        """,
         "q_embed_neardup": neardup_sql,
         "q_text_stats": """
             -- sums cast to BIGINT: DuckDB sum(BIGINT) yields HUGEINT,
@@ -1287,6 +1351,25 @@ def oracle_sql() -> dict[str, str]:
                      AS sum_tokens,
                    sum(length(text))::BIGINT AS sum_chars
             FROM documents GROUP BY lang
+        """,
+        "q_bpe_tokens": r"""
+            SELECT lang, count(*) AS n_docs,
+                   sum(len(regexp_extract_all(text,
+                       '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')))::BIGINT
+                     AS sum_bpe_tokens
+            FROM documents GROUP BY lang
+        """,
+        "q_winnow_fp": """
+            -- winnowing (SIGMOD'03): rolling 8-gram md5-prefix hashes,
+            -- min per window of 4, md5 of sorted distinct minima
+            SELECT doc_id,
+              md5(array_to_string(list_sort(list_distinct(
+                list_transform(
+                  range(1, greatest(greatest(length(text) - 7, 1) - 3, 1) + 1),
+                  j -> list_min(list_transform(range(j, j + 4),
+                    i -> substr(md5(substr(text, i, 8)), 1, 8)))
+                ))), '')) AS wfp
+            FROM documents
         """,
         "q_lang_id": """
             SELECT CASE WHEN strpos(text, ' the ') > 0 THEN 'en'

@@ -66,6 +66,55 @@ def lang_id(c: str = "text") -> Column:
     return expr
 
 
+# BPE-ish pre-tokenizer classes: letter runs, digit runs, single
+# non-alnum marks.  Kept to character classes shared verbatim by Java
+# regex (Spark) and RE2 (DuckDB) so the oracle counts identically.
+BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def bpe_token_count(c: str = "text") -> Column:
+    """Sub-word-ish token count: letter runs + digit runs + punctuation
+    marks (the GPT-2 pre-tokenizer split classes, sans byte-level
+    merges).  A closer LLM-cost proxy than whitespace counting —
+    ``"foo,bar!"`` is 4 tokens here, 1 by whitespace."""
+    return F.size(F.regexp_extract_all(F.col(c), F.lit(BPE_TOKEN_RE), F.lit(0))).cast(
+        "long"
+    )
+
+
+def winnow_fingerprint(c: str = "text", k: int = 8, w: int = 4) -> Column:
+    """Winnowing document fingerprint (rolling k-gram hashes, min per
+    window of ``w``) — the local-fingerprinting scheme from
+    Schleimer/Wilkerson/Aiken, SIGMOD'03.
+
+    Position ``i`` hashes the char k-gram ``substr(text, i, k)`` to a
+    32-bit md5 prefix; each window of ``w`` consecutive hashes
+    contributes its minimum; the sorted distinct minima md5 to one
+    fingerprint string.  Two documents sharing any sufficiently long
+    run of characters share window minima, so fingerprints collide on
+    partial overlap — unlike :func:`word_fingerprint`, which needs the
+    whole word SET to match.  Each k-gram is hashed ≤ ``w`` times (the
+    window transform re-derives it) — a bounded constant factor chosen
+    over a two-pass array materialization, which CollapseProject would
+    re-inline per reference anyway.  md5 (not xxhash64) keeps the
+    DuckDB oracle bit-exact, as in operators/dedup.py.
+    """
+    t = F.col(c)
+    n_hashes = F.greatest(F.length(t) - (k - 1), F.lit(1))
+    n_windows = F.greatest(n_hashes - (w - 1), F.lit(1))
+
+    def kgram_hash(i: Column) -> Column:
+        return F.substring(F.md5(F.substr(t, i, F.lit(k))), 1, 8)
+
+    mins = F.transform(
+        F.sequence(F.lit(1), n_windows),
+        lambda j: F.array_min(
+            F.transform(F.sequence(j, j + (w - 1)), kgram_hash)
+        ),
+    )
+    return F.md5(F.array_join(F.array_sort(F.array_distinct(mins)), ""))
+
+
 def word_fingerprint(c: str = "text") -> Column:
     """Bag-of-words fingerprint: md5 of the sorted distinct token set.
 

@@ -147,6 +147,87 @@ def lsh_bucketed_topk(
 
 
 # ---------------------------------------------------------------------------
+# IVF-flat ANN (inverted-file index: coarse quantize, probe nearest cells)
+# ---------------------------------------------------------------------------
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: dict[int, list[float]],
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Tag each vector with its nearest-centroid cell id (``_cell``).
+
+    The coarse-quantization half of an IVF index: |C| literal-array
+    cosine folds per row, argmax via ``array_max`` over
+    (cos, cid) structs — lexicographic struct ordering gives max-cos
+    with max-cid tiebreak, which the DuckDB oracle reproduces with
+    ``row_number() OVER (ORDER BY cos DESC, cid DESC)``.  Cosines are
+    rounded to 6 places BEFORE the argmax so both engines pick the same
+    cell even when their float summation orders differ.  At 100 TB the
+    centroid list is a broadcast-sized literal (k ≤ ~2^16) and the
+    assignment is a narrow map — no shuffle."""
+    scored = []
+    for cid, vec in sorted(centroids.items()):
+        c = F.array(*[F.lit(float(x)) for x in vec])
+        scored.append(
+            F.struct(
+                F.round(cosine(F.col(vec_col), c), 6).alias("cos"),
+                F.lit(cid).alias("cid"),
+            )
+        )
+    return df.withColumn("_cell", F.array_max(F.array(*scored))["cid"])
+
+
+def _driver_cosine(a: list[float], b: list[float]) -> float:
+    dp = an = bn = 0.0
+    for x, y in zip(a, b):
+        x, y = float(x), float(y)
+        dp += x * y
+        an += x * x
+        bn += y * y
+    return dp / ((an ** 0.5) * (bn ** 0.5))
+
+
+def ivf_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    centroids: dict[int, list[float]],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    nprobe: int = 4,
+) -> DataFrame:
+    """IVF-flat ANN top-k: probe the ``nprobe`` cells nearest the query,
+    exact-rank inside them.
+
+    The scale path next to LSH (``lsh_bucketed_topk``): centroids
+    partition the corpus into |C| cells; the query scans only
+    nprobe/|C| of the data.  Probe cells are chosen DRIVER-SIDE (plain
+    floats, no Spark job), with the same round-to-6 + max-cid tiebreak
+    as :func:`ivf_assign` so the oracle's SQL probe list matches.
+    Centroid *training* is intentionally out of band — callers pass any
+    deterministic dict (tests use the lowest-id vectors: zero-iteration
+    k-means seeding, which keeps the DuckDB oracle exact; a real
+    deployment would Lloyd-refine on a sample and persist them)."""
+    ranked = sorted(
+        ((round(_driver_cosine(query_vec, v), 6), cid) for cid, v in centroids.items()),
+        key=lambda t: (-t[0], -t[1]),
+    )
+    probe = [cid for _, cid in ranked[:nprobe]]
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        ivf_assign(df, centroids, vec_col)
+        .filter(F.col("_cell").isin(probe))
+        .select(
+            F.col(id_col),
+            F.round(cosine(F.col(vec_col), q), 6).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), id_col)
+        .limit(k)
+    )
+
+
+# ---------------------------------------------------------------------------
 # banded near-duplicate pairs
 # ---------------------------------------------------------------------------
 
