@@ -125,6 +125,19 @@ def entry(spark: SparkSession) -> DataFrame:
 # queries
 # ---------------------------------------------------------------------------
 
+def _read(spark: SparkSession, sf: str, table: str) -> DataFrame:
+    """Fixture read with full-width parallelism (see _spread)."""
+    return _spread(spark, spark.read.parquet(f"{sf}/{table}.parquet"))
+
+
+def _spread(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Full parallelism on unsplittable tiny fixtures — no-op on real
+    multi-file tables (see skewer_spark.session.ensure_parallelism)."""
+    from skewer_spark.session import ensure_parallelism
+
+    return ensure_parallelism(df)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from skewer_spark.functions.text import (
         char_count, lang_id, token_count, word_fingerprint,
@@ -139,7 +152,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def q_window_rank(spark, sf):
         from pyspark.sql import Window
-        ev = spark.read.parquet(f"{sf}/events.parquet")
+        ev = _read(spark, sf, "events")
         w = Window.partitionBy("user_id").orderBy("ts", "event_id")
         return (
             ev.withColumn("turn_rank", F.row_number().over(w))
@@ -163,7 +176,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     def q_priority_decode(spark, sf):
-        ev = spark.read.parquet(f"{sf}/events.parquet")
+        ev = _read(spark, sf, "events")
         pri = F.pmod(F.col("event_id"), F.lit(192))
         d = ev.select(
             (pri / 8).cast("int").alias("facility"),
@@ -227,7 +240,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return sink_counts(_routed_events(spark, sf))
 
     def q_windowed_agg(spark, sf):
-        ev = spark.read.parquet(f"{sf}/events.parquet")
+        ev = _read(spark, sf, "events")
         return (
             ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
             .agg(
@@ -356,7 +369,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_parse_collectd(spark, sf):
         from skewer_spark.sources.binary import decode_collectd
 
-        ev = spark.read.parquet(f"{sf}/events.parquet")
+        ev = _read(spark, sf, "events")
 
         def spart(t, s):
             b = F.encode(s, "UTF-8")
@@ -393,7 +406,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def q_parse_rsyslog(spark, sf):
         from skewer_spark.operators.decode_json import parse_rsyslog_json
-        ev = spark.read.parquet(f"{sf}/events.parquet")
+        ev = _read(spark, sf, "events")
         pri = F.pmod(F.col("event_id"), F.lit(192))
         hostname = F.when(
             F.pmod(F.col("event_id"), F.lit(5)) == 0, F.lit("-")
@@ -425,7 +438,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def q_parse_gelf(spark, sf):
         from skewer_spark.operators.decode_json import parse_gelf
-        ev = spark.read.parquet(f"{sf}/events.parquet")
+        ev = _read(spark, sf, "events")
         fac_name = F.element_at(
             F.array(*[F.lit(x) for x in
                       ("kern", "daemon", "authpriv", "nosuchfac")]),
@@ -455,7 +468,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_parse_w3c(spark, sf):
         from skewer_spark.operators.decode_json import parse_w3c
         from skewer_spark.schema import PROPERTIES_TYPE
-        ev = spark.read.parquet(f"{sf}/events.parquet")
+        ev = _read(spark, sf, "events")
         fields = ["date", "time", "c-ip", "cs-method", "sc-status"]
         line = F.concat_ws(
             " ",
@@ -481,46 +494,54 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     def q_dedup_exact(spark, sf):
-        docs = spark.read.parquet(f"{sf}/documents.parquet")
+        docs = _read(spark, sf, "documents")
         return exact_dedup(docs)
 
     def q_dedup_fingerprint(spark, sf):
-        docs = spark.read.parquet(f"{sf}/documents.parquet")
+        docs = _read(spark, sf, "documents")
         return fingerprint_dedup(docs)
 
     def q_minhash_lsh(spark, sf):
-        docs = spark.read.parquet(f"{sf}/documents.parquet")
+        docs = _read(spark, sf, "documents")
         return minhash_candidate_pairs(docs)
 
     def q_ngram_jaccard(spark, sf):
         from skewer_spark.operators.dedup import ngram_jaccard_pairs
-        docs = spark.read.parquet(f"{sf}/documents.parquet")
+        docs = _read(spark, sf, "documents")
         return ngram_jaccard_pairs(docs, n=3, threshold=0.3)
 
+    def q_dedup_clusters(spark, sf):
+        # transitive closure of the n-gram Jaccard pairs: every doc gets
+        # the min doc_id reachable through the near-dup graph
+        from skewer_spark.operators.dedup import dedup_clusters, ngram_jaccard_pairs
+        docs = _read(spark, sf, "documents")
+        pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.3)
+        return dedup_clusters(docs, pairs)
+
     def q_simhash(spark, sf):
-        docs = spark.read.parquet(f"{sf}/documents.parquet")
+        docs = _read(spark, sf, "documents")
         return simhash(docs)
 
     def q_simhash_pairs(spark, sf):
         from skewer_spark.operators.dedup import simhash_candidate_pairs
-        docs = spark.read.parquet(f"{sf}/documents.parquet")
+        docs = _read(spark, sf, "documents")
         return simhash_candidate_pairs(docs, max_hamming=3)
 
     def q_ann_topk(spark, sf):
-        emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+        emb = _read(spark, sf, "embeddings")
         qvec = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
         return brute_force_topk(emb, list(qvec), k=10)
 
     def q_ann_lsh(spark, sf):
         from skewer_spark.operators.similarity import lsh_bucketed_topk
-        emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+        emb = _read(spark, sf, "embeddings")
         qvec = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
         return lsh_bucketed_topk(
             emb, list(qvec), k=10, n_planes=8, probe_hamming=2
         )
 
     def q_embed_neardup(spark, sf):
-        emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+        emb = _read(spark, sf, "embeddings")
         return cosine_pairs_above(
             emb, threshold=0.3, bands=4, rows_per_band=8, bucket_cap=200
         )
@@ -529,14 +550,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # IVF-flat ANN: centroids = the 16 lowest-id vectors (deterministic
         # zero-iteration seeding so the oracle is exact); probe 4 cells.
         from skewer_spark.operators.similarity import ivf_topk
-        emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+        emb = _read(spark, sf, "embeddings")
         rows = emb.filter(F.col("vec_id") < 16).select("vec_id", "embedding").collect()
         cents = {int(r["vec_id"]): [float(x) for x in r["embedding"]] for r in rows}
         return ivf_topk(emb, cents[0], cents, k=10, nprobe=4)
 
     def q_bpe_tokens(spark, sf):
         from skewer_spark.functions.text import bpe_token_count
-        docs = spark.read.parquet(f"{sf}/documents.parquet")
+        docs = _read(spark, sf, "documents")
         return docs.groupBy("lang").agg(
             F.count("*").alias("n_docs"),
             F.sum(bpe_token_count()).cast("long").alias("sum_bpe_tokens"),
@@ -544,11 +565,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def q_winnow_fp(spark, sf):
         from skewer_spark.functions.text import winnow_fingerprint
-        docs = spark.read.parquet(f"{sf}/documents.parquet")
+        docs = _read(spark, sf, "documents")
         return docs.select("doc_id", winnow_fingerprint(k=8, w=4).alias("wfp"))
 
     def q_text_stats(spark, sf):
-        docs = spark.read.parquet(f"{sf}/documents.parquet")
+        docs = _read(spark, sf, "documents")
         return docs.groupBy("lang").agg(
             F.count("*").alias("n_docs"),
             F.sum(token_count()).cast("long").alias("sum_tokens"),
@@ -556,20 +577,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     def q_lang_id(spark, sf):
-        docs = spark.read.parquet(f"{sf}/documents.parquet")
+        docs = _read(spark, sf, "documents")
         return docs.select(lang_id().alias("predicted_lang")).groupBy(
             "predicted_lang"
         ).agg(F.count("*").alias("n"))
 
     def q_doc_fingerprint(spark, sf):
-        docs = spark.read.parquet(f"{sf}/documents.parquet")
+        docs = _read(spark, sf, "documents")
         return docs.select("doc_id", word_fingerprint().alias("fp"))
 
     def q_parse_json(spark, sf):
         # Regular-JSON decoder: build the JSON line from event fields,
         # decode with the real operator; oracle recomputes by construction
         from skewer_spark.operators.decode_json import parse_regular_json
-        ev = spark.read.parquet(f"{sf}/events.parquet")
+        ev = _read(spark, sf, "events")
         fac_name = F.element_at(
             F.array(*[F.lit(x) for x in
                       ("kern", "auth", "cron", "local3")]),
@@ -599,7 +620,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def q_parse_influx(spark, sf):
         from skewer_spark.operators.decode_influx import parse_influx
-        ev = spark.read.parquet(f"{sf}/events.parquet")
+        ev = _read(spark, sf, "events")
         line = F.format_string(
             "cpu,host=ih%02d,region=r%d count=%di,ok=true,note=\"n%d\" %d",
             F.pmod(F.col("user_id"), F.lit(40)),
@@ -623,7 +644,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def q_quality_score(spark, sf):
         from skewer_spark.functions.text import quality_score
-        docs = spark.read.parquet(f"{sf}/documents.parquet")
+        docs = _read(spark, sf, "documents")
         return (
             docs.select(quality_score().alias("quality"))
             .groupBy("quality").agg(F.count("*").alias("n"))
@@ -669,6 +690,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dedup_fingerprint": q_dedup_fingerprint,
         "q_minhash_lsh": q_minhash_lsh,
         "q_ngram_jaccard": q_ngram_jaccard,
+        "q_dedup_clusters": q_dedup_clusters,
         "q_simhash": q_simhash,
         "q_simhash_pairs": q_simhash_pairs,
         "q_ann_topk": q_ann_topk,
@@ -1129,13 +1151,17 @@ def oracle_sql() -> dict[str, str]:
       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
       FROM buckets a JOIN buckets b USING (band_id, band_key)
       WHERE a.doc_id < b.doc_id
+    ), shp AS (
+      -- verify runs on 8-char md5 prefixes (32-bit), mirroring the
+      -- Spark side's narrow arrays: same prefix, same collisions
+      SELECT DISTINCT doc_id, substr(tok, 1, 8) AS tok8 FROM sh
     ), sizes AS (
-      SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+      SELECT doc_id, count(*) AS n_sh FROM shp GROUP BY doc_id
     ), inter AS (
       SELECT id_a, id_b, count(*) AS n_inter
       FROM cands
-      JOIN sh sa ON sa.doc_id = cands.id_a
-      JOIN sh sb ON sb.doc_id = cands.id_b AND sb.tok = sa.tok
+      JOIN shp sa ON sa.doc_id = cands.id_a
+      JOIN shp sb ON sb.doc_id = cands.id_b AND sb.tok8 = sa.tok8
       GROUP BY id_a, id_b
     )
     SELECT id_a, id_b,
@@ -1284,6 +1310,28 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_minhash_lsh": minhash_sql,
         "q_ngram_jaccard": ngram_jaccard_sql,
+        "q_dedup_clusters": f"""
+            -- connected components over the near-dup pair graph via a
+            -- recursive reachability CTE (min reachable id = cluster)
+            WITH RECURSIVE pairs AS (
+              {ngram_jaccard_sql}
+            ), und AS (
+              SELECT id_a AS s, id_b AS d FROM pairs
+              UNION
+              SELECT id_b, id_a FROM pairs
+            ), reach(s, d) AS (
+              SELECT s, d FROM und
+              UNION
+              SELECT r.s, u.d FROM reach r JOIN und u ON r.d = u.s
+              WHERE u.d <> r.s
+            ), comp AS (
+              SELECT s, min(d) AS min_reach FROM reach GROUP BY s
+            )
+            SELECT doc.doc_id,
+                   least(doc.doc_id, coalesce(c.min_reach, doc.doc_id))::BIGINT
+                     AS cluster_id
+            FROM documents doc LEFT JOIN comp c ON c.s = doc.doc_id
+        """,
         "q_simhash": simhash_sql,
         "q_simhash_pairs": simhash_pairs_sql,
         "q_ann_topk": """

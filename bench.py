@@ -63,11 +63,12 @@ def main() -> None:
         transcripts_df(spark, 8, 50).write.mode("overwrite").parquet(warm_in)
         run_flat(spark, warm_in, os.path.join(work, "warm_out"))
 
-        # min of 2 runs: this sandbox's CPU grant fluctuates ~2x on a
-        # minutes timescale (see BENCH.md); a single sample is noise
+        # min of 3 runs: this sandbox's CPU grant fluctuates 2-3x on a
+        # minutes timescale (see BENCH.md; 43.9/28.1/64.5 s observed for
+        # identical back-to-back runs) — a single sample is noise
         pipeline_sec = None
         n_rows = 0
-        for i in range(2):
+        for i in range(3):
             out = os.path.join(work, f"out{i}")
             t0 = time.monotonic()
             n_rows = run_flat(spark, inp, out)

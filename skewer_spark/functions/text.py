@@ -93,26 +93,30 @@ def winnow_fingerprint(c: str = "text", k: int = 8, w: int = 4) -> Column:
     fingerprint string.  Two documents sharing any sufficiently long
     run of characters share window minima, so fingerprints collide on
     partial overlap — unlike :func:`word_fingerprint`, which needs the
-    whole word SET to match.  Each k-gram is hashed ≤ ``w`` times (the
-    window transform re-derives it) — a bounded constant factor chosen
-    over a two-pass array materialization, which CollapseProject would
-    re-inline per reference anyway.  md5 (not xxhash64) keeps the
-    DuckDB oracle bit-exact, as in operators/dedup.py.
+    whole word SET to match.  The hash array is bound to a lambda
+    variable (``transform(array(h), arr -> …)[0]``) so each k-gram is
+    md5'd exactly ONCE per row — a plain two-projection split would be
+    re-inlined by CollapseProject and pay the md5 ``w`` times per
+    position.  md5 (not xxhash64) keeps the DuckDB oracle bit-exact,
+    as in operators/dedup.py.
     """
     t = F.col(c)
     n_hashes = F.greatest(F.length(t) - (k - 1), F.lit(1))
-    n_windows = F.greatest(n_hashes - (w - 1), F.lit(1))
 
-    def kgram_hash(i: Column) -> Column:
-        return F.substring(F.md5(F.substr(t, i, F.lit(k))), 1, 8)
-
-    mins = F.transform(
-        F.sequence(F.lit(1), n_windows),
-        lambda j: F.array_min(
-            F.transform(F.sequence(j, j + (w - 1)), kgram_hash)
-        ),
+    hashes = F.transform(
+        F.sequence(F.lit(1), n_hashes),
+        lambda i: F.substring(F.md5(F.substr(t, i, F.lit(k))), 1, 8),
     )
-    return F.md5(F.array_join(F.array_sort(F.array_distinct(mins)), ""))
+
+    def winnow(h: Column) -> Column:
+        n_windows = F.greatest(F.size(h) - (w - 1), F.lit(1))
+        mins = F.transform(
+            F.sequence(F.lit(1), n_windows),
+            lambda j: F.array_min(F.slice(h, j, w)),
+        )
+        return F.md5(F.array_join(F.array_sort(F.array_distinct(mins)), ""))
+
+    return F.transform(F.array(hashes), winnow)[0]
 
 
 def word_fingerprint(c: str = "text") -> Column:

@@ -143,7 +143,17 @@ def minhash_lsh_buckets(
 
 def _band_pairs(buckets: DataFrame, id_col: str) -> DataFrame:
     """Distinct (a<b) pairs sharing a band bucket — a shuffled hash
-    self-join on small keys, never an all-pairs scan."""
+    self-join on small keys, never an all-pairs scan.
+
+    The self-join is forced to a FIXED-width co-partitioned exchange on
+    the band key: AQE sizes post-shuffle partitions by the join's tiny
+    *input* bytes and would coalesce to one task, but the join's
+    *output* is quadratic in duplicate-group size (every dup class of
+    B docs emits B² candidate rows per matching band) — exactly the
+    stage that must stay wide.  Both sides share one exchange
+    (ReusedExchange), so the explicit repartition costs nothing."""
+    n = buckets.sparkSession.sparkContext.defaultParallelism
+    buckets = buckets.repartition(n, "band_id", "band_key")
     a = buckets.alias("a")
     b = buckets.alias("b")
     return (
@@ -193,12 +203,17 @@ def ngram_jaccard_pairs(
     Stage 1 runs MinHash banding over md5'd n-gram shingles (same
     one-permutation signatures as :func:`minhash_signatures`, so no
     O(n²) scan); stage 2 computes EXACT shingle-set Jaccard for the
-    surviving candidates only: |A∩B| via a candidates⋈shingles join
-    re-keyed on (doc, shingle-hash), set sizes from one groupBy.  The
-    verify cost is bounded by the LSH candidate count — at 10^12 docs
-    the banding parameters (bands × rows_per_band) control it, not the
-    corpus size.  Shingles travel as fixed 32-char md5 keys, not raw
-    n-gram text, so the verify shuffle stays narrow.
+    surviving candidates only, as a per-pair ``array_intersect`` over
+    the docs' collected shingle-hash sets: two joins attach the (small,
+    fixed-width) hash arrays to each candidate pair and the
+    intersection runs inside codegen.  This keeps verify cost at
+    O(candidates × shingles-per-doc) WITHOUT materializing the
+    candidates×shingles row explosion a (pair ⋈ shingle-rows) re-key
+    would shuffle — on a dup-dense corpus that intermediate is ~100×
+    the candidate count.  Shingle sets travel as 8-char md5 prefixes
+    (32-bit, 2^-32 collision slack — the MinHash trade), so a
+    1000-shingle doc is a ~12 KB array: broadcast-joinable for dim-side
+    corpora, sort-merge-joinable at 10^12 docs.
     """
     sh = (
         df.select(
@@ -210,35 +225,94 @@ def ngram_jaccard_pairs(
     cands = _band_pairs(
         minhash_lsh_buckets(sigs, id_col, bands, rows_per_band), id_col
     )
-    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
-    sa = sh.select(F.col(id_col).alias("id_a"), "tok")
-    sb = sh.select(F.col(id_col).alias("id_b"), "tok")
-    inter = (
-        cands.join(sa, "id_a")
-        .join(sb, ["id_b", "tok"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("n_inter"))
+    # 8-char prefix: the md5 already collision-guards per doc (shingles
+    # are distinct pre-hash); 32 bits keep the arrays narrow on the wire
+    sets_df = sh.select(id_col, F.substring("tok", 1, 8).alias("tok")).groupBy(
+        id_col
+    ).agg(F.collect_set("tok").alias("toks"))
+    a_sets = sets_df.select(
+        F.col(id_col).alias("id_a"), F.col("toks").alias("toks_a")
     )
+    b_sets = sets_df.select(
+        F.col(id_col).alias("id_b"), F.col("toks").alias("toks_b")
+    )
+    n_inter = F.size(F.array_intersect("toks_a", "toks_b"))
+    denom = F.size("toks_a") + F.size("toks_b") - n_inter
     return (
-        inter.join(
-            sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a")),
-            "id_a",
-        )
-        .join(
-            sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b")),
-            "id_b",
-        )
+        cands.join(a_sets, "id_a")
+        .join(b_sets, "id_b")
         .select(
-            "id_a",
-            "id_b",
-            F.round(
-                F.col("n_inter")
-                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
-                6,
-            ).alias("jaccard"),
+            "id_a", "id_b",
+            F.round(n_inter / denom, 6).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def dedup_clusters(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Near-dup pairs → transitive clusters: (id, cluster_id) where
+    ``cluster_id`` is the minimum id reachable through the pair graph.
+
+    The step after any pair generator (minhash / n-gram Jaccard /
+    simhash / embedding LSH): near-duplication is transitive in intent
+    — A~B and B~C means keep ONE of {A,B,C} — so pairs must be closed
+    into components before picking keepers.  Iterative min-label
+    propagation: each round every node takes the min label among itself
+    and its neighbors; converges in O(diameter) rounds (near-dup
+    components are shallow — dozens of rounds would mean a pathological
+    chain).  Each round is one shuffle join on the edge list; the loop
+    stops early via an aggregate convergence probe (a scalar count, not
+    a collect of data rows).  At 10^12 edges the alternating
+    large-star/small-star variant (Kiveris et al., SoCC'14) halves the
+    round count; the per-round join shape is identical, so this is the
+    right skeleton.  Docs in no pair are their own singleton cluster.
+    """
+    und = (
+        pairs.select(F.col("id_a").alias("s"), F.col("id_b").alias("d"))
+        .union(pairs.select(F.col("id_b").alias("s"), F.col("id_a").alias("d")))
+        .distinct()
+        .persist()  # every round joins the SAME edges — without this the
+        # whole upstream pair pipeline (LSH + verify) re-executes per
+        # iteration AND per convergence probe
+    )
+    labels = df.select(F.col(id_col).alias("s"), F.col(id_col).cast("long").alias("lbl"))
+    labels.persist()
+    for _ in range(max_iter):
+        neigh = (
+            und.join(
+                labels.select(F.col("s").alias("d"), F.col("lbl").alias("nlbl")),
+                "d",
+            )
+            .groupBy("s")
+            .agg(F.min("nlbl").alias("min_nlbl"))
+        )
+        new_labels = (
+            labels.join(neigh, "s", "left")
+            .select(
+                "s",
+                F.least(
+                    F.col("lbl"), F.coalesce(F.col("min_nlbl"), F.col("lbl"))
+                ).alias("lbl"),
+            )
+        )
+        new_labels.persist()
+        changed = (
+            new_labels.join(
+                labels.select("s", F.col("lbl").alias("old_lbl")), "s"
+            )
+            .filter(F.col("lbl") != F.col("old_lbl"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("s").alias(id_col), F.col("lbl").alias("cluster_id"))
 
 
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

@@ -125,6 +125,54 @@ def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
     return df.filter(F.col("media_type") == "image").mapInPandas(run, out_schema)
 
 
+FRAME_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("frame_idx", T.IntegerType(), False),
+    T.StructField("frame_ts_ms", T.IntegerType(), False),
+    T.StructField("frame_sha", T.StringType(), True),
+])
+
+
+def sample_frames(df: DataFrame, every_ms: int = 1000, max_frames: int = 32) -> DataFrame:
+    """Video frame sampling: one output row per sampled timestamp.
+
+    The 1→N mapInPandas shape for frame extraction — each video row
+    yields ``min(duration_ms // every_ms + 1, max_frames)`` frame rows.
+    The frame *decode* is the stub (``frame_sha`` = digest of payload +
+    frame index; a real cluster seeks the container with libav and
+    emits the frame bytes) but the batch plumbing is the real contract:
+    frames stream out per Arrow batch, so a 2-hour video never
+    materializes all its frames in one Python list-of-rows.  At scale,
+    follow with ``repartition(media_id)`` only if per-video grouping is
+    needed — the sample itself is a narrow map."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_ids, out_idx, out_ts, out_sha = [], [], [], []
+            for mid, payload, dur in zip(
+                pdf["media_id"], pdf["payload"], pdf["duration_ms"]
+            ):
+                if payload is None or dur is None:
+                    continue
+                n = min(int(dur) // every_ms + 1, max_frames)
+                for j in range(n):
+                    out_ids.append(mid)
+                    out_idx.append(j)
+                    out_ts.append(j * every_ms)
+                    out_sha.append(
+                        hashlib.sha256(
+                            payload + j.to_bytes(4, "big")
+                        ).hexdigest()
+                    )
+            yield pd.DataFrame({
+                "media_id": pd.Series(out_ids, dtype="int64"),
+                "frame_idx": pd.Series(out_idx, dtype="int32"),
+                "frame_ts_ms": pd.Series(out_ts, dtype="int32"),
+                "frame_sha": pd.Series(out_sha, dtype="object"),
+            })
+
+    return df.filter(F.col("media_type") == "video").mapInPandas(run, FRAME_SCHEMA)
+
+
 def media_dedup(df: DataFrame) -> DataFrame:
     """Exact media dedup by payload digest (sha over binary column)."""
     return (

@@ -292,6 +292,12 @@ def cosine_pairs_above(
     joining the embeddings back on id — the big vectors never ride
     through the bucket shuffle."""
     b = band_buckets(df, vec_col, id_col, bands, rows_per_band, dim, bucket_cap)
+    # fixed-width co-partitioned self-join: AQE sizes partitions by the
+    # tiny bucket-row input and would run the (quadratic-output) join
+    # as one task — same trap as dedup._band_pairs; the explicit
+    # repartition is one reused exchange
+    n = b.sparkSession.sparkContext.defaultParallelism
+    b = b.repartition(n, "band_id", "bucket")
     a_side = b.select(
         F.col(id_col).alias("id_a"), "band_id", "bucket"
     )
@@ -303,7 +309,7 @@ def cosine_pairs_above(
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()
-    )
+    ).repartition(n, "id_a")  # keep the per-pair exact-cosine stage wide
     emb_a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
     emb_b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
     return (

@@ -29,6 +29,23 @@ def _ensure_pythonpath() -> None:
         )
 
 
+def ensure_parallelism(df, min_parts: int | None = None):
+    """Round-robin repartition a DataFrame whose scan yields fewer
+    partitions than the cluster can use.
+
+    Single-file single-row-group parquet (the test fixtures) cannot be
+    split by Spark — every downstream stage runs as ONE task no matter
+    the core count.  When the scan's partition count is below the
+    default parallelism, a repartition (a few-MB shuffle for such
+    inputs, trivially cheap next to per-row parse/encode compute) buys
+    full-width execution.  On real multi-file tables the guard makes
+    this a NO-OP — the scan already yields ≥ cores partitions and no
+    exchange is added, so plans stay shuffle-free at 100 TB."""
+    spark = df.sparkSession
+    want = min_parts or spark.sparkContext.defaultParallelism
+    return df.repartition(want) if df.rdd.getNumPartitions() < want else df
+
+
 def build_session(
     app_name: str = "skewer-spark",
     master: str | None = None,

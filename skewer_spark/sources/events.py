@@ -96,7 +96,9 @@ def event_lines(df: DataFrame) -> DataFrame:
 
 
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/events.parquet")
+    from skewer_spark.session import ensure_parallelism
+
+    return ensure_parallelism(spark.read.parquet(f"{sf_dir}/events.parquet"))
 
 
 def event_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:

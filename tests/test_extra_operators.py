@@ -110,6 +110,31 @@ def test_multimodal_dedup(spark):
     assert all(g.n_copies == 2 for g in groups)
 
 
+def test_sample_frames_one_row_per_timestamp(spark):
+    from skewer_spark.operators.multimodal import sample_frames, synth_media
+
+    media = synth_media(spark, n=24)
+    frames = sample_frames(media, every_ms=1000, max_frames=8).collect()
+    vids = {r.media_id: r for r in media.filter("media_type='video'").collect()}
+    assert frames and all(r.media_id in vids for r in frames)
+    # per-video frame count = min(duration//1000 + 1, 8), ts stride 1000
+    by_vid: dict = {}
+    for r in frames:
+        by_vid.setdefault(r.media_id, []).append(r)
+    for mid, rows in by_vid.items():
+        expect = min(vids[mid].duration_ms // 1000 + 1, 8)
+        assert len(rows) == expect
+        rows.sort(key=lambda r: r.frame_idx)
+        assert [r.frame_ts_ms for r in rows] == [i * 1000 for i in range(expect)]
+        # stub decode is deterministic and frame-distinct
+        assert len({r.frame_sha for r in rows}) == expect
+    # deterministic across runs
+    again = sample_frames(media, every_ms=1000, max_frames=8).collect()
+    assert sorted((r.media_id, r.frame_idx, r.frame_sha) for r in again) == sorted(
+        (r.media_id, r.frame_idx, r.frame_sha) for r in frames
+    )
+
+
 def test_resize_is_stubbed(spark):
     from skewer_spark.operators.multimodal import resize_images, synth_media
     media = synth_media(spark, n=6, partitions=1)
@@ -278,6 +303,22 @@ def test_read_log_files_ts_is_file_mtime(spark, tmp_path):
     assert [row.ts for row in r1] == [row.ts for row in r2]
     mtime = int(_os.stat(p).st_mtime)
     assert int(r1[0].ts.timestamp()) == mtime
+
+
+def test_dedup_clusters_transitive_closure(spark):
+    from skewer_spark.operators.dedup import dedup_clusters
+
+    docs = spark.createDataFrame([(i,) for i in range(8)], "doc_id long")
+    # chain 0-1-2-3 (diameter forces >1 propagation round), pair 5-6,
+    # singletons 4 and 7
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (5, 6)], "id_a long, id_b long"
+    )
+    got = {
+        r.doc_id: r.cluster_id
+        for r in dedup_clusters(docs, pairs).collect()
+    }
+    assert got == {0: 0, 1: 0, 2: 0, 3: 0, 4: 4, 5: 5, 6: 5, 7: 7}
 
 
 def test_ngram_jaccard_pairs(spark):
