@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -334,6 +335,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             encode_jsonavro().alias("encoded"),
         )
 
+    def q_encode_fulljsonavro(spark, sf):
+        from skewer_spark.sinks.wire import encode_fulljsonavro
+        return _enveloped(spark, sf).select(
+            F.col("turn_idx").cast("long").alias("event_id"),
+            encode_fulljsonavro().alias("encoded"),
+        )
+
     def q_encode_protobuf(spark, sf):
         from skewer_spark.sinks.wire import encode_protobuf
         return _routed_events(spark, sf).select(
@@ -402,6 +410,101 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "event_id", "hostname", "procid", "properties_json", "message",
             F.date_format("time_reported", "yyyy-MM-dd'T'HH:mm:ss'Z'")
             .alias("tr_str"),
+        )
+
+    def q_parse_acct(spark, sf):
+        # acct(5) BY CONSTRUCTION: build the 64-byte little-endian
+        # struct acct_v3 from event fields in pure expressions
+        # (reference layout accounting/acct_linux.go:30-52), decode
+        # with the real batch decoder; the oracle recomputes every
+        # decoded field arithmetically.  etime (float32) is the one
+        # constant field — IEEE bit synthesis isn't portable SQL.
+        from skewer_spark.sources.binary import decode_acct_records
+
+        ev = _read(spark, sf, "events")
+        eid = F.col("event_id")
+
+        def le(v, n):
+            args = [
+                F.shiftright(v.cast("long"), 8 * i).bitwiseAND(F.lit(255))
+                for i in range(n)
+            ]
+            return F.format_string("%02x" * n, *args)
+
+        flag = F.pmod(eid, F.lit(32))
+        comm = F.format_string("proc%02d", F.pmod(eid, F.lit(50)))
+        hexstr = F.concat(
+            le(flag, 1), F.lit("03"),                      # flag, version 3
+            le(F.pmod(eid, F.lit(100)), 2),                # tty
+            le(F.pmod(eid, F.lit(256)), 4),                # exitcode
+            le(F.pmod(F.col("user_id"), F.lit(1000)), 4),  # uid
+            le(F.pmod(F.col("user_id"), F.lit(100)), 4),   # gid
+            le(F.pmod(eid, F.lit(32768)), 4),              # pid
+            le(F.pmod(eid * 3, F.lit(32768)), 4),          # ppid
+            le(F.unix_timestamp("ts"), 4),                 # btime
+            F.lit("0000c842"),                             # etime = 100.0f LE
+            le(F.pmod(eid, F.lit(8192)), 2),               # utime: exp 0
+            le(F.pmod(eid, F.lit(8192)) + 8192, 2),        # stime: exp 1 (<<3)
+            le(F.pmod(eid, F.lit(4096)), 2),               # mem
+            le(F.lit(0), 2), F.lit("0000" * 4),            # io, rw..swaps
+            F.rpad(F.lower(F.hex(F.encode(comm, "UTF-8"))), 32, "0"),
+        )
+        src = ev.select("event_id", F.unhex(hexstr).alias("payload"))
+        out = decode_acct_records(src)
+        return out.select(
+            "event_id", "comm", "uid", "gid", "pid", "ppid",
+            F.col("tty").cast("long").alias("tty"), "exitcode",
+            F.date_format("btime", "yyyy-MM-dd HH:mm:ss").alias("btime_str"),
+            "utime_ns", "stime_ns", "etime_ns", "mem", "io", "flags",
+        )
+
+    def q_gelf_chunks(spark, sf):
+        # chunked + zlib GELF BY CONSTRUCTION: compress the GELF JSON
+        # and split it into 2 chunked datagrams per message (header
+        # 0x1e0f + msg_id + seq/total, graylog.go:33-41), shuffle them
+        # through reassembly, then decode.  Compression is stdlib zlib
+        # in an Arrow-batched UDF; the oracle recomputes the decoded
+        # fields from the same event columns.
+        from pyspark.sql import types as TT
+        from pyspark.sql.functions import pandas_udf
+
+        from skewer_spark.operators.decode_json import parse_gelf
+        from skewer_spark.sources.binary import reassemble_gelf_datagrams
+
+        ev = _read(spark, sf, "events")
+        line = F.to_json(F.struct(
+            F.lit("1.1").alias("version"),
+            F.format_string("ch%02d", F.pmod(F.col("user_id"), F.lit(25))).alias("host"),
+            F.format_string("chunked msg %d", F.col("event_id")).alias("short_message"),
+            F.pmod(F.col("event_id"), F.lit(8)).cast("int").alias("level"),
+            F.unix_timestamp(F.date_trunc("second", "ts")).cast("double")
+            .alias("timestamp"),
+        ))
+
+        @pandas_udf(TT.ArrayType(TT.BinaryType()))
+        def chunkify(text: pd.Series, eid: pd.Series) -> pd.Series:
+            import zlib as _z
+
+            out = []
+            for t, i in zip(text, eid):
+                z = _z.compress(t.encode())
+                mid = int(i).to_bytes(8, "big")
+                half = (len(z) + 1) // 2
+                out.append([
+                    b"\x1e\x0f" + mid + bytes([s, 2]) + z[s * half:(s + 1) * half]
+                    for s in (0, 1)
+                ])
+            return pd.Series(out)
+
+        grams = ev.select(
+            F.explode(chunkify(line, F.col("event_id"))).alias("payload")
+        )
+        text = reassemble_gelf_datagrams(grams)
+        parsed = parse_gelf(text)
+        return parsed.select(
+            F.conv("msg_id", 16, 10).cast("long").alias("event_id"),
+            "priority", "facility", "severity", "hostname", "message",
+            F.date_format("time_reported", "yyyy-MM-dd HH:mm:ss").alias("tr_str"),
         )
 
     def q_parse_rsyslog(spark, sf):
@@ -517,6 +620,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs = _read(spark, sf, "documents")
         pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.3)
         return dedup_clusters(docs, pairs)
+
+    def q_dedup_apply(spark, sf):
+        # materialize the dedup decision: keep ONE doc per near-dup
+        # cluster (the cluster_id doc), report how many it absorbed —
+        # the curation step a training-data pipeline actually ships
+        from skewer_spark.operators.dedup import dedup_clusters, ngram_jaccard_pairs
+        docs = _read(spark, sf, "documents")
+        pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.3)
+        clusters = dedup_clusters(docs, pairs)
+        return (
+            clusters.groupBy("cluster_id")
+            .agg(F.count("*").alias("n_members"))
+            .select(
+                F.col("cluster_id").alias("keeper_id"),
+                "n_members",
+                (F.col("n_members") - 1).alias("n_removed"),
+            )
+        )
+
+    def q_sample_per_group(spark, sf):
+        # deterministic stratified sample: n docs per language, ordered
+        # by a hash of the id (reproducible, no RNG — resume-safe)
+        from pyspark.sql import Window
+        docs = _read(spark, sf, "documents")
+        w = Window.partitionBy("lang").orderBy(
+            F.md5(F.col("doc_id").cast("string")), "doc_id"
+        )
+        return (
+            docs.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 20)
+            .select("lang", "doc_id", F.col("rn").cast("int").alias("rn"))
+        )
 
     def q_simhash(spark, sf):
         docs = _read(spark, sf, "documents")
@@ -680,9 +815,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_encode_avro": q_encode_avro,
         "q_encode_fullavro": q_encode_fullavro,
         "q_encode_jsonavro": q_encode_jsonavro,
+        "q_encode_fulljsonavro": q_encode_fulljsonavro,
         "q_encode_protobuf": q_encode_protobuf,
         "q_parse_protobuf": q_parse_protobuf,
         "q_parse_collectd": q_parse_collectd,
+        "q_parse_acct": q_parse_acct,
+        "q_gelf_chunks": q_gelf_chunks,
         "q_parse_rsyslog": q_parse_rsyslog,
         "q_parse_gelf": q_parse_gelf,
         "q_parse_w3c": q_parse_w3c,
@@ -691,6 +829,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_minhash_lsh": q_minhash_lsh,
         "q_ngram_jaccard": q_ngram_jaccard,
         "q_dedup_clusters": q_dedup_clusters,
+        "q_dedup_apply": q_dedup_apply,
+        "q_sample_per_group": q_sample_per_group,
         "q_simhash": q_simhash,
         "q_simhash_pairs": q_simhash_pairs,
         "q_ann_topk": q_ann_topk,
@@ -924,6 +1064,28 @@ def oracle_sql() -> dict[str, str]:
       (CASE WHEN shape = 0 AND ok
         THEN '{{"meta":{{"k":"v"}}}}' ELSE '{{}}' END) ||
       '}}' AS encoded
+    FROM routed
+    """
+
+    encode_fulljsonavro_sql = f"""
+    {EV_PRELUDE}
+    SELECT event_id,
+      '{{"ClientAddr":"' || {client_addr} ||
+      '","SourceType":"tcp","SourcePath":"","SourcePort":1514,"Uid":"' ||
+      uid ||
+      '","Fields":{{"Facility":"' || {fac_case} ||
+      '","Severity":"' || severity_name ||
+      '","TimeReported":"' || {tr_nano} ||
+      '","TimeGenerated":"' || {tg_nano} ||
+      '","Hostname":"' || hostname ||
+      '","Appname":"' || appname ||
+      '","Procid":"' || procid ||
+      '","Msgid":"' || {msgid_eff} ||
+      '","Message":"' || message ||
+      '","Properties":' ||
+      (CASE WHEN shape = 0 AND ok
+        THEN '{{"meta":{{"k":"v"}}}}' ELSE '{{}}' END) ||
+      '}}}}' AS encoded
     FROM routed
     """
 
@@ -1172,6 +1334,29 @@ def oracle_sql() -> dict[str, str]:
     WHERE round(n_inter / (za.n_sh + zb.n_sh - n_inter), 6) >= 0.3
     """
 
+    dedup_clusters_sql = f"""
+            -- connected components over the near-dup pair graph via a
+            -- recursive reachability CTE (min reachable id = cluster)
+            WITH RECURSIVE pairs AS (
+              {ngram_jaccard_sql}
+            ), und AS (
+              SELECT id_a AS s, id_b AS d FROM pairs
+              UNION
+              SELECT id_b, id_a FROM pairs
+            ), reach(s, d) AS (
+              SELECT s, d FROM und
+              UNION
+              SELECT r.s, u.d FROM reach r JOIN und u ON r.d = u.s
+              WHERE u.d <> r.s
+            ), comp AS (
+              SELECT s, min(d) AS min_reach FROM reach GROUP BY s
+            )
+            SELECT doc.doc_id,
+                   least(doc.doc_id, coalesce(c.min_reach, doc.doc_id))::BIGINT
+                     AS cluster_id
+            FROM documents doc LEFT JOIN comp c ON c.s = doc.doc_id
+    """
+
     return {
         "q_window_rank": """
             SELECT user_id, event_id, turn_rank FROM (
@@ -1251,9 +1436,48 @@ def oracle_sql() -> dict[str, str]:
         "q_encode_avro": encode_avro_sql,
         "q_encode_fullavro": encode_fullavro_sql,
         "q_encode_jsonavro": encode_jsonavro_sql,
+        "q_encode_fulljsonavro": encode_fulljsonavro_sql,
         "q_encode_protobuf": encode_protobuf_sql,
         "q_parse_protobuf": parse_protobuf_sql,
         "q_parse_collectd": parse_collectd_sql,
+        "q_parse_acct": """
+            -- every decoded field recomputed arithmetically from the
+            -- event columns the record was synthesized from
+            SELECT event_id,
+              'proc' || lpad((event_id % 50)::varchar, 2, '0') AS comm,
+              (user_id % 1000)::BIGINT AS uid,
+              (user_id % 100)::BIGINT AS gid,
+              (event_id % 32768)::BIGINT AS pid,
+              ((event_id * 3) % 32768)::BIGINT AS ppid,
+              (event_id % 100)::BIGINT AS tty,
+              (event_id % 256)::BIGINT AS exitcode,
+              strftime(date_trunc('second', ts), '%Y-%m-%d %H:%M:%S')
+                AS btime_str,
+              ((event_id % 8192) * 10 * 1000000)::BIGINT AS utime_ns,
+              ((event_id % 8192) * 80 * 1000000)::BIGINT AS stime_ns,
+              1000000000::BIGINT AS etime_ns,
+              (event_id % 4096)::BIGINT AS mem,
+              0::BIGINT AS io,
+              concat_ws(',',
+                CASE WHEN (event_id % 32) & 4 > 0 THEN 'compatmode' END,
+                CASE WHEN (event_id % 32) & 8 > 0 THEN 'dumpedcore' END,
+                CASE WHEN (event_id % 32) & 1 > 0 THEN 'forked' END,
+                CASE WHEN (event_id % 32) & 2 > 0 THEN 'superuser' END,
+                CASE WHEN (event_id % 32) & 16 > 0 THEN 'killedbysignal' END
+              ) AS flags
+            FROM events
+        """,
+        "q_gelf_chunks": """
+            SELECT event_id,
+                   (8 + event_id % 8)::int AS priority,
+                   1 AS facility,
+                   (event_id % 8)::int AS severity,
+                   'ch' || lpad((user_id % 25)::varchar, 2, '0') AS hostname,
+                   'chunked msg ' || event_id::varchar AS message,
+                   strftime(date_trunc('second', ts), '%Y-%m-%d %H:%M:%S')
+                     AS tr_str
+            FROM events
+        """,
         "q_parse_rsyslog": """
             SELECT event_id,
                    (event_id % 192)::int AS priority,
@@ -1310,27 +1534,20 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_minhash_lsh": minhash_sql,
         "q_ngram_jaccard": ngram_jaccard_sql,
-        "q_dedup_clusters": f"""
-            -- connected components over the near-dup pair graph via a
-            -- recursive reachability CTE (min reachable id = cluster)
-            WITH RECURSIVE pairs AS (
-              {ngram_jaccard_sql}
-            ), und AS (
-              SELECT id_a AS s, id_b AS d FROM pairs
-              UNION
-              SELECT id_b, id_a FROM pairs
-            ), reach(s, d) AS (
-              SELECT s, d FROM und
-              UNION
-              SELECT r.s, u.d FROM reach r JOIN und u ON r.d = u.s
-              WHERE u.d <> r.s
-            ), comp AS (
-              SELECT s, min(d) AS min_reach FROM reach GROUP BY s
-            )
-            SELECT doc.doc_id,
-                   least(doc.doc_id, coalesce(c.min_reach, doc.doc_id))::BIGINT
-                     AS cluster_id
-            FROM documents doc LEFT JOIN comp c ON c.s = doc.doc_id
+        "q_dedup_clusters": dedup_clusters_sql,
+        "q_dedup_apply": f"""
+            WITH clusters AS ({dedup_clusters_sql})
+            SELECT cluster_id AS keeper_id, count(*) AS n_members,
+                   (count(*) - 1)::BIGINT AS n_removed
+            FROM clusters GROUP BY cluster_id
+        """,
+        "q_sample_per_group": """
+            SELECT lang, doc_id, rn::int AS rn FROM (
+              SELECT lang, doc_id,
+                row_number() OVER (PARTITION BY lang
+                  ORDER BY md5(doc_id::VARCHAR), doc_id) AS rn
+              FROM documents
+            ) WHERE rn <= 20
         """,
         "q_simhash": simhash_sql,
         "q_simhash_pairs": simhash_pairs_sql,

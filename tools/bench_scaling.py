@@ -155,13 +155,21 @@ def main() -> None:
         c8.wait_ready()
         c32.wait_ready()
         for k in range(PAIRS):
+            # SANDWICH design: T32 before AND after the T8 run — the
+            # CPU-grant drift is roughly linear on the run timescale,
+            # so averaging the two T32 samples cancels it to first
+            # order (a plain back-to-back pair puts the window change
+            # entirely inside the ratio)
+            r32a = c32.run()
             r8 = c8.run()
-            r32 = c32.run()
+            r32b = c32.run()
             n_rows = r8["rows"]
-            ratio = r8["sec"] / r32["sec"]
-            pairs.append((r8["sec"], r32["sec"], ratio))
-            print(f"pair {k}: T8={r8['sec']} T32={r32['sec']} "
-                  f"ratio={ratio:.2f}", flush=True)
+            t32 = (r32a["sec"] + r32b["sec"]) / 2
+            ratio = r8["sec"] / t32
+            pairs.append((r8["sec"], t32, ratio))
+            print(f"pair {k}: T8={r8['sec']} T32={t32:.2f} "
+                  f"(={r32a['sec']}/{r32b['sec']}) ratio={ratio:.2f}",
+                  flush=True)
             hw_ratios.append(hw_ratio_sample())
             print(f"pair {k}: hw ratio {hw_ratios[-1]:.2f}", flush=True)
     finally:
@@ -172,11 +180,13 @@ def main() -> None:
     best = max(pairs, key=lambda p: p[2])
     med_ratio = statistics.median(p[2] for p in pairs)
     hw = statistics.median(hw_ratios)
-    eff_raw = best[2] / 4.0
-    eff_hw = best[2] / hw
-    print(f"best pair: T8={best[0]} T32={best[1]} ratio={best[2]:.2f}")
+    # headline = MEDIAN pair ratio (best-pair would cherry-pick a
+    # favorable weather window; the median is the defensible statistic)
+    eff_raw = med_ratio / 4.0
+    eff_hw = med_ratio / hw
+    print(f"best pair: T8={best[0]} T32={best[1]:.2f} ratio={best[2]:.2f}")
     print(f"median ratio={med_ratio:.2f}  hw median={hw:.2f}")
-    print(f"efficiency raw={eff_raw:.3f} hw-normalized={eff_hw:.3f}")
+    print(f"efficiency (median) raw={eff_raw:.3f} hw-normalized={eff_hw:.3f}")
 
     stamp = time.strftime("%Y-%m-%d %H:%M UTC", time.gmtime())
     rows_fmt = f"{n_rows:,}" if n_rows else "?"
@@ -201,12 +211,17 @@ it below the nominal 4x on any single box).
 |---|---|---|---|
 {pair_rows}
 
+(T_32 is the mean of the two sandwich samples around each T_8 run —
+linear CPU-grant drift cancels to first order.)
+
 Best pair: T_8={best[0]:.2f}s ({round((n_rows or 0)/best[0]):,} turns/s) vs
 T_32={best[1]:.2f}s ({round((n_rows or 0)/best[1]):,} turns/s).
 
-* raw efficiency  = ratio / 4      = **{eff_raw:.3f}**
-* hw-normalized   = ratio / {hw:.2f}   = **{eff_hw:.3f}**  (target ≥ 0.8)
-* median pair ratio = {med_ratio:.2f}
+Headline statistic = the MEDIAN pair ratio **{med_ratio:.2f}** (best
+pair {best[2]:.2f} reported for transparency, not used):
+
+* raw efficiency  = median / 4      = **{eff_raw:.3f}**
+* hw-normalized   = median / {hw:.2f}   = **{eff_hw:.3f}**  (target ≥ 0.8)
 
 On a real 4N-executor cluster the memory buses and disks scale out with
 the executors; the hw-normalized figure is the sandbox-faithful
