@@ -90,9 +90,15 @@ def main() -> None:
             try:
                 if warm_sf:
                     materialize(fn(spark, warm_sf))
-                t0 = time.monotonic()
-                materialize(fn(spark, SF_DIR))
-                qtimes[name] = round(time.monotonic() - t0, 3)
+                # min-of-2: single samples are noise under this
+                # sandbox's 2-10x CPU-grant swings
+                best = None
+                for _ in range(2):
+                    t0 = time.monotonic()
+                    materialize(fn(spark, SF_DIR))
+                    dt = time.monotonic() - t0
+                    best = dt if best is None else min(best, dt)
+                qtimes[name] = round(best, 3)
             except Exception as e:  # pragma: no cover
                 qtimes[name] = -1.0
                 print(f"# bench query {name} failed: {e}", file=sys.stderr)
