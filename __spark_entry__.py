@@ -690,6 +690,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         cents = {int(r["vec_id"]): [float(x) for x in r["embedding"]] for r in rows}
         return ivf_topk(emb, cents[0], cents, k=10, nprobe=4)
 
+    def q_token_pctl(spark, sf):
+        # exact per-language token-length percentiles (curation gate:
+        # "drop docs above the p95 length for their language").  Exact
+        # percentile sorts each group's values — right for dim-sized
+        # groups; at 100 TB swap F.percentile for approx_percentile
+        # (t-digest, no global sort) and accept the documented error.
+        from skewer_spark.functions.text import token_count
+        docs = _read(spark, sf, "documents")
+        tc = docs.select("lang", token_count().alias("tc"))
+        return tc.groupBy("lang").agg(
+            F.round(F.percentile("tc", F.lit(0.5)), 4).alias("p50_tokens"),
+            F.round(F.percentile("tc", F.lit(0.95)), 4).alias("p95_tokens"),
+            F.max("tc").alias("max_tokens"),
+        )
+
     def q_bpe_tokens(spark, sf):
         from skewer_spark.functions.text import bpe_token_count
         docs = _read(spark, sf, "documents")
@@ -839,6 +854,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_embed_neardup": q_embed_neardup,
         "q_text_stats": q_text_stats,
         "q_bpe_tokens": q_bpe_tokens,
+        "q_token_pctl": q_token_pctl,
         "q_winnow_fp": q_winnow_fp,
         "q_lang_id": q_lang_id,
         "q_doc_fingerprint": q_doc_fingerprint,
@@ -1616,6 +1632,19 @@ def oracle_sql() -> dict[str, str]:
                      AS sum_tokens,
                    sum(length(text))::BIGINT AS sum_chars
             FROM documents GROUP BY lang
+        """,
+        "q_token_pctl": """
+            WITH tc AS (
+              SELECT lang,
+                (length(text) - length(replace(text, ' ', '')) + 1)::BIGINT
+                  AS tc
+              FROM documents
+            )
+            SELECT lang,
+              round(quantile_cont(tc, 0.5), 4) AS p50_tokens,
+              round(quantile_cont(tc, 0.95), 4) AS p95_tokens,
+              max(tc) AS max_tokens
+            FROM tc GROUP BY lang
         """,
         "q_bpe_tokens": r"""
             SELECT lang, count(*) AS n_docs,
