@@ -800,6 +800,104 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .groupBy("quality").agg(F.count("*").alias("n"))
         )
 
+    def q_pii_redact(spark, sf):
+        # PII scrub: lines with known-shape email/IP/card/phone built
+        # from event fields; the operator redacts + counts per class
+        from skewer_spark.functions.scrub import pii_counts, redact_pii
+        ev = _read(spark, sf, "events")
+        line = F.format_string(
+            "user u%d@example.org at %d.%d.%d.%d card 4111111111%06d "
+            "tel +3361234%04d note %s",
+            F.pmod(F.col("user_id"), F.lit(50)),
+            F.pmod(F.col("event_id"), F.lit(223)) + 1,
+            F.pmod(F.col("event_id"), F.lit(250)),
+            F.pmod(F.col("user_id"), F.lit(250)),
+            F.pmod(F.col("event_id"), F.lit(254)) + 1,
+            F.pmod(F.col("event_id"), F.lit(1000000)),
+            F.pmod(F.col("event_id"), F.lit(10000)),
+            F.col("event_type"),
+        )
+        src = ev.select("event_id", line.alias("text"))
+        return src.select("event_id", redact_pii().alias("redacted"), *pii_counts())
+
+    def q_repetition(spark, sf):
+        # Gopher-style repetition quality gates (Rae et al. 2021 A1)
+        from skewer_spark.functions.scrub import (
+            dup_ngram_ratio,
+            dup_word_ratio,
+            top_word_ratio,
+        )
+        docs = _read(spark, sf, "documents")
+        return docs.select(
+            "doc_id",
+            dup_word_ratio().alias("dup_word_frac"),
+            top_word_ratio().alias("top_word_frac"),
+            dup_ngram_ratio(n=2).alias("dup_2gram_frac"),
+        )
+
+    def q_decontam(spark, sf):
+        # benchmark decontamination: docs ≡ 0 (mod 10) act as the eval
+        # set; the rest get 3-gram overlap fraction + contaminated flag
+        from skewer_spark.operators.decontaminate import contamination_report
+        docs = _read(spark, sf, "documents")
+        bench = docs.filter(F.col("doc_id") % 10 == 0)
+        rest = docs.filter(F.col("doc_id") % 10 != 0)
+        rep = contamination_report(rest, bench, n=3, threshold=0.1)
+        return rep.select(
+            "doc_id",
+            F.col("n_shingles").cast("long").alias("n_shingles"),
+            F.col("n_matched").cast("long").alias("n_matched"),
+            "overlap_frac",
+            "contaminated",
+        )
+
+    def q_image_decode(spark, sf):
+        # REAL image codec check: build a 4×2 P6 PPM per event in pure
+        # expressions (pixel i = (event_id*7+i) % 256), decode with the
+        # actual numpy codec, emit exact integer channel sums — the
+        # oracle recomputes them arithmetically, never touching the
+        # codec (independence)
+        from skewer_spark.operators.multimodal import image_stats
+        ev = _read(spark, sf, "events")
+        hexpix = F.concat_ws(
+            "",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(23)),
+                lambda i: F.lpad(
+                    F.hex(F.pmod(F.col("event_id") * 7 + i, F.lit(256))), 2, "0"
+                ),
+            ),
+        )
+        src = ev.select(
+            F.col("event_id"),
+            F.concat(F.lit(b"P6\n4 2\n255\n"), F.unhex(hexpix)).alias("payload"),
+        )
+        return image_stats(src, id_col="event_id")
+
+    def q_audio_decode(spark, sf):
+        # REAL WAV codec check: 16 PCM16-LE samples per event,
+        # s_i = ((event_id*31 + i*997) % 65536) - 32768; fixed canonical
+        # header (16 samples, 16 kHz mono) as a binary literal
+        import numpy as _np
+        from skewer_spark.functions.codecs import encode_wav
+        from skewer_spark.operators.multimodal import audio_stats
+        header = encode_wav(_np.zeros(16, dtype="<i2"), rate=16000)[:44]
+        ev = _read(spark, sf, "events")
+
+        def le_hex(i):
+            u16 = F.pmod(F.col("event_id") * 31 + i * 997, F.lit(65536))
+            h4 = F.lpad(F.hex(u16), 4, "0")
+            return F.concat(F.substring(h4, 3, 2), F.substring(h4, 1, 2))
+
+        pcm_hex = F.concat_ws(
+            "", F.transform(F.sequence(F.lit(0), F.lit(15)), le_hex)
+        )
+        src = ev.select(
+            F.col("event_id"),
+            F.concat(F.lit(bytes(header)), F.unhex(pcm_hex)).alias("payload"),
+        )
+        return audio_stats(src, id_col="event_id")
+
     def q_tpch_q1(spark, sf):
         li = spark.read.parquet(f"{sf}/lineitem.parquet")
         return (
@@ -861,6 +959,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_parse_json": q_parse_json,
         "q_parse_influx": q_parse_influx,
         "q_quality_score": q_quality_score,
+        "q_pii_redact": q_pii_redact,
+        "q_repetition": q_repetition,
+        "q_decontam": q_decontam,
+        "q_image_decode": q_image_decode,
+        "q_audio_decode": q_audio_decode,
         "q_tpch_q1": q_tpch_q1,
     }
 
@@ -1726,6 +1829,110 @@ def oracle_sql() -> dict[str, str]:
               FROM documents
             )
             SELECT round(raw, 4) AS quality, count(*) AS n FROM q GROUP BY 1
+        """,
+        "q_pii_redact": r"""
+            WITH src AS (
+              SELECT event_id,
+                'user u' || (user_id % 50) || '@example.org at ' ||
+                (event_id % 223 + 1) || '.' || (event_id % 250) || '.' ||
+                (user_id % 250) || '.' || (event_id % 254 + 1) ||
+                ' card 4111111111' || lpad((event_id % 1000000)::VARCHAR, 6, '0') ||
+                ' tel +3361234' || lpad((event_id % 10000)::VARCHAR, 4, '0') ||
+                ' note ' || event_type AS text
+              FROM events
+            ), s1 AS (
+              SELECT *, regexp_replace(text,
+                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                '<EMAIL>', 'g') AS t1 FROM src
+            ), s2 AS (
+              SELECT *, regexp_replace(t1,
+                '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g') AS t2 FROM s1
+            ), s3 AS (
+              SELECT *, regexp_replace(t2,
+                '\+[0-9]{7,15}\b', '<PHONE>', 'g') AS t3 FROM s2
+            )
+            SELECT event_id,
+              regexp_replace(t3, '\b[0-9]{13,16}\b', '<CARD>', 'g') AS redacted,
+              len(regexp_extract_all(text,
+                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::BIGINT
+                AS n_emails,
+              len(regexp_extract_all(t1,
+                '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b'))::BIGINT AS n_ips,
+              len(regexp_extract_all(t2, '\+[0-9]{7,15}\b'))::BIGINT AS n_phones,
+              len(regexp_extract_all(t3, '\b[0-9]{13,16}\b'))::BIGINT AS n_cards
+            FROM s3
+        """,
+        "q_repetition": """
+            WITH w AS (
+              SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+            ), g AS (
+              SELECT doc_id, toks,
+                list_transform(generate_series(1, greatest(len(toks) - 1, 1)),
+                  i -> array_to_string(toks[i:i+1], ' ')) AS grams
+              FROM w
+            )
+            SELECT doc_id,
+              round(1.0 - len(list_distinct(toks))::DOUBLE / len(toks), 4)
+                AS dup_word_frac,
+              round(list_max(list_transform(list_distinct(toks),
+                  w2 -> len(list_filter(toks, x -> x = w2))))::DOUBLE
+                / len(toks), 4) AS top_word_frac,
+              round(1.0 - len(list_distinct(grams))::DOUBLE / len(grams), 4)
+                AS dup_2gram_frac
+            FROM g
+        """,
+        "q_decontam": """
+            WITH w AS (
+              SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+            ), sh AS (
+              SELECT doc_id,
+                list_distinct(CASE WHEN len(toks) >= 3 THEN
+                  list_transform(generate_series(0, len(toks) - 3),
+                    i -> array_to_string(toks[i+1:i+3], ' '))
+                ELSE CAST([] AS VARCHAR[]) END) AS shingles
+              FROM w
+            ), bench AS (
+              SELECT DISTINCT unnest(shingles) AS shingle FROM sh
+              WHERE doc_id % 10 = 0
+            ), docs AS (
+              SELECT doc_id, shingles, len(shingles) AS n_shingles FROM sh
+              WHERE doc_id % 10 <> 0
+            ), m AS (
+              SELECT d.doc_id, count(*) AS n_matched
+              FROM (SELECT doc_id, unnest(shingles) AS shingle FROM docs) d
+              JOIN bench USING (shingle) GROUP BY d.doc_id
+            )
+            SELECT docs.doc_id,
+              n_shingles::BIGINT AS n_shingles,
+              coalesce(m.n_matched, 0)::BIGINT AS n_matched,
+              round(coalesce(m.n_matched, 0)::DOUBLE /
+                    greatest(n_shingles, 1), 4) AS overlap_frac,
+              (coalesce(m.n_matched, 0)::DOUBLE /
+                    greatest(n_shingles, 1)) >= 0.1 AS contaminated
+            FROM docs LEFT JOIN m ON docs.doc_id = m.doc_id
+        """,
+        "q_image_decode": """
+            -- recompute channel sums arithmetically (pixel i of the
+            -- 4x2 RGB raster = (event_id*7+i) % 256; channel c sits at
+            -- i = 3k+c) — the codec itself is never invoked here
+            SELECT event_id, 4 AS width, 2 AS height,
+              list_aggregate(list_transform(generate_series(0, 7),
+                k -> (event_id*7 + 3*k) % 256), 'sum')::BIGINT AS sum_r,
+              list_aggregate(list_transform(generate_series(0, 7),
+                k -> (event_id*7 + 3*k + 1) % 256), 'sum')::BIGINT AS sum_g,
+              list_aggregate(list_transform(generate_series(0, 7),
+                k -> (event_id*7 + 3*k + 2) % 256), 'sum')::BIGINT AS sum_b
+            FROM events
+        """,
+        "q_audio_decode": """
+            -- sample i = int16 reinterpretation of the u16 value
+            -- (event_id*31 + i*997) % 65536, i.e. two's complement:
+            -- (v + 32768) % 65536 - 32768
+            SELECT event_id, 16000 AS rate, 16::BIGINT AS n_samples,
+              list_aggregate(list_transform(generate_series(0, 15),
+                i -> ((event_id*31 + i*997) % 65536 + 32768) % 65536 - 32768),
+                'sum')::BIGINT AS sum_amp
+            FROM events
         """,
         "q_tpch_q1": """
             SELECT l_returnflag, l_linestatus,

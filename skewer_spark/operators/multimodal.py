@@ -1,12 +1,15 @@
 """Multimodal (image/audio/video) column handling for training-data
 pipelines.
 
-Media travels as opaque ``binary`` columns plus typed metadata — the
-Spark-side plumbing (schema, batch iteration, partition sizing) is real
-and tested; the actual codec work is STUBBED behind a deterministic
-fake because no image/audio libraries exist in this container.  Swap
-``_decode_payload`` for a PIL/libav call on a real cluster; nothing
-else changes.
+Media travels as opaque ``binary`` columns plus typed metadata.  The
+decode path is REAL for two formats implemented from their public
+specs in pure numpy (``functions/codecs.py``): PPM/P6 images and
+RIFF/WAVE PCM16 audio — decode, feature-extract, and nearest-neighbor
+resize all run on actual pixel/sample data (driver-checked by
+q_image_decode / q_audio_decode).  Payloads in formats that need a
+native library (JPEG/PNG/MP4…) fall back to a deterministic
+digest-based feature stub and ``resize_images`` raises for them — swap
+PIL/libav into ``codecs`` on a real cluster; nothing else changes.
 
 Scale notes: media rows are huge (MBs) — these operators use
 ``mapInPandas`` so one Arrow batch streams through Python at a time
@@ -46,8 +49,12 @@ FEATURE_SCHEMA = T.StructType([
 
 
 def synth_media(spark: SparkSession, n: int = 256, partitions: int = 8) -> DataFrame:
-    """Deterministic fake media table: payload = seeded bytes with a
-    tiny fake header (type byte + dims) the decoder stub can parse."""
+    """Deterministic media table with REAL payloads where the codec
+    exists: image rows carry actual P6 PPM bytes, audio rows actual
+    PCM16 WAV bytes; video rows stay an opaque seeded blob (no
+    container codec here — honest stub downstream)."""
+    from skewer_spark.functions.codecs import encode_ppm, encode_wav
+
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids = pdf["id"].to_numpy()
@@ -56,9 +63,21 @@ def synth_media(spark: SparkSession, n: int = 256, partitions: int = 8) -> DataF
                 kind = ["image", "audio", "video"][int(i) % 3]
                 w, h, dur = 16 + int(i) % 64, 16 + int(i) % 48, 1000 + int(i) % 9000
                 rng = np.random.RandomState(int(i) % (2**31))
-                body = rng.bytes(64 + int(i) % 192)
-                header = bytes([int(i) % 3]) + w.to_bytes(2, "big") + h.to_bytes(2, "big")
-                rows.append((int(i), int(i) // 4, kind, header + body, w, h, dur))
+                if kind == "image":
+                    payload = encode_ppm(
+                        rng.randint(0, 256, size=(h, w, 3)).astype(np.uint8)
+                    )
+                elif kind == "audio":
+                    payload = encode_wav(
+                        rng.randint(-32768, 32768, size=dur * 16 // 1000),
+                        rate=16000,
+                    )
+                else:
+                    header = (
+                        bytes([int(i) % 3]) + w.to_bytes(2, "big") + h.to_bytes(2, "big")
+                    )
+                    payload = header + rng.bytes(64 + int(i) % 192)
+                rows.append((int(i), int(i) // 4, kind, payload, w, h, dur))
             yield pd.DataFrame(
                 rows, columns=[f.name for f in MEDIA_SCHEMA.fields]
             )
@@ -67,11 +86,34 @@ def synth_media(spark: SparkSession, n: int = 256, partitions: int = 8) -> DataF
 
 
 def _decode_payload(payload: bytes) -> np.ndarray:
-    """STUB decode: real systems call PIL/libav here.
+    """Real decode where a codec exists, digest-stub otherwise.
 
-    Deterministic fake: 8 float features from the payload digest —
-    keeps the full pipeline testable (stable values, right shapes).
+    * ``P6`` → per-channel pixel means/stds + dims → 8 features
+    * ``RIFF`` → normalized sample mean/std/min/max + rate/len → 8
+    * anything else (JPEG/MP4/… — no native lib here) → deterministic
+      8-dim digest feature, keeping shapes/pipelines testable
     """
+    from skewer_spark.functions.codecs import decode_ppm, decode_wav
+
+    if payload[:2] == b"P6":
+        px = decode_ppm(payload).astype(np.float64) / 255.0
+        h, w, _ = px.shape
+        return np.array([
+            px[:, :, 0].mean(), px[:, :, 1].mean(), px[:, :, 2].mean(),
+            px[:, :, 0].std(), px[:, :, 1].std(), px[:, :, 2].std(),
+            w / 4096.0, h / 4096.0,
+        ])
+    if payload[:4] == b"RIFF":
+        rate, channels, samples = decode_wav(payload)
+        s = samples.astype(np.float64) / 32768.0
+        # mean/min/max shifted from [-1,1] into [0,1] so every feature
+        # dimension shares the same range (downstream cosine/LSH care)
+        return np.array([
+            (s.mean() + 1.0) / 2.0, s.std(),
+            ((s.min() if s.size else 0.0) + 1.0) / 2.0,
+            ((s.max() if s.size else 0.0) + 1.0) / 2.0,
+            rate / 48000.0, min(s.size / 1e6, 1.0), float(channels) / 8.0, 0.0,
+        ])
     digest = hashlib.sha256(payload).digest()
     return np.frombuffer(digest[:32], dtype=np.uint8).reshape(8, 4).mean(axis=1) / 255.0
 
@@ -99,15 +141,18 @@ def extract_features(df: DataFrame) -> DataFrame:
 
 
 def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
-    """Image resize — STUB: raises until a codec library is present.
-
-    The operator signature / partition plumbing is the real contract;
-    plug PIL in ``_resize`` on a real cluster.
+    """Image resize — REAL for PPM payloads (decode → nearest-neighbor
+    → re-encode, pure numpy); raises for formats that need a native
+    codec (plug PIL in here on a real cluster).
     """
-    def _resize(payload: bytes) -> bytes:  # pragma: no cover - stub
+    from skewer_spark.functions.codecs import decode_ppm, encode_ppm, resize_nearest
+
+    def _resize(payload: bytes) -> bytes:
+        if payload[:2] == b"P6":
+            return encode_ppm(resize_nearest(decode_ppm(payload), width, height))
         raise NotImplementedError(
-            "image codec not available in this container; "
-            "swap in PIL.Image.resize here"
+            "only PPM has an in-container codec; "
+            "swap in PIL.Image.resize for compressed formats"
         )
 
     out_schema = T.StructType([
@@ -171,6 +216,77 @@ def sample_frames(df: DataFrame, every_ms: int = 1000, max_frames: int = 32) -> 
             })
 
     return df.filter(F.col("media_type") == "video").mapInPandas(run, FRAME_SCHEMA)
+
+
+def image_stats(df: DataFrame, payload_col: str = "payload",
+                id_col: str = "media_id") -> DataFrame:
+    """REAL image decode → exact per-channel pixel sums + dims.
+
+    The integer outputs (not float means) make this bit-checkable by
+    an independent oracle; brightness/size curation filters derive from
+    them.  PPM-only (the one in-container codec); other formats raise.
+    """
+    from skewer_spark.functions.codecs import decode_ppm
+
+    schema = T.StructType([
+        T.StructField(id_col, T.LongType(), False),
+        T.StructField("width", T.IntegerType(), False),
+        T.StructField("height", T.IntegerType(), False),
+        T.StructField("sum_r", T.LongType(), False),
+        T.StructField("sum_g", T.LongType(), False),
+        T.StructField("sum_b", T.LongType(), False),
+    ])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, ws, hs, rs, gs, bs = [], [], [], [], [], []
+            for i, p in zip(pdf[id_col], pdf[payload_col]):
+                px = decode_ppm(bytes(p)).astype(np.int64)
+                ids.append(i)
+                hs.append(px.shape[0]); ws.append(px.shape[1])
+                rs.append(int(px[:, :, 0].sum()))
+                gs.append(int(px[:, :, 1].sum()))
+                bs.append(int(px[:, :, 2].sum()))
+            yield pd.DataFrame({
+                id_col: pd.Series(ids, dtype="int64"),
+                "width": pd.Series(ws, dtype="int32"),
+                "height": pd.Series(hs, dtype="int32"),
+                "sum_r": pd.Series(rs, dtype="int64"),
+                "sum_g": pd.Series(gs, dtype="int64"),
+                "sum_b": pd.Series(bs, dtype="int64"),
+            })
+
+    return df.select(id_col, payload_col).mapInPandas(run, schema)
+
+
+def audio_stats(df: DataFrame, payload_col: str = "payload",
+                id_col: str = "media_id") -> DataFrame:
+    """REAL WAV decode → rate / sample count / exact amplitude sum."""
+    from skewer_spark.functions.codecs import decode_wav
+
+    schema = T.StructType([
+        T.StructField(id_col, T.LongType(), False),
+        T.StructField("rate", T.IntegerType(), False),
+        T.StructField("n_samples", T.LongType(), False),
+        T.StructField("sum_amp", T.LongType(), False),
+    ])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, rates, ns, sums = [], [], [], []
+            for i, p in zip(pdf[id_col], pdf[payload_col]):
+                rate, _channels, samples = decode_wav(bytes(p))
+                ids.append(i); rates.append(rate)
+                ns.append(samples.size)
+                sums.append(int(samples.astype(np.int64).sum()))
+            yield pd.DataFrame({
+                id_col: pd.Series(ids, dtype="int64"),
+                "rate": pd.Series(rates, dtype="int32"),
+                "n_samples": pd.Series(ns, dtype="int64"),
+                "sum_amp": pd.Series(sums, dtype="int64"),
+            })
+
+    return df.select(id_col, payload_col).mapInPandas(run, schema)
 
 
 def media_dedup(df: DataFrame) -> DataFrame:
