@@ -898,6 +898,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return audio_stats(src, id_col="event_id")
 
+    def q_asof_enrich(spark, sf):
+        # as-of join: enrich each event with the config version active
+        # at its timestamp (configs = every 23rd event, keyed by user)
+        from skewer_spark.operators.temporal import as_of_join
+        ev = _read(spark, sf, "events")
+        cfg = ev.filter(F.col("event_id") % 23 == 0).select(
+            "user_id", "ts", F.col("event_id").alias("cfg_version")
+        )
+        left = ev.filter(F.col("event_id") % 23 != 0).select(
+            "event_id", "user_id", "ts"
+        )
+        out = as_of_join(left, cfg, key="user_id", left_ts="ts", right_ts="ts")
+        return out.select("event_id", "user_id", "cfg_version")
+
+    def q_session_agg(spark, sf):
+        # gap-based sessionization (4h inactivity closes a session)
+        from skewer_spark.operators.temporal import session_agg
+        ev = _read(spark, sf, "events")
+        s = session_agg(ev.select("user_id", "ts"), "user_id", "ts", "4 hours")
+        return s.select(
+            "user_id",
+            F.date_format("session_start", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+                "session_start"
+            ),
+            F.date_format("session_last", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+                "session_last"
+            ),
+            "n_events",
+        )
+
     def q_tpch_q1(spark, sf):
         li = spark.read.parquet(f"{sf}/lineitem.parquet")
         return (
@@ -964,6 +994,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_decontam": q_decontam,
         "q_image_decode": q_image_decode,
         "q_audio_decode": q_audio_decode,
+        "q_asof_enrich": q_asof_enrich,
+        "q_session_agg": q_session_agg,
         "q_tpch_q1": q_tpch_q1,
     }
 
@@ -1933,6 +1965,41 @@ def oracle_sql() -> dict[str, str]:
                 i -> ((event_id*31 + i*997) % 65536 + 32768) % 65536 - 32768),
                 'sum')::BIGINT AS sum_amp
             FROM events
+        """,
+        "q_asof_enrich": """
+            WITH cfg AS (
+              SELECT user_id, ts, event_id AS cfg_version FROM events
+              WHERE event_id % 23 = 0
+            ), l AS (
+              SELECT event_id, user_id, ts FROM events
+              WHERE event_id % 23 <> 0
+            )
+            SELECT l.event_id, l.user_id, cfg.cfg_version
+            FROM l ASOF LEFT JOIN cfg
+              ON l.user_id = cfg.user_id AND l.ts >= cfg.ts
+        """,
+        "q_session_agg": """
+            -- new session when the gap EXCEEDS 4h (measured Spark
+            -- semantics, pinned by test_session_agg_gap_boundary: an
+            -- event at exactly prev + gap still merges, hence >)
+            WITH x AS (
+              SELECT user_id, ts,
+                CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w > INTERVAL 4 HOUR
+                     THEN 1 ELSE 0 END AS ns
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ), s AS (
+              SELECT user_id, ts,
+                sum(ns) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+              FROM x
+            )
+            SELECT user_id,
+              strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+              strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_last,
+              count(*) AS n_events
+            FROM s GROUP BY user_id, sid
         """,
         "q_tpch_q1": """
             SELECT l_returnflag, l_linestatus,

@@ -1,0 +1,114 @@
+"""Temporal join/window operators: as-of join + session windows.
+
+Two operators every log/telemetry pipeline eventually needs and plain
+SQL joins don't express well:
+
+* :func:`as_of_join` — enrich each left row with the LATEST right row
+  at-or-before its timestamp per key (slowly-changing dimensions: the
+  config/rule version active when the event happened — the batch analog
+  of the reference's conf_id-scoped FilterSubConfig resolution,
+  ``/root/reference/services/*`` passing the *current* config snapshot
+  to each handler).
+* :func:`session_agg` — gap-based session windows over an event
+  stream, batch edition (`F.session_window`), mirroring the streaming
+  sessionizer in ``streaming/stateful.py``.
+
+Scale notes (the part that matters at 100 TB):
+
+* ``as_of_join`` is the union-window formulation: tag both sides, union
+  on (key, ts), one shuffle, and a running ``last(payload,
+  ignoreNulls=True)`` window carries the most recent right payload
+  forward onto left rows.  Cost = ONE exchange + per-key sort — the
+  same cost class as any keyed window; never a per-key range explode
+  or an O(left × right) interval product.  A skewed key sorts on one
+  task — for hot keys pre-bucket by coarse time like
+  ``enrich.dedup_and_rank`` does.
+* ``session_agg`` is one ``groupBy(key, session_window)`` —
+  Spark's native session merge (partial aggregation applies), one
+  shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def as_of_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_cols: list[str] | None = None,
+) -> DataFrame:
+    """Backward as-of join: each left row gets the right row with the
+    greatest ``right_ts <= left_ts`` for the same ``key`` (inclusive on
+    equality, like DuckDB's ``ASOF JOIN ... ON l.ts >= r.ts``).
+
+    ``right_cols`` — payload columns taken from the right side (default:
+    everything except the key and timestamp).  Left rows with no prior
+    right row keep NULL payloads (left-outer semantics).
+    """
+    if right_cols is None:
+        right_cols = [c for c in right.columns if c not in (key, right_ts)]
+
+    payload = F.struct(*[F.col(c) for c in right_cols])
+    r = right.select(
+        F.col(key).alias("_k"),
+        F.col(right_ts).alias("_t"),
+        F.lit(0).alias("_ord"),  # right sorts BEFORE left at equal ts → inclusive
+        payload.alias("_pay"),
+        F.lit(None).cast(
+            left.select(F.struct(*left.columns).alias("s")).schema["s"].dataType
+        ).alias("_lrow"),
+    )
+    l = left.select(
+        F.col(key).alias("_k"),
+        F.col(left_ts).alias("_t"),
+        F.lit(1).alias("_ord"),
+        F.lit(None).cast(r.schema["_pay"].dataType).alias("_pay"),
+        F.struct(*left.columns).alias("_lrow"),
+    )
+
+    w = (
+        Window.partitionBy("_k")
+        .orderBy("_t", "_ord")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = l.unionByName(r).withColumn(
+        "_eff", F.last("_pay", ignorenulls=True).over(w)
+    )
+    return merged.filter(F.col("_ord") == 1).select(
+        *[F.col("_lrow")[c].alias(c) for c in left.columns],
+        *[F.col("_eff")[c].alias(c) for c in right_cols],
+    )
+
+
+def session_agg(
+    df: DataFrame,
+    key: str,
+    ts: str = "ts",
+    gap: str = "5 minutes",
+) -> DataFrame:
+    """Gap-based sessionization: events of one ``key`` closer than
+    ``gap`` apart belong to one session.  Returns per-session
+    ``(key, session_start, session_last, n_events)``.
+
+    Uses Spark's native ``session_window`` (sessions merge during
+    partial aggregation; one shuffle).  Boundary semantics (pinned by
+    ``test_session_agg_gap_boundary``): an event at exactly
+    ``prev_ts + gap`` still MERGES; only a strictly larger gap starts
+    a new session.  ``session_last`` is the max event time (the
+    window's ``end`` would be ``last + gap``).
+    """
+    return (
+        df.groupBy(key, F.session_window(F.col(ts), gap).alias("_w"))
+        .agg(
+            F.min(ts).alias("session_start"),
+            F.max(ts).alias("session_last"),
+            F.count("*").alias("n_events"),
+        )
+        .drop("_w")
+    )
