@@ -596,6 +596,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("parse_ok").cast("boolean").alias("parse_ok"),
         )
 
+    def q_parse_ltsv(spark, sf):
+        from skewer_spark.operators.decode_json import parse_ltsv
+        ev = _read(spark, sf, "events")
+        pri = F.pmod(F.col("event_id"), F.lit(192))
+        line = F.concat_ws(
+            "\t",
+            F.concat(F.lit("time:"),
+                     F.date_format(F.date_trunc("second", "ts"),
+                                   "yyyy-MM-dd'T'HH:mm:ss'Z'")),
+            F.concat(F.lit("host:"),
+                     F.format_string("lh%02d", F.pmod(F.col("user_id"),
+                                                      F.lit(30)))),
+            F.concat(F.lit("ident:"),
+                     F.format_string("lapp%d", F.pmod(F.col("event_id"),
+                                                      F.lit(7)))),
+            F.concat(F.lit("pid:"),
+                     F.pmod(F.col("event_id"), F.lit(900)).cast("string")),
+            F.concat(F.lit("pri:"), pri.cast("string")),
+            # colon inside the value: split must stop at the FIRST colon
+            F.concat(F.lit("msg:ltsv msg "), F.col("event_id"),
+                     F.lit(" k:v")),
+            F.concat(F.lit("status:"),
+                     (F.lit(200) + F.pmod(F.col("event_id"),
+                                          F.lit(5))).cast("string")),
+        )
+        out = parse_ltsv(ev.select("event_id", line.alias("text")))
+        return out.select(
+            "event_id",
+            F.col("priority").cast("int").alias("priority"),
+            F.col("facility").cast("int").alias("facility"),
+            F.col("severity").cast("int").alias("severity"),
+            "hostname", "appname", "procid", "message",
+            F.get_json_object("properties_json", "$.ltsv.status")
+            .alias("status"),
+            "properties_json",
+            F.col("parse_ok").cast("boolean").alias("parse_ok"),
+            F.date_format("time_reported", "yyyy-MM-dd HH:mm:ss")
+            .alias("tr_str"),
+        )
+
     def q_dedup_exact(spark, sf):
         docs = _read(spark, sf, "documents")
         return exact_dedup(docs)
@@ -967,6 +1007,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_parse_rsyslog": q_parse_rsyslog,
         "q_parse_gelf": q_parse_gelf,
         "q_parse_w3c": q_parse_w3c,
+        "q_parse_ltsv": q_parse_ltsv,
         "q_dedup_exact": q_dedup_exact,
         "q_dedup_fingerprint": q_dedup_fingerprint,
         "q_minhash_lsh": q_minhash_lsh,
@@ -1671,6 +1712,37 @@ def oracle_sql() -> dict[str, str]:
                    (200 + event_id % 5)::varchar AS status,
                    true AS parse_ok
             FROM events
+        """,
+        "q_parse_ltsv": """
+            WITH l AS (
+              SELECT event_id, user_id, ts,
+                     (event_id % 192)::int AS pri,
+                     'lh' || lpad((user_id % 30)::varchar, 2, '0') AS host,
+                     'lapp' || (event_id % 7)::varchar AS ident,
+                     (event_id % 900)::varchar AS pid,
+                     'ltsv msg ' || event_id::varchar || ' k:v' AS msg,
+                     (200 + event_id % 5)::varchar AS status,
+                     strftime(date_trunc('second', ts),
+                              '%Y-%m-%dT%H:%M:%SZ') AS time_s
+              FROM events
+            )
+            SELECT event_id,
+                   pri AS priority,
+                   (pri // 8)::int AS facility,
+                   (pri % 8)::int AS severity,
+                   host AS hostname, ident AS appname, pid AS procid,
+                   msg AS message, status,
+                   '{"ltsv":{"host":"' || host ||
+                   '","ident":"' || ident ||
+                   '","msg":"' || msg ||
+                   '","pid":"' || pid ||
+                   '","pri":"' || pri::varchar ||
+                   '","status":"' || status ||
+                   '","time":"' || time_s || '"}}' AS properties_json,
+                   true AS parse_ok,
+                   strftime(date_trunc('second', ts), '%Y-%m-%d %H:%M:%S')
+                     AS tr_str
+            FROM l
         """,
         "q_dedup_exact": """
             SELECT md5(text) AS text_md5, min(doc_id) AS keeper_id,

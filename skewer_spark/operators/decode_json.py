@@ -173,6 +173,66 @@ def parse_gelf(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def parse_ltsv(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """LTSV (Labeled Tab-Separated Values, ltsv.org) → canonical columns.
+
+    The reference registers an LTSV decoder whose implementation is a
+    nil stub (``/root/reference/decoders/ltsv.go:5``); this goes beyond
+    parity and implements the public format: TAB-separated
+    ``label:value`` pairs, value = everything after the FIRST colon.
+    Conventional labels map onto the canonical frame (``time`` →
+    time_reported, ``host`` → hostname, ``ident`` → appname, ``pid`` →
+    procid, ``msg``/``message`` → message, optional ``pri`` → syslog
+    priority arithmetic); ALL pairs land in ``properties["ltsv"]``,
+    key-sorted so the JSON is injection-order independent.  Pure JVM
+    expressions (``str_to_map`` + map ops) — no Python, stays in
+    whole-stage codegen.
+    """
+    base, m = _materialized(
+        df, F.str_to_map(F.col(text_col), F.lit("\t"), F.lit(":"))
+    )
+    sorted_m = F.map_from_entries(
+        F.array_sort(F.map_entries(m), _by_entry_key)
+    )
+    pri = F.try_element_at(m, F.lit("pri")).cast("int")
+    ok = (
+        m.isNotNull()
+        & (F.size(m) > 0)
+        # a token with no colon parses as {token -> null}: malformed
+        & ~F.exists(F.map_values(m), lambda v: v.isNull())
+    )
+    return base.select(
+        *df.columns,
+        F.coalesce(pri, F.lit(0)).alias("priority"),
+        F.coalesce((pri / 8).cast("int"), F.lit(0)).alias("facility"),
+        F.coalesce(F.pmod(pri, F.lit(8)), F.lit(0)).alias("severity"),
+        F.lit(1).alias("version"),
+        F.to_timestamp(F.try_element_at(m, F.lit("time"))).alias("time_reported"),
+        F.coalesce(F.try_element_at(m, F.lit("host")), F.lit("")).alias("hostname"),
+        F.coalesce(F.try_element_at(m, F.lit("ident")), F.lit("")).alias("appname"),
+        F.coalesce(F.try_element_at(m, F.lit("pid")), F.lit("")).alias("procid"),
+        F.lit("").alias("msgid"),
+        F.coalesce(
+            F.try_element_at(m, F.lit("msg")),
+            F.try_element_at(m, F.lit("message")),
+            F.lit(""),
+        ).alias("message"),
+        F.when(
+            ok, F.to_json(F.create_map(F.lit("ltsv"), sorted_m))
+        ).alias("properties_json"),
+        ok.alias("parse_ok"),
+        F.lit("ltsv").alias("parser_name"),
+    )
+
+
+def _by_entry_key(a, b):
+    return (
+        F.when(a.key < b.key, F.lit(-1))
+        .when(a.key > b.key, F.lit(1))
+        .otherwise(F.lit(0))
+    )
+
+
 def parse_w3c(df: DataFrame, fields: list[str], text_col: str = "text") -> DataFrame:
     """W3C extended log: each line's values → properties['w3c'][field].
 

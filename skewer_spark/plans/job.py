@@ -195,22 +195,56 @@ def write_outputs(
         ("parse_error_counts", perr),
         ("incoming_counts", inc),
     ):
-        _write_pandas_parquet(pdf_out, os.path.join(out_dir, "agg", name, sub))
+        _write_pandas_parquet(pdf_out, os.path.join(out_dir, "agg", name, sub),
+                              _AGG_ARROW_SCHEMAS[name])
 
     n_rows = int(fc["n_messages"].sum())
     n_pass = int(fc.loc[fc["filter_status"] == "PASS", "n_messages"].sum())
     return n_rows, n_pass
 
 
-def _write_pandas_parquet(pdf, path: str) -> None:
+def _agg_arrow_schemas():
+    import pyarrow as pa
+
+    s = pa.string()
+    i = pa.int64()
+    return {
+        "filter_counts": pa.schema(
+            [("filter_status", s), ("role", s), ("n_messages", i)]
+        ),
+        "parse_error_counts": pa.schema([("parser_name", s), ("n_errors", i)]),
+        "incoming_counts": pa.schema(
+            [("role", s), ("n_messages", i), ("n_convs", i)]
+        ),
+    }
+
+
+class _LazySchemas(dict):
+    """Deferred so importing this module never needs pyarrow."""
+
+    def __missing__(self, key):
+        self.update(_agg_arrow_schemas())
+        return self[key]
+
+
+_AGG_ARROW_SCHEMAS = _LazySchemas()
+
+
+def _write_pandas_parquet(pdf, path: str, schema=None) -> None:
+    """Write a tiny driver-side partial with an EXPLICIT arrow schema.
+
+    Without it, a bucket whose partial is EMPTY (e.g. zero parse errors)
+    lets pyarrow infer a different physical type for the same column
+    than its sibling buckets, and the finalize scan fails with a parquet
+    type mismatch (hit by the 3-bucket spark-submit resume test)."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     os.makedirs(path, exist_ok=True)
-    pq.write_table(
-        pa.Table.from_pandas(pdf, preserve_index=False),
-        os.path.join(path, "part-00000.parquet"),
-    )
+    table = pa.Table.from_pandas(pdf, preserve_index=False)
+    if schema is not None:
+        table = table.select(schema.names).cast(schema)
+    pq.write_table(table, os.path.join(path, "part-00000.parquet"))
 
 
 def process_bucket(

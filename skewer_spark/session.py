@@ -46,6 +46,44 @@ def ensure_parallelism(df, min_parts: int | None = None):
     return df.repartition(want) if df.rdd.getNumPartitions() < want else df
 
 
+# sql confs applied to every session (runtime-settable, so they work
+# both from the local builder and under spark-submit)
+_SQL_TUNING = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
+    "spark.sql.autoBroadcastJoinThreshold": "64MB",
+    "spark.sql.session.timeZone": "UTC",
+}
+
+
+def submit_session(app_name: str = "skewer-job") -> SparkSession:
+    """Session for ``spark-submit`` launches (north-rule deploy shape).
+
+    Master, deploy mode, memory and ``--py-files`` distribution all come
+    from the launcher — this builder adds ONLY the pipeline's sql tuning,
+    and only for keys the operator did not already pass via ``--conf``
+    (builder configs would otherwise silently override the submit
+    command line).  Shuffle partitions default to the cluster's
+    ``defaultParallelism`` (rule of thumb for a real run:
+    total-input-bytes / 128 MB — pass ``--conf
+    spark.sql.shuffle.partitions=N``).
+    """
+    spark = SparkSession.builder.appName(app_name).getOrCreate()
+    submitted = spark.sparkContext.getConf()
+    for k, v in _SQL_TUNING.items():
+        if not submitted.contains(k):
+            spark.conf.set(k, v)
+    if not submitted.contains("spark.sql.shuffle.partitions"):
+        spark.conf.set(
+            "spark.sql.shuffle.partitions",
+            str(max(spark.sparkContext.defaultParallelism, 8)),
+        )
+    return spark
+
+
 def build_session(
     app_name: str = "skewer-spark",
     master: str | None = None,

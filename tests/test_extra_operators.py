@@ -84,6 +84,30 @@ def test_parse_w3c(spark):
     assert r.parse_ok
 
 
+def test_parse_ltsv(spark):
+    from skewer_spark.operators.decode_json import parse_ltsv
+    rows = parse_ltsv(_lines_df(spark, [
+        "time:2026-01-01T00:00:05Z\thost:h1\tident:app\tpid:42"
+        "\tpri:165\tmsg:hello k:v\tstatus:200",
+        "host:h2\tmessage:fallback label",   # msg absent → message label
+        "no colon here",                      # malformed token
+        "",
+    ])).collect()
+    r = rows[0]
+    assert (r.priority, r.facility, r.severity) == (165, 20, 5)
+    assert (r.hostname, r.appname, r.procid) == ("h1", "app", "42")
+    assert r.message == "hello k:v"          # value split at FIRST colon only
+    assert str(r.time_reported) == "2026-01-01 00:00:05"
+    props = json.loads(r.properties_json)["ltsv"]
+    assert props["status"] == "200"
+    assert list(props) == sorted(props)      # deterministic key order
+    assert r.parse_ok
+    assert rows[1].message == "fallback label" and rows[1].hostname == "h2"
+    assert rows[1].priority == 0
+    assert not rows[2].parse_ok and rows[2].properties_json is None
+    assert not rows[3].parse_ok
+
+
 # ---------------------------------------------------------------------------
 # multimodal plumbing
 # ---------------------------------------------------------------------------
