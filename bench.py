@@ -90,10 +90,16 @@ def main() -> None:
             try:
                 if warm_sf:
                     materialize(fn(spark, warm_sf))
-                # min-of-2: single samples are noise under this
-                # sandbox's 2-10x CPU-grant swings
+                # min-of-2, plus up to 2 adaptive extra samples when the
+                # best is slow: this sandbox's CPU grant swings 2-10x on
+                # a minutes timescale, and a slow window spanning both
+                # base samples otherwise records a 10x-inflated figure
+                # (observed: q_encode_avro 21.4s in-bench vs 0.7s
+                # measured standalone in a calm window)
                 best = None
-                for _ in range(2):
+                for i in range(4):
+                    if i >= 2 and best is not None and best < 4.0:
+                        break
                     t0 = time.monotonic()
                     materialize(fn(spark, SF_DIR))
                     dt = time.monotonic() - t0

@@ -65,6 +65,77 @@ def read_manifest(spark: SparkSession, out_dir: str) -> DataFrame:
     return spark.read.schema(MANIFEST_SCHEMA).parquet(manifest_path(out_dir))
 
 
+# ---------------------------------------------------------------------------
+# snapshot summaries — the Iceberg snapshot-log analog (north rule:
+# "lineage and metrics emitted per Iceberg snapshot").  One row per
+# completed run: what Iceberg records as snapshot.summary
+# ("added-records", "total-records", operation, ...) keyed by the same
+# run_id that stamps each bucket's manifest row, so snapshot → buckets →
+# sink files is a walkable lineage chain.
+# ---------------------------------------------------------------------------
+
+SNAPSHOT_SCHEMA = T.StructType([
+    T.StructField("run_id", T.StringType(), False),
+    T.StructField("parent_run_id", T.StringType(), True),
+    T.StructField("operation", T.StringType(), False),
+    T.StructField("buckets_committed", T.IntegerType(), False),
+    T.StructField("buckets_total", T.IntegerType(), False),
+    T.StructField("added_rows", T.LongType(), False),
+    T.StructField("added_pass", T.LongType(), False),
+    T.StructField("total_rows", T.LongType(), False),
+    T.StructField("wall_ms", T.LongType(), False),
+    T.StructField("committed_at_ms", T.LongType(), False),
+])
+
+
+def snapshot_path(out_dir: str) -> str:
+    return os.path.join(out_dir, "_snapshots")
+
+
+def commit_snapshot(spark: SparkSession, out_dir: str, run_id: str) -> None:
+    """Append one snapshot-summary row derived from the manifest.
+
+    ``parent_run_id`` is the previous snapshot (linear history, like
+    Iceberg's parent-snapshot-id); a resume run's snapshot therefore
+    records only the buckets IT committed as ``added_*`` while
+    ``total_rows`` covers the table."""
+    import pyspark.sql.functions as F
+
+    man = read_manifest(spark, out_dir)
+    stats = man.groupBy().agg(
+        F.sum("n_rows").alias("tot"),
+        F.sum(F.when(F.col("run_id") == run_id, F.col("n_rows"))
+              .otherwise(F.lit(0))).alias("added"),
+        F.sum(F.when(F.col("run_id") == run_id, F.col("n_pass"))
+              .otherwise(F.lit(0))).alias("added_pass"),
+        F.sum(F.when(F.col("run_id") == run_id, F.col("wall_ms"))
+              .otherwise(F.lit(0))).alias("wall"),
+        F.count("*").alias("n_total"),
+        F.sum((F.col("run_id") == run_id).cast("int")).alias("n_mine"),
+    ).collect()[0]
+    parent = None
+    try:
+        prev = read_snapshots(spark, out_dir) \
+            .orderBy(F.desc("committed_at_ms")).limit(1).collect()
+        parent = prev[0].run_id if prev else None
+    except Exception:
+        pass
+    row = [(
+        run_id, parent,
+        "append" if stats.n_mine else "noop",
+        int(stats.n_mine or 0), int(stats.n_total or 0),
+        int(stats.added or 0), int(stats.added_pass or 0),
+        int(stats.tot or 0), int(stats.wall or 0),
+        int(time.time() * 1000),
+    )]
+    spark.createDataFrame(row, SNAPSHOT_SCHEMA).coalesce(1) \
+        .write.mode("append").parquet(snapshot_path(out_dir))
+
+
+def read_snapshots(spark: SparkSession, out_dir: str) -> DataFrame:
+    return spark.read.schema(SNAPSHOT_SCHEMA).parquet(snapshot_path(out_dir))
+
+
 class Stopwatch:
     def __enter__(self):
         self.t0 = time.monotonic()

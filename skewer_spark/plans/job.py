@@ -281,6 +281,7 @@ def run_pipeline(
             raise RuntimeError(f"injected failure after {processed} buckets")
 
     finalize_aggregates(spark, out_dir)
+    ckpt.commit_snapshot(spark, out_dir, run_id)
     man = ckpt.read_manifest(spark, out_dir)
     total = man.agg(F.sum("n_rows")).collect()[0][0]
     return {"run_id": run_id, "buckets": n_buckets, "rows": int(total or 0)}

@@ -56,6 +56,18 @@ def test_crash_resume_byte_equal(spark, tmp_path):
     assert len(by_run["runA"]) == 2 and len(by_run["runB"]) == 2
     assert by_run["runA"] | by_run["runB"] == {0, 1, 2, 3}
 
+    # snapshot summary (Iceberg snapshot-log analog): the crashed run
+    # committed no snapshot; the resume's snapshot records only ITS
+    # buckets as added_* but the full table as total_rows
+    from skewer_spark.plans.checkpoint import read_snapshots
+    snaps = {s.run_id: s for s in read_snapshots(spark, out_cr).collect()}
+    assert set(snaps) == {"runB"}
+    sb = snaps["runB"]
+    assert sb.operation == "append"
+    assert sb.buckets_committed == 2 and sb.buckets_total == 4
+    assert sb.added_rows + 0 < sb.total_rows == 400
+    assert sb.parent_run_id is None
+
 
 def test_rerun_is_noop(spark, tmp_path):
     inp = str(tmp_path / "in")
@@ -69,3 +81,11 @@ def test_rerun_is_noop(spark, tmp_path):
     runs = {r.run_id for r in spark.read.parquet(f"{out}/_manifest").collect()}
     assert runs == {"r1"}
     assert _sink_fingerprint(spark, out) == fp1
+
+    # snapshot chain: r1 = append, r2 = noop child of r1
+    from skewer_spark.plans.checkpoint import read_snapshots
+    snaps = {s.run_id: s for s in read_snapshots(spark, out).collect()}
+    assert snaps["r1"].operation == "append" and snaps["r1"].added_rows == 80
+    assert snaps["r2"].operation == "noop" and snaps["r2"].added_rows == 0
+    assert snaps["r2"].parent_run_id == "r1"
+    assert snaps["r2"].total_rows == 80
