@@ -154,24 +154,31 @@ def main() -> None:
     try:
         c8.wait_ready()
         c32.wait_ready()
+        hw_pre = hw_ratio_sample()
         for k in range(PAIRS):
             # SANDWICH design: T32 before AND after the T8 run — the
             # CPU-grant drift is roughly linear on the run timescale,
             # so averaging the two T32 samples cancels it to first
             # order (a plain back-to-back pair puts the window change
-            # entirely inside the ratio)
+            # entirely inside the ratio).  The pure-CPU burn is ALSO
+            # sandwiched per pair: when the hypervisor grant collapses
+            # the burn ceiling collapses with the pipeline ratio, so
+            # eff_k = ratio_k / hw_k stays meaningful in every window.
             r32a = c32.run()
             r8 = c8.run()
             r32b = c32.run()
+            hw_post = hw_ratio_sample()
             n_rows = r8["rows"]
             t32 = (r32a["sec"] + r32b["sec"]) / 2
             ratio = r8["sec"] / t32
-            pairs.append((r8["sec"], t32, ratio))
+            hw_k = (hw_pre + hw_post) / 2
+            hw_pre = hw_post
+            hw_ratios.append(hw_k)
+            pairs.append((r8["sec"], t32, ratio, hw_k, ratio / hw_k))
             print(f"pair {k}: T8={r8['sec']} T32={t32:.2f} "
-                  f"(={r32a['sec']}/{r32b['sec']}) ratio={ratio:.2f}",
+                  f"(={r32a['sec']}/{r32b['sec']}) ratio={ratio:.2f} "
+                  f"hw={hw_k:.2f} eff={ratio / hw_k:.2f}",
                   flush=True)
-            hw_ratios.append(hw_ratio_sample())
-            print(f"pair {k}: hw ratio {hw_ratios[-1]:.2f}", flush=True)
     finally:
         c8.quit()
         c32.quit()
@@ -180,10 +187,12 @@ def main() -> None:
     best = max(pairs, key=lambda p: p[2])
     med_ratio = statistics.median(p[2] for p in pairs)
     hw = statistics.median(hw_ratios)
-    # headline = MEDIAN pair ratio (best-pair would cherry-pick a
-    # favorable weather window; the median is the defensible statistic)
+    # headline = MEDIAN of the per-pair hw-normalized efficiencies
+    # (best-pair would cherry-pick a favorable weather window; pairing
+    # each ratio with its OWN sandwiched burn ceiling keeps a
+    # grant-collapse pair from poisoning the median)
     eff_raw = med_ratio / 4.0
-    eff_hw = med_ratio / hw
+    eff_hw = statistics.median(p[4] for p in pairs)
     print(f"best pair: T8={best[0]} T32={best[1]:.2f} ratio={best[2]:.2f}")
     print(f"median ratio={med_ratio:.2f}  hw median={hw:.2f}")
     print(f"efficiency (median) raw={eff_raw:.3f} hw-normalized={eff_hw:.3f}")
@@ -191,9 +200,40 @@ def main() -> None:
     stamp = time.strftime("%Y-%m-%d %H:%M UTC", time.gmtime())
     rows_fmt = f"{n_rows:,}" if n_rows else "?"
     pair_rows = "\n".join(
-        f"| {k} | {p[0]:.2f} | {p[1]:.2f} | {p[2]:.2f} |"
+        f"| {k} | {p[0]:.2f} | {p[1]:.2f} | {p[2]:.2f} | {p[3]:.2f} "
+        f"| {p[4]:.2f} |"
         for k, p in enumerate(pairs)
     )
+
+    bench_md = os.path.join(REPO, "BENCH.md")
+    existing = "# BENCH — skewer_spark throughput\n"
+    history: list[str] = []
+    if os.path.exists(bench_md):
+        existing = open(bench_md).read()
+        cut = existing.find("## Scaling evidence")
+        if cut >= 0:
+            old_section = existing[cut:]
+            existing = existing[:cut].rstrip() + "\n"
+            # carry forward the run-history bullets of earlier sessions
+            in_hist = False
+            for line in old_section.splitlines():
+                if line.startswith("### Run history"):
+                    in_hist = True
+                elif line.startswith("#"):
+                    in_hist = False
+                elif in_hist and line.startswith("* "):
+                    history.append(line)
+                elif in_hist and history and line.startswith("  ") \
+                        and line.strip():
+                    history[-1] += "\n" + line
+    history.append(
+        f"* {stamp}: {len(pairs)} pairs on {rows_fmt} turns — median "
+        f"ratio {med_ratio:.2f}, median burn ceiling {hw:.2f}, "
+        f"hw-normalized eff **{eff_hw:.2f}** "
+        f"(per-pair eff: {', '.join(f'{p[4]:.2f}' for p in pairs)})"
+    )
+    hist_block = "\n".join(history)
+
     section = f"""
 ## Scaling evidence (local[8] vs local[32], {stamp})
 
@@ -203,12 +243,15 @@ aggregates) on the identical {rows_fmt}-turn deterministic transcript
 table.  Two resident warmed JVMs run back-to-back PAIRS so each pair
 samples the same ambient-CPU window (this VM's effective CPU grant
 fluctuates by ~2x on a minutes timescale — unpaired numbers are noise).
-A pure-CPU calibration burn between pairs measures the box's hardware
-8→32 ceiling (median **{hw:.2f}x**; SMT + shared memory bandwidth keep
-it below the nominal 4x on any single box).
+A pure-CPU calibration burn is sandwiched around every pair and
+measures that window's hardware 8→32 ceiling `hw` (SMT + shared memory
+bandwidth keep it below the nominal 4x on any single box; a hypervisor
+grant collapse drags burn and pipeline down TOGETHER, so the per-pair
+normalized efficiency `eff = ratio / hw` stays meaningful in every
+window).
 
-| pair | T_8 (s) | T_32 (s) | ratio |
-|---|---|---|---|
+| pair | T_8 (s) | T_32 (s) | ratio | hw | eff |
+|---|---|---|---|---|---|
 {pair_rows}
 
 (T_32 is the mean of the two sandwich samples around each T_8 run —
@@ -217,23 +260,24 @@ linear CPU-grant drift cancels to first order.)
 Best pair: T_8={best[0]:.2f}s ({round((n_rows or 0)/best[0]):,} turns/s) vs
 T_32={best[1]:.2f}s ({round((n_rows or 0)/best[1]):,} turns/s).
 
-Headline statistic = the MEDIAN pair ratio **{med_ratio:.2f}** (best
-pair {best[2]:.2f} reported for transparency, not used):
+Headline statistic = the MEDIAN per-pair hw-normalized efficiency
+(median raw ratio **{med_ratio:.2f}**, best pair {best[2]:.2f} reported
+for transparency, not used):
 
-* raw efficiency  = median / 4      = **{eff_raw:.3f}**
-* hw-normalized   = median / {hw:.2f}   = **{eff_hw:.3f}**  (target ≥ 0.8)
+* raw efficiency  = median ratio / 4  = **{eff_raw:.3f}**
+* hw-normalized   = median eff        = **{eff_hw:.3f}**  (target ≥ 0.8)
 
 On a real 4N-executor cluster the memory buses and disks scale out with
 the executors; the hw-normalized figure is the sandbox-faithful
 estimate for that setting.
+
+### Run history
+
+All scaling sessions ever run, oldest first (the section above always
+shows the LATEST run; this list is carried forward verbatim):
+
+{hist_block}
 """
-    bench_md = os.path.join(REPO, "BENCH.md")
-    existing = "# BENCH — skewer_spark throughput\n"
-    if os.path.exists(bench_md):
-        existing = open(bench_md).read()
-        cut = existing.find("## Scaling evidence")
-        if cut >= 0:
-            existing = existing[:cut].rstrip() + "\n"
     with open(bench_md, "w") as f:
         f.write(existing + section)
     print(f"wrote {bench_md}")
