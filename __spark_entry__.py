@@ -645,8 +645,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return fingerprint_dedup(docs)
 
     def q_minhash_lsh(spark, sf):
+        # bucket_cap=64: the 100 TB guard against quadratic blow-up in a
+        # degenerate bucket (this corpus's buckets are dup-dense, so the
+        # cap is actually exercised here — the oracle mirrors it with a
+        # row_number() QUALIFY)
         docs = _read(spark, sf, "documents")
-        return minhash_candidate_pairs(docs)
+        return minhash_candidate_pairs(docs, bucket_cap=64)
 
     def q_ngram_jaccard(spark, sf):
         from skewer_spark.operators.dedup import ngram_jaccard_pairs
@@ -1473,9 +1477,14 @@ def oracle_sql() -> dict[str, str]:
       SELECT doc_id, 2, md5(mh_4 || '|' || mh_5) FROM sigs
       UNION ALL
       SELECT doc_id, 3, md5(mh_6 || '|' || mh_7) FROM sigs
+    ), capped AS (
+      -- bucket_cap=64 mirror: keep each bucket's 64 lowest doc_ids
+      SELECT doc_id, band_id, band_key FROM buckets
+      QUALIFY row_number() OVER (
+        PARTITION BY band_id, band_key ORDER BY doc_id) <= 64
     )
     SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-    FROM buckets a JOIN buckets b USING (band_id, band_key)
+    FROM capped a JOIN capped b USING (band_id, band_key)
     WHERE a.doc_id < b.doc_id
     """
 

@@ -13,7 +13,10 @@ each stage shrinks the candidate set for the next:
    DuckDB oracle can reproduce signatures bit-for-bit (Spark xxhash64
    has no DuckDB twin).  The band join is a self-join on the band
    signature: Catalyst turns it into a shuffled hash join keyed on tiny
-   strings; no O(n²) pair scan ever materializes.
+   strings; no O(n²) pair scan ever materializes, and ``bucket_cap``
+   bounds a degenerate bucket's join output at cap² (see
+   :func:`_band_pairs` for why dedup keeps its transitive closure
+   anyway).
 4. **SimHash** — 64-bit sign-sum signature carried as two 32-bit
    halves (``sig_hi``, ``sig_lo``), token bits from md5 so the DuckDB
    oracle reproduces signatures exactly (xxhash64 would be ~2× faster
@@ -29,7 +32,7 @@ Embedding near-dup lives in operators/similarity.py.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -141,7 +144,9 @@ def minhash_lsh_buckets(
     return un
 
 
-def _band_pairs(buckets: DataFrame, id_col: str) -> DataFrame:
+def _band_pairs(
+    buckets: DataFrame, id_col: str, bucket_cap: int | None = None
+) -> DataFrame:
     """Distinct (a<b) pairs sharing a band bucket — a shuffled hash
     self-join on small keys, never an all-pairs scan.
 
@@ -151,8 +156,25 @@ def _band_pairs(buckets: DataFrame, id_col: str) -> DataFrame:
     *output* is quadratic in duplicate-group size (every dup class of
     B docs emits B² candidate rows per matching band) — exactly the
     stage that must stay wide.  Both sides share one exchange
-    (ReusedExchange), so the explicit repartition costs nothing."""
+    (ReusedExchange), so the explicit repartition costs nothing.
+
+    ``bucket_cap`` deterministically truncates each (band, band_key)
+    bucket to its ``cap`` lowest ids (``row_number``) BEFORE the
+    self-join, bounding per-bucket join output at cap² — the guard that
+    keeps one degenerate bucket (boilerplate text shared by millions of
+    docs) from going quadratic at 10^12 docs.  Dedup recall inside a
+    jumbo bucket is what the cap trades away, and for DEDUP that is the
+    right trade: the capped members still pair with the bucket's
+    canonical (lowest-id) survivors, so the transitive closure
+    (:func:`dedup_clusters`) still merges the bucket into one cluster."""
     n = buckets.sparkSession.sparkContext.defaultParallelism
+    if bucket_cap is not None:
+        w = Window.partitionBy("band_id", "band_key").orderBy(id_col)
+        buckets = (
+            buckets.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= bucket_cap)
+            .drop("_rn")
+        )
     buckets = buckets.repartition(n, "band_id", "band_key")
     a = buckets.alias("a")
     b = buckets.alias("b")
@@ -179,13 +201,20 @@ def minhash_candidate_pairs(
     id_col: str = "doc_id",
     bands: int = 4,
     rows_per_band: int = 2,
+    bucket_cap: int | None = None,
 ) -> DataFrame:
-    """Distinct candidate near-dup pairs (a<b) from LSH banding."""
+    """Distinct candidate near-dup pairs (a<b) from LSH banding.
+
+    The 100 TB configuration is ``bands=16, rows_per_band=8`` (128
+    hashes — S-curve threshold ≈ (1/16)^(1/8) ≈ 0.71 Jaccard) with
+    ``bucket_cap`` set (see :func:`_band_pairs`); the 8-hash default
+    here keeps the DuckDB oracle's column list reviewable."""
     sigs = minhash_signatures(
         df, text_col, id_col, n_hashes=bands * rows_per_band
     )
     return _band_pairs(
-        minhash_lsh_buckets(sigs, id_col, bands, rows_per_band), id_col
+        minhash_lsh_buckets(sigs, id_col, bands, rows_per_band), id_col,
+        bucket_cap,
     )
 
 
@@ -197,6 +226,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     bands: int = 4,
     rows_per_band: int = 2,
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """LSH-propose, exactly-verify near-dup pairs on word n-grams.
 
@@ -223,7 +253,8 @@ def ngram_jaccard_pairs(
     )
     sigs = _signatures_from_tokens(sh, id_col, bands * rows_per_band)
     cands = _band_pairs(
-        minhash_lsh_buckets(sigs, id_col, bands, rows_per_band), id_col
+        minhash_lsh_buckets(sigs, id_col, bands, rows_per_band), id_col,
+        bucket_cap,
     )
     # 8-char prefix: the md5 already collision-guards per doc (shingles
     # are distinct pre-hash); 32 bits keep the arrays narrow on the wire
@@ -388,6 +419,11 @@ def simhash_candidate_pairs(
             ])
         ).alias("e"),
     ).select(id_col, "sig_hi", "sig_lo", "e.band_id", "e.band_key")
+    # fixed-width co-partitioned self-join: AQE sizes partitions by the
+    # tiny bucket-row input and would coalesce the (quadratic-output)
+    # join to one task — same trap as _band_pairs; one reused exchange
+    n = buckets.sparkSession.sparkContext.defaultParallelism
+    buckets = buckets.repartition(n, "band_id", "band_key")
     a = buckets.select(
         F.col(id_col).alias("id_a"), F.col("sig_hi").alias("hi_a"),
         F.col("sig_lo").alias("lo_a"), "band_id", "band_key",

@@ -383,3 +383,25 @@ def test_ngram_jaccard_pairs(spark):
     assert out[(2, 4)] == 0.75
     # disjoint and sub-n docs never pair
     assert not any(3 in p or 5 in p for p in out)
+
+
+def test_minhash_bucket_cap_bounds_pairs(spark):
+    from skewer_spark.operators.dedup import minhash_candidate_pairs
+
+    # 12 identical docs: every band puts all 12 in one bucket
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta") for i in range(12)],
+        "doc_id int, text string",
+    )
+    uncapped = minhash_candidate_pairs(docs).collect()
+    assert len(uncapped) == 12 * 11 // 2
+
+    capped = minhash_candidate_pairs(docs, bucket_cap=4).collect()
+    # only the 4 lowest ids survive per bucket → C(4,2) pairs
+    assert sorted((r.id_a, r.id_b) for r in capped) == [
+        (a, b) for a in range(4) for b in range(a + 1, 4)
+    ]
+
+    # cap larger than any bucket is a no-op
+    wide = minhash_candidate_pairs(docs, bucket_cap=100).collect()
+    assert len(wide) == len(uncapped)
