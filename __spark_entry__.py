@@ -895,6 +895,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "contaminated",
         )
 
+    def q_curation(spark, sf):
+        # composite curation verdict: exact-dedup keeper + lang gate +
+        # quality gate + decontamination, first failing rule = reason
+        # (bench split mirrors q_decontam: doc_id ≡ 0 mod 10 is eval)
+        from skewer_spark.operators.curate import curation_decisions
+        docs = _read(spark, sf, "documents")
+        bench = docs.filter(F.col("doc_id") % 10 == 0)
+        rest = docs.filter(F.col("doc_id") % 10 != 0)
+        return curation_decisions(rest, bench)
+
     def q_image_decode(spark, sf):
         # REAL image codec check: build a 4×2 P6 PPM per event in pure
         # expressions (pixel i = (event_id*7+i) % 256), decode with the
@@ -1037,6 +1047,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pii_redact": q_pii_redact,
         "q_repetition": q_repetition,
         "q_decontam": q_decontam,
+        "q_curation": q_curation,
         "q_image_decode": q_image_decode,
         "q_audio_decode": q_audio_decode,
         "q_asof_enrich": q_asof_enrich,
@@ -2023,6 +2034,66 @@ def oracle_sql() -> dict[str, str]:
               (coalesce(m.n_matched, 0)::DOUBLE /
                     greatest(n_shingles, 1)) >= 0.1 AS contaminated
             FROM docs LEFT JOIN m ON docs.doc_id = m.doc_id
+        """,
+        "q_curation": """
+            WITH w AS (
+              SELECT doc_id, text, string_split(text, ' ') AS toks
+              FROM documents
+            ), sh AS (
+              SELECT doc_id,
+                list_distinct(CASE WHEN len(toks) >= 3 THEN
+                  list_transform(generate_series(0, len(toks) - 3),
+                    i -> array_to_string(toks[i+1:i+3], ' '))
+                ELSE CAST([] AS VARCHAR[]) END) AS shingles
+              FROM w
+            ), bench AS (
+              SELECT DISTINCT unnest(shingles) AS shingle FROM sh
+              WHERE doc_id % 10 = 0
+            ), docs AS (
+              SELECT w.doc_id, w.text, w.toks, sh.shingles,
+                     len(sh.shingles) AS n_shingles
+              FROM w JOIN sh USING (doc_id) WHERE w.doc_id % 10 <> 0
+            ), m AS (
+              SELECT d.doc_id, count(*) AS n_matched
+              FROM (SELECT doc_id, unnest(shingles) AS shingle FROM docs) d
+              JOIN bench USING (shingle) GROUP BY d.doc_id
+            ), scored AS (
+              SELECT docs.doc_id,
+                min(docs.doc_id) OVER (PARTITION BY md5(docs.text))
+                  AS keeper_id,
+                CASE WHEN strpos(text, ' the ') > 0 THEN 'en'
+                     WHEN strpos(text, ' el ') > 0 THEN 'es'
+                     WHEN strpos(text, ' le ') > 0 THEN 'fr'
+                     WHEN strpos(text, ' der ') > 0 THEN 'de'
+                     ELSE 'unk' END AS lang,
+                round(
+                  CASE WHEN length(text) >= 100 THEN 0.5
+                       ELSE length(text) / 200.0 END
+                  + CASE WHEN length(regexp_replace(text, '[^.,;:!?]',
+                              '', 'g'))::DOUBLE
+                              / length(text)::DOUBLE <= 0.1
+                         THEN 0.25 ELSE 0.0 END
+                  + CASE WHEN len(list_filter(toks,
+                            x -> x IN ('the','a','of','and','to','in',
+                                       'is','it')))::DOUBLE
+                              / len(toks)::DOUBLE >= 0.05
+                         THEN 0.25 ELSE 0.0 END, 4) AS quality,
+                coalesce(m.n_matched, 0)::DOUBLE
+                  / greatest(n_shingles, 1) AS frac
+              FROM docs LEFT JOIN m ON docs.doc_id = m.doc_id
+            ), dec AS (
+              SELECT doc_id, keeper_id, lang, quality,
+                round(frac, 4) AS overlap_frac,
+                CASE WHEN doc_id <> keeper_id THEN 'duplicate'
+                     WHEN lang <> 'en' THEN 'language'
+                     WHEN quality < 0.75 THEN 'low_quality'
+                     WHEN frac >= 0.1 THEN 'contaminated'
+                     ELSE 'kept' END AS reason
+              FROM scored
+            )
+            SELECT doc_id, keeper_id, lang, quality, overlap_frac,
+                   reason, (reason = 'kept') AS keep
+            FROM dec
         """,
         "q_image_decode": """
             -- recompute channel sums arithmetically (pixel i of the

@@ -405,3 +405,33 @@ def test_minhash_bucket_cap_bounds_pairs(spark):
     # cap larger than any bucket is a no-op
     wide = minhash_candidate_pairs(docs, bucket_cap=100).collect()
     assert len(wide) == len(uncapped)
+
+
+def test_curation_decisions_reason_priority(spark):
+    from skewer_spark.operators.curate import curation_decisions
+
+    good = ("the quick brown fox jumps over the lazy dog and then it "
+            "runs to the old stone bridge in the misty morning light")
+    docs = spark.createDataFrame(
+        [
+            (1, good),                                        # kept
+            (2, good),                                        # duplicate of 1
+            (3, "hola el gato come pescado en la casa grande"),  # language
+            (4, "aa the bb!!!???"),                           # low_quality
+            (5, "the river flows past the village and it turns near "
+                "the mill alpha beta gamma delta epsilon zeta"),  # contaminated
+        ],
+        "doc_id int, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta eta theta")],
+        "doc_id int, text string",
+    )
+    rows = {r.doc_id: r for r in curation_decisions(docs, bench).collect()}
+    assert {i: rows[i].reason for i in range(1, 6)} == {
+        1: "kept", 2: "duplicate", 3: "language",
+        4: "low_quality", 5: "contaminated",
+    }
+    assert rows[1].keep and not any(rows[i].keep for i in (2, 3, 4, 5))
+    assert rows[2].keeper_id == 1
+    assert rows[5].overlap_frac == 0.25
