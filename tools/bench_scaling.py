@@ -9,12 +9,14 @@ of minutes, so unpaired measurements are noise.  Protocol:
   warmed) run the identical pipeline on identical input in alternating
   back-to-back PAIRS — each pair samples the same weather window;
 * per-pair ratio r_k = T8_k / T32_k; report the median and best pair;
-* a pure-CPU burn sandwiched around every pair calibrates that
-  window's hardware ceiling for 8→32 (SMT / shared memory bandwidth
-  ≈ 3-3.5x, never the nominal 4x);
-* efficiency raw = r/4, hw-normalized = r/hw_k (the sandbox-faithful
-  estimate of a real 4N-executor cluster, which has independent
-  memory buses);
+* TWO burns sandwiched around every pair calibrate that window's
+  hardware ceilings for 8→32: a cache-resident ALU burn (upper,
+  ≈ 3-3.5x) and a 64 MB/proc streaming burn (lower, ≈ 2x — shared
+  memory buses saturate first); a shuffle-heavy pipeline sits
+  between, so the true efficiency is bracketed per pair;
+* efficiency raw = r/4, hw-normalized = r/hw_k (conservative: uses
+  the ALU ceiling; a real 4N-executor cluster has independent memory
+  buses per executor, so its efficiency sits inside the bracket);
 * COHERENCE criterion (pre-registered, not outcome-based): a pair is
   valid only if its two T_32 sandwich samples agree within 1.35x and
   its two burn samples agree within 1.35x — disagreement is direct
@@ -93,14 +95,39 @@ def _burn(n: int) -> int:
     return x
 
 
-def hw_ratio_sample(work: int = 3_000_000) -> float:
+def _memburn(n: int) -> float:
+    # streaming traversal of an array far larger than L3: measures the
+    # box's MEMORY-BANDWIDTH scaling, the other end of the ceiling
+    # bracket (the pure-Python burn above is cache-resident / ALU-bound)
+    import numpy as np
+
+    a = np.arange(n, dtype=np.float64)
+    s = 0.0
+    for _ in range(3):
+        s += float(a.sum())
+        a += 1.0
+    return s
+
+
+def _pool_ratio(fn, work: int, reps: int = 3) -> float:
     rates = {}
     for procs in (8, 32):
         t0 = time.monotonic()
         with mp.Pool(procs) as p:
-            p.map(_burn, [work] * procs * 3)
-        rates[procs] = (procs * 3 * work) / (time.monotonic() - t0)
+            p.map(fn, [work] * procs * reps)
+        rates[procs] = (procs * reps * work) / (time.monotonic() - t0)
     return rates[32] / rates[8]
+
+
+def hw_ratio_sample(work: int = 3_000_000) -> float:
+    """8→32 scaling of a cache-resident ALU burn (upper ceiling)."""
+    return _pool_ratio(_burn, work)
+
+
+def hw_mem_ratio_sample(work: int = 8_000_000) -> float:
+    """8→32 scaling of a 64 MB/proc streaming burn (lower ceiling —
+    shared memory buses saturate long before 32 threads)."""
+    return _pool_ratio(_memburn, work)
 
 
 class Child:
@@ -165,6 +192,7 @@ def main() -> None:
         c8.wait_ready()
         c32.wait_ready()
         hw_pre = hw_ratio_sample()
+        mem_pre = hw_mem_ratio_sample()
         k = 0
         while k < MAX_ATTEMPTS and sum(1 for p in pairs if p[5]) < PAIRS:
             # SANDWICH design: T32 before AND after the T8 run — the
@@ -181,20 +209,24 @@ def main() -> None:
             r8 = c8.run()
             r32b = c32.run()
             hw_post = hw_ratio_sample()
+            mem_post = hw_mem_ratio_sample()
             n_rows = r8["rows"]
             t32 = (r32a["sec"] + r32b["sec"]) / 2
             ratio = r8["sec"] / t32
             hw_k = (hw_pre + hw_post) / 2
+            mem_k = (mem_pre + mem_post) / 2
             t32_spread = max(r32a["sec"], r32b["sec"]) / max(
                 1e-9, min(r32a["sec"], r32b["sec"]))
             hw_spread = max(hw_pre, hw_post) / min(hw_pre, hw_post)
             ok = t32_spread <= COHERENCE and hw_spread <= COHERENCE
-            hw_pre = hw_post
+            hw_pre, mem_pre = hw_post, mem_post
             hw_ratios.append(hw_k)
-            pairs.append((r8["sec"], t32, ratio, hw_k, ratio / hw_k, ok))
+            pairs.append((r8["sec"], t32, ratio, hw_k, ratio / hw_k, ok,
+                          mem_k, ratio / mem_k))
             print(f"pair {k}: T8={r8['sec']} T32={t32:.2f} "
                   f"(={r32a['sec']}/{r32b['sec']}) ratio={ratio:.2f} "
                   f"hw={hw_k:.2f} eff={ratio / hw_k:.2f} "
+                  f"mem={mem_k:.2f} eff_mem={ratio / mem_k:.2f} "
                   f"{'ok' if ok else 'INCOHERENT'}",
                   flush=True)
             k += 1
@@ -214,6 +246,8 @@ def main() -> None:
     # no information about the code)
     eff_raw = med_ratio / 4.0
     eff_hw = statistics.median(p[4] for p in good)
+    eff_mem = statistics.median(p[7] for p in good)
+    med_mem = statistics.median(p[6] for p in good)
     print(f"coherent pairs: {n_good}/{len(pairs)}")
     print(f"best pair: T8={best[0]} T32={best[1]:.2f} ratio={best[2]:.2f}")
     print(f"median ratio={med_ratio:.2f}  hw median={hw:.2f}")
@@ -223,7 +257,7 @@ def main() -> None:
     rows_fmt = f"{n_rows:,}" if n_rows else "?"
     pair_rows = "\n".join(
         f"| {k} | {p[0]:.2f} | {p[1]:.2f} | {p[2]:.2f} | {p[3]:.2f} "
-        f"| {p[4]:.2f} | {'✓' if p[5] else '✗'} |"
+        f"| {p[6]:.2f} | {p[4]:.2f} | {p[7]:.2f} | {'✓' if p[5] else '✗'} |"
         for k, p in enumerate(pairs)
     )
 
@@ -250,8 +284,9 @@ def main() -> None:
                     history[-1] += "\n" + line
     history.append(
         f"* {stamp}: {n_good}/{len(pairs)} coherent pairs on {rows_fmt} "
-        f"turns — median ratio {med_ratio:.2f}, median burn ceiling "
-        f"{hw:.2f}, hw-normalized eff **{eff_hw:.2f}** (per-pair eff: "
+        f"turns — median ratio {med_ratio:.2f}, ALU/bandwidth ceilings "
+        f"{hw:.2f}/{med_mem:.2f}, eff bracket "
+        f"**[{eff_hw:.2f}, {eff_mem:.2f}]** (per-pair eff: "
         + ", ".join(
             f"{p[4]:.2f}" + ("" if p[5] else "✗") for p in pairs
         )
@@ -280,8 +315,16 @@ nonlinearly INSIDE the pair, so that pair measured the hypervisor, not
 the code; sampling continues until {PAIRS} coherent pairs exist (max
 {MAX_ATTEMPTS} attempts).
 
-| pair | T_8 (s) | T_32 (s) | ratio | hw | eff | coherent |
-|---|---|---|---|---|---|---|
+TWO ceilings bracket the truth: `hw` is a cache-resident ALU burn
+(upper ceiling — assumes the pipeline is pure CPU), `mem` a
+64 MB/proc streaming burn (lower ceiling — assumes it is pure memory
+bandwidth; shared buses saturate well before 32 threads).  A
+shuffle/scan-heavy Spark pipeline sits between, so per pair the true
+efficiency lies in [`eff` = ratio/hw, `eff_mem` = ratio/mem].  The
+HEADLINE uses the conservative end (`eff`).
+
+| pair | T_8 (s) | T_32 (s) | ratio | hw | mem | eff | eff_mem | coherent |
+|---|---|---|---|---|---|---|---|---|
 {pair_rows}
 
 (T_32 is the mean of the two sandwich samples around each T_8 run —
@@ -296,11 +339,15 @@ the {n_good}/{len(pairs)} coherent pairs (median raw ratio
 transparency, not used):
 
 * raw efficiency  = median ratio / 4  = **{eff_raw:.3f}**
-* hw-normalized   = median eff        = **{eff_hw:.3f}**  (target ≥ 0.8)
+* hw-normalized   = median eff        = **{eff_hw:.3f}**  (target ≥ 0.8;
+  conservative lower bound — ALU ceiling {hw:.2f})
+* mem-normalized  = median eff_mem    = **{eff_mem:.3f}**  (upper bound —
+  bandwidth ceiling {med_mem:.2f})
 
 On a real 4N-executor cluster the memory buses and disks scale out with
-the executors; the hw-normalized figure is the sandbox-faithful
-estimate for that setting.
+the executors (each executor brings its own), so the single-box
+bandwidth ceiling does not apply there; the true cluster efficiency
+sits inside [{eff_hw:.2f}, {eff_mem:.2f}].
 
 ### Run history
 
