@@ -1,0 +1,84 @@
+"""Physical-plan assertions: the scale properties PLANS.md claims.
+
+These are regression guards, not correctness tests — each pins a plan
+shape that silently degrades at 100 TB if lost:
+
+* enrich joins its dictionaries with BROADCAST hash joins (a shuffle
+  here would re-key the full corpus four times);
+* the LSH band self-joins keep their EXPLICIT fixed-width exchange on
+  the band key (without it AQE coalesces the quadratic-output join to
+  one task — the trap documented in PLANS.md);
+* parquet scans push filters and prune columns (a scan that reads all
+  columns for a 2-column projection re-reads the corpus).
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+from pyspark.sql import functions as F
+
+
+def _plan(df, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+def _docs(spark, n=50):
+    return spark.createDataFrame(
+        [(i, f"alpha beta gamma delta doc {i % 7}") for i in range(n)],
+        "doc_id int, text string",
+    )
+
+
+def test_enrich_dictionary_joins_are_broadcast(spark):
+    from skewer_spark.operators.enrich import enrich
+    from skewer_spark.operators.parse import parse_transcripts
+    from skewer_spark.synth import transcripts_df
+
+    routed = enrich(parse_transcripts(transcripts_df(spark, 4, 10)).drop("text"))
+    plan = _plan(routed)
+    assert "BroadcastHashJoin" in plan
+    # no dictionary join may fall back to a shuffle join
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
+
+
+def test_minhash_band_join_keeps_explicit_exchange(spark):
+    from skewer_spark.operators.dedup import minhash_candidate_pairs
+
+    plan = _plan(minhash_candidate_pairs(_docs(spark)))
+    # the fixed-width co-partitioned exchange on the band key must
+    # survive (REPARTITION_BY_NUM defeats AQE's input-sized coalesce)
+    assert "REPARTITION_BY_NUM" in plan
+    assert "band_key" in plan
+
+
+def test_embedding_band_join_keeps_explicit_exchange(spark):
+    from skewer_spark.operators.similarity import cosine_pairs_above
+
+    emb = spark.createDataFrame(
+        [(i, [float(i % 5), 1.0, -1.0, float(i % 3)]) for i in range(40)],
+        "vec_id int, embedding array<double>",
+    )
+    plan = _plan(cosine_pairs_above(emb, threshold=0.5, dim=4))
+    assert "REPARTITION_BY_NUM" in plan
+    assert "bucket" in plan
+
+
+def test_parquet_scan_pushes_filters_and_prunes_columns(spark, tmp_path):
+    p = str(tmp_path / "docs.parquet")
+    _docs(spark, 200).write.parquet(p)
+    q = (
+        spark.read.parquet(p)
+        .filter(F.col("doc_id") > 100)
+        .select("doc_id")
+    )
+    plan = _plan(q)
+    assert "PushedFilters: [IsNotNull(doc_id), GreaterThan(doc_id,100)]" in plan
+    # column pruning: the scan schema must not include text
+    scan = plan[plan.index("ReadSchema"):].splitlines()[0]
+    assert "text" not in scan and "doc_id" in scan
