@@ -1489,13 +1489,15 @@ def oracle_sql() -> dict[str, str]:
       UNION ALL
       SELECT doc_id, 3, md5(mh_6 || '|' || mh_7) FROM sigs
     ), capped AS (
-      -- bucket_cap=64 mirror: keep each bucket's 64 lowest doc_ids
+      -- bucket_cap=64 mirror: each bucket's 64 lowest doc_ids form the
+      -- survivor side; the OTHER join side stays uncapped so every
+      -- member still pairs with the survivors (|bucket|*cap output)
       SELECT doc_id, band_id, band_key FROM buckets
       QUALIFY row_number() OVER (
         PARTITION BY band_id, band_key ORDER BY doc_id) <= 64
     )
     SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-    FROM capped a JOIN capped b USING (band_id, band_key)
+    FROM capped a JOIN buckets b USING (band_id, band_key)
     WHERE a.doc_id < b.doc_id
     """
 

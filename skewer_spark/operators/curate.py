@@ -12,13 +12,15 @@ Every rule is a deterministic pure expression or an already-oracled
 operator, so the whole decision has an exact ANSI-SQL twin (DuckDB
 oracle ``q_curation`` in ``__spark_entry__.py``).
 
-Scale shape: language + quality are narrow codegen expressions; the
-dedup keeper is ONE shuffle partitioned on ``md5(text)`` (tiny keys,
-never the text bytes — same trick as ``dedup.exact_dedup``); the
-contamination leg reuses :func:`~skewer_spark.operators.decontaminate.
-contamination_report` (broadcast benchmark shingles, doc bytes never
-shuffle) and comes back as an id-keyed narrow frame.  Total: two
-shuffles regardless of corpus size, both on compact keys.
+Scale shape: language + quality are narrow codegen expressions
+(Catalyst pushes them below the exchanges, so text bytes never ride a
+shuffle); the dedup keeper is one exchange partitioned on
+``md5(text)``; the contamination leg reuses
+:func:`~skewer_spark.operators.decontaminate.contamination_report`
+(broadcast benchmark shingles) and joins back on id, which costs one
+id-keyed exchange per join side.  Total: three corpus-sized exchanges
+(md5 window + the two sides of the id join), all of narrow
+score/flag rows on compact keys — verified on the physical plan.
 """
 
 from __future__ import annotations

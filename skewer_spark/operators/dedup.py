@@ -14,9 +14,10 @@ each stage shrinks the candidate set for the next:
    has no DuckDB twin).  The band join is a self-join on the band
    signature: Catalyst turns it into a shuffled hash join keyed on tiny
    strings; no O(n²) pair scan ever materializes, and ``bucket_cap``
-   bounds a degenerate bucket's join output at cap² (see
-   :func:`_band_pairs` for why dedup keeps its transitive closure
-   anyway).
+   bounds a degenerate bucket's join output at |bucket|·cap (see
+   :func:`_band_pairs`: the cap applies to ONE join side, so every
+   member still pairs with the survivors and the transitive closure
+   is preserved).
 4. **SimHash** — 64-bit sign-sum signature carried as two 32-bit
    halves (``sig_hi``, ``sig_lo``), token bits from md5 so the DuckDB
    oracle reproduces signatures exactly (xxhash64 would be ~2× faster
@@ -158,25 +159,28 @@ def _band_pairs(
     stage that must stay wide.  Both sides share one exchange
     (ReusedExchange), so the explicit repartition costs nothing.
 
-    ``bucket_cap`` deterministically truncates each (band, band_key)
-    bucket to its ``cap`` lowest ids (``row_number``) BEFORE the
-    self-join, bounding per-bucket join output at cap² — the guard that
-    keeps one degenerate bucket (boilerplate text shared by millions of
-    docs) from going quadratic at 10^12 docs.  Dedup recall inside a
-    jumbo bucket is what the cap trades away, and for DEDUP that is the
-    right trade: the capped members still pair with the bucket's
-    canonical (lowest-id) survivors, so the transitive closure
-    (:func:`dedup_clusters`) still merges the bucket into one cluster."""
+    ``bucket_cap`` deterministically caps ONE side of the self-join at
+    each bucket's ``cap`` lowest ids (``row_number``): every member —
+    capped-out or not — still pairs with the bucket's lowest-id
+    survivors, so per-bucket join output is bounded at |bucket|·cap
+    instead of |bucket|² (the guard that keeps one degenerate bucket —
+    boilerplate text shared by millions of docs — from going quadratic
+    at 10^12 docs) while the transitive closure
+    (:func:`dedup_clusters`) still merges the whole bucket into one
+    cluster through the survivors.  What the cap trades away is only
+    survivor-to-survivor completeness BEYOND the cap set — pairs among
+    capped-out members — which dedup never needs."""
     n = buckets.sparkSession.sparkContext.defaultParallelism
+    buckets = buckets.repartition(n, "band_id", "band_key")
+    a = buckets
     if bucket_cap is not None:
         w = Window.partitionBy("band_id", "band_key").orderBy(id_col)
-        buckets = (
+        a = (
             buckets.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") <= bucket_cap)
             .drop("_rn")
         )
-    buckets = buckets.repartition(n, "band_id", "band_key")
-    a = buckets.alias("a")
+    a = a.alias("a")
     b = buckets.alias("b")
     return (
         a.join(

@@ -397,10 +397,12 @@ def test_minhash_bucket_cap_bounds_pairs(spark):
     assert len(uncapped) == 12 * 11 // 2
 
     capped = minhash_candidate_pairs(docs, bucket_cap=4).collect()
-    # only the 4 lowest ids survive per bucket → C(4,2) pairs
-    assert sorted((r.id_a, r.id_b) for r in capped) == [
-        (a, b) for a in range(4) for b in range(a + 1, 4)
-    ]
+    # one-sided cap: survivors {0..3} pair among themselves (C(4,2))
+    # and every capped-out member pairs with all 4 survivors — the
+    # closure still reaches every doc through the survivors
+    expect = [(a, b) for a in range(4) for b in range(a + 1, 12)]
+    assert sorted((r.id_a, r.id_b) for r in capped) == sorted(expect)
+    assert {r.id_b for r in capped} | {r.id_a for r in capped} == set(range(12))
 
     # cap larger than any bucket is a no-op
     wide = minhash_candidate_pairs(docs, bucket_cap=100).collect()

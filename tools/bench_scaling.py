@@ -43,8 +43,9 @@ import tempfile
 import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-PAIRS = int(os.environ.get("SKEWER_SCALING_PAIRS", "4"))
-MAX_ATTEMPTS = int(os.environ.get("SKEWER_SCALING_MAX_ATTEMPTS", "10"))
+PAIRS = max(1, int(os.environ.get("SKEWER_SCALING_PAIRS", "4")))
+MAX_ATTEMPTS = max(
+    PAIRS, int(os.environ.get("SKEWER_SCALING_MAX_ATTEMPTS", "10")))
 COHERENCE = float(os.environ.get("SKEWER_SCALING_COHERENCE", "1.35"))
 N_CONVS = int(os.environ.get("SKEWER_SCALING_CONVS", "2000"))
 TURNS = int(os.environ.get("SKEWER_SCALING_TURNS", "2000"))
@@ -186,7 +187,6 @@ def main() -> None:
     c8 = Child(8, inp)
     c32 = Child(32, inp)
     pairs = []
-    hw_ratios = []
     n_rows = None
     try:
         c8.wait_ready()
@@ -218,9 +218,10 @@ def main() -> None:
             t32_spread = max(r32a["sec"], r32b["sec"]) / max(
                 1e-9, min(r32a["sec"], r32b["sec"]))
             hw_spread = max(hw_pre, hw_post) / min(hw_pre, hw_post)
-            ok = t32_spread <= COHERENCE and hw_spread <= COHERENCE
+            mem_spread = max(mem_pre, mem_post) / min(mem_pre, mem_post)
+            ok = (t32_spread <= COHERENCE and hw_spread <= COHERENCE
+                  and mem_spread <= COHERENCE)
             hw_pre, mem_pre = hw_post, mem_post
-            hw_ratios.append(hw_k)
             pairs.append((r8["sec"], t32, ratio, hw_k, ratio / hw_k, ok,
                           mem_k, ratio / mem_k))
             print(f"pair {k}: T8={r8['sec']} T32={t32:.2f} "
@@ -236,7 +237,15 @@ def main() -> None:
         shutil.rmtree(work, ignore_errors=True)
 
     n_good = sum(1 for p in pairs if p[5])
-    good = [p for p in pairs if p[5]] or pairs  # all-incoherent fallback
+    good = [p for p in pairs if p[5]]
+    if not good:
+        # a headline computed from incoherent pairs would record exactly
+        # the numbers the protocol declares meaningless — leave BENCH.md
+        # untouched and say so
+        print(f"NO coherent pairs in {len(pairs)} attempts — the grant "
+              "never held still; BENCH.md left unchanged.  Rerun in a "
+              "calmer window.")
+        sys.exit(3)
     best = max(good, key=lambda p: p[2])
     med_ratio = statistics.median(p[2] for p in good)
     hw = statistics.median(p[3] for p in good)
@@ -309,8 +318,8 @@ bandwidth keep it below the nominal 4x on any single box; a hypervisor
 grant collapse drags burn and pipeline down TOGETHER, so the per-pair
 normalized efficiency `eff = ratio / hw` stays meaningful in every
 window).  COHERENCE (pre-registered validity criterion): a pair counts
-only if its two T_32 sandwich samples and its two burn samples each
-agree within {COHERENCE:.2f}x — wider spread means the grant shifted
+only if its two T_32 sandwich samples and each burn's two samples (ALU
+and streaming) agree within {COHERENCE:.2f}x — wider spread means the grant shifted
 nonlinearly INSIDE the pair, so that pair measured the hypervisor, not
 the code; sampling continues until {PAIRS} coherent pairs exist (max
 {MAX_ATTEMPTS} attempts).
