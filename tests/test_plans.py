@@ -57,6 +57,14 @@ def test_minhash_band_join_keeps_explicit_exchange(spark):
     assert "band_key" in plan
 
 
+def test_simhash_band_join_keeps_explicit_exchange(spark):
+    from skewer_spark.operators.dedup import simhash_candidate_pairs
+
+    plan = _plan(simhash_candidate_pairs(_docs(spark)))
+    assert "REPARTITION_BY_NUM" in plan
+    assert "band_key" in plan
+
+
 def test_embedding_band_join_keeps_explicit_exchange(spark):
     from skewer_spark.operators.similarity import cosine_pairs_above
 
