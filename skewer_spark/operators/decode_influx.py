@@ -125,8 +125,29 @@ def parse_influx_batch(text: pd.Series) -> pd.DataFrame:
     no_ts = ts_str.isna() | (ts_str == "")
     ts_digits = ts_str.str.match(_RE_TS, na=False)
     bad_ts = ~no_ts & ~ts_digits
-    ts_ns = pd.to_numeric(ts_str.where(ts_digits), errors="coerce")
-    time_reported = pd.to_datetime(ts_ns, unit="ns", errors="coerce")
+    # EXACT int64 ns: to_numeric over a batch with any absent ts yields
+    # float64, which silently rounds ns values above 2^53 (caught by
+    # the fuzz vs the per-row reference).  ≤18-digit values convert
+    # vectorized; longer ones (rare) go through Python int with a
+    # ParseInt-style range check — out of int64 range → invalid, like
+    # the reference's strconv.ParseInt error path
+    time_reported = pd.Series(pd.NaT, index=idx, dtype="datetime64[ns]")
+    tvals = ts_str[ts_digits].astype(object)
+    if len(tvals):
+        short = tvals.str.lstrip("-").str.len() <= 18
+        time_reported[tvals.index[short]] = pd.to_datetime(
+            tvals[short].astype("int64"), unit="ns", errors="coerce"
+        )
+        if (~short).any():
+            long_vals = tvals[~short].map(int)
+            in_range = long_vals.apply(lambda v: -(2**63) <= v < 2**63)
+            time_reported[long_vals.index[in_range]] = pd.to_datetime(
+                long_vals[in_range].astype("int64"), unit="ns",
+                errors="coerce",
+            )
+            bad_ts = bad_ts | pd.Series(
+                idx.isin(long_vals.index[~in_range]), index=idx
+            )
 
     # ---- measurement + tags ----
     head = _split_unescaped(meas_tags.fillna(""), ",", _RE_UNESC_COMMA)
@@ -194,7 +215,12 @@ def parse_influx_batch(text: pd.Series) -> pd.DataFrame:
         fv[is_str].str.slice(1, -1).str.replace('\\"', '"', regex=False)
     )
     if is_flt.any():
-        typed_val[is_flt] = pd.to_numeric(fv[is_flt]).map(_go_float)
+        # float(str) not pd.to_numeric: pandas' xstrtod is off by 1 ulp
+        # on some inputs (caught by the fuzz — "…848405" parsed to
+        # "…848403"); Python's float() is correctly rounded, matching
+        # Go strconv.ParseFloat.  Per-element, but only over the
+        # float-typed values (the documented canonicalization map)
+        typed_val[is_flt] = fv[is_flt].map(lambda v: _go_float(float(v)))
 
     goodf = classified
     field_join = _segment_join(
