@@ -103,7 +103,7 @@ def parse_regular_json(df: DataFrame, text_col: str = "text") -> DataFrame:
         fac.alias("facility"),
         sev.alias("severity"),
         F.lit(1).alias("version"),
-        F.to_timestamp(j["timereported"]).alias("time_reported"),
+        F.try_to_timestamp(j["timereported"]).alias("time_reported"),
         F.coalesce(j["hostname"], F.lit("")).alias("hostname"),
         F.coalesce(j["appname"], F.lit("")).alias("appname"),
         F.coalesce(j["procid"], F.lit("")).alias("procid"),
@@ -122,7 +122,7 @@ def parse_rsyslog_json(df: DataFrame, text_col: str = "text") -> DataFrame:
     def dash(c: Column) -> Column:
         return F.when(c == "-", F.lit("")).otherwise(F.coalesce(c, F.lit("")))
 
-    pri = j["pri"].cast("int")
+    pri = j["pri"].try_cast("int")
     rbag = j["$!"]
     props = F.when(
         rbag.isNotNull(),
@@ -134,7 +134,7 @@ def parse_rsyslog_json(df: DataFrame, text_col: str = "text") -> DataFrame:
         F.coalesce((pri / 8).cast("int"), F.lit(0)).alias("facility"),
         F.coalesce(F.pmod(pri, F.lit(8)), F.lit(0)).alias("severity"),
         F.lit(1).alias("version"),
-        F.to_timestamp(j["timereported"]).alias("time_reported"),
+        F.try_to_timestamp(j["timereported"]).alias("time_reported"),
         dash(j["hostname"]).alias("hostname"),
         dash(j["app-name"]).alias("appname"),
         dash(j["procid"]).alias("procid"),
@@ -185,16 +185,39 @@ def parse_ltsv(df: DataFrame, text_col: str = "text") -> DataFrame:
     procid, ``msg``/``message`` → message, optional ``pri`` → syslog
     priority arithmetic); ALL pairs land in ``properties["ltsv"]``,
     key-sorted so the JSON is injection-order independent.  Pure JVM
-    expressions (``str_to_map`` + map ops) — no Python, stays in
-    whole-stage codegen.
+    expressions — no Python in the row path.
+
+    The map is built from an explicitly keep-LAST-deduplicated entry
+    array rather than ``str_to_map``: under Spark's default
+    ``spark.sql.mapKeyDedupPolicy=EXCEPTION`` a single log line with a
+    repeated label would abort the whole job (found by the LTSV fuzz)
+    — a per-line data problem must never be a job-level failure at
+    10^12 rows, and this stays robust regardless of session config.
+    The O(k²) later-duplicate probe runs over a line's ~10 labels.
     """
-    base, m = _materialized(
-        df, F.str_to_map(F.col(text_col), F.lit("\t"), F.lit(":"))
+    entries = F.transform(
+        F.split(F.col(text_col), "\t"),
+        lambda p: F.struct(
+            F.substring_index(p, ":", 1).alias("key"),
+            # value = everything after the FIRST colon; no colon → null
+            F.when(
+                p.contains(":"), F.regexp_replace(p, "^[^:]*:", "")
+            ).alias("value"),
+        ),
     )
+    base, ent = _materialized(df, entries)
+    kept = F.filter(
+        ent,
+        lambda e, i: ~F.exists(
+            F.slice(ent, i + 2, F.greatest(F.size(ent), F.lit(1))),
+            lambda e2: e2["key"] == e["key"],
+        ),
+    )
+    m = F.map_from_entries(kept)
     sorted_m = F.map_from_entries(
         F.array_sort(F.map_entries(m), _by_entry_key)
     )
-    pri = F.try_element_at(m, F.lit("pri")).cast("int")
+    pri = F.try_element_at(m, F.lit("pri")).try_cast("int")
     ok = (
         m.isNotNull()
         & (F.size(m) > 0)
@@ -207,7 +230,7 @@ def parse_ltsv(df: DataFrame, text_col: str = "text") -> DataFrame:
         F.coalesce((pri / 8).cast("int"), F.lit(0)).alias("facility"),
         F.coalesce(F.pmod(pri, F.lit(8)), F.lit(0)).alias("severity"),
         F.lit(1).alias("version"),
-        F.to_timestamp(F.try_element_at(m, F.lit("time"))).alias("time_reported"),
+        F.try_to_timestamp(F.try_element_at(m, F.lit("time"))).alias("time_reported"),
         F.coalesce(F.try_element_at(m, F.lit("host")), F.lit("")).alias("hostname"),
         F.coalesce(F.try_element_at(m, F.lit("ident")), F.lit("")).alias("appname"),
         F.coalesce(F.try_element_at(m, F.lit("pid")), F.lit("")).alias("procid"),

@@ -44,8 +44,8 @@ def parse_journald(df: DataFrame, text_col: str = "text") -> DataFrame:
         ),
     )
     e, low = F.col("_e"), F.col("_low")
-    sev = F.coalesce(low["priority"].cast("int"), F.lit(0))
-    fac = F.coalesce(low["syslog_facility"].cast("int"), F.lit(0))
+    sev = F.coalesce(low["priority"].try_cast("int"), F.lit(0))
+    fac = F.coalesce(low["syslog_facility"].try_cast("int"), F.lit(0))
     hostname = F.coalesce(low["_hostname"], F.lit(""))
     appname = F.coalesce(
         F.nullif(low["_comm"], F.lit("")), low["syslog_identifier"], F.lit("")
@@ -53,7 +53,7 @@ def parse_journald(df: DataFrame, text_col: str = "text") -> DataFrame:
     procid = F.coalesce(
         F.nullif(low["_pid"], F.lit("")), low["syslog_pid"], F.lit("")
     )
-    tr_us = low["_source_realtime_timestamp"].cast("long")
+    tr_us = low["_source_realtime_timestamp"].try_cast("long")
     underscored = F.map_filter(low, lambda k, _: k.startswith("_"))
     props = F.to_json(
         F.create_map(
@@ -114,7 +114,7 @@ def parse_macos(df: DataFrame, text_col: str = "text") -> DataFrame:
         fac.alias("facility"),
         sev.alias("severity"),
         F.lit(1).alias("version"),
-        F.to_timestamp(j["timestamp"]).alias("time_reported"),
+        F.try_to_timestamp(j["timestamp"]).alias("time_reported"),
         F.lit("").alias("hostname"),
         F.coalesce(app, F.lit("")).alias("appname"),
         F.coalesce(j["processID"].cast("string"), F.lit("")).alias("procid"),
