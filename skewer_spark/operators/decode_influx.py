@@ -41,8 +41,17 @@ _BOOL_FALSE = ("f", "F", "false", "False", "FALSE")
 
 
 def _go_float(x: float) -> str:
-    """Go strconv.FormatFloat(f, 'g'-ish, -1) canonical form."""
+    """Go strconv.FormatFloat(f, 'g'-ish, -1) canonical form.
+
+    Trailing zeros are stripped from the MANTISSA only — a naive
+    rstrip over the whole repr eats exponent digits ('1.5e+20' →
+    '1.5e+2', 18 orders of magnitude off; caught by review)."""
     r = repr(x)
+    if "e" in r:
+        m, e = r.split("e")
+        if "." in m:
+            m = m.rstrip("0").rstrip(".")
+        return m + "e" + e
     return r.rstrip("0").rstrip(".") if "." in r else r
 
 
@@ -140,7 +149,9 @@ def parse_influx_batch(text: pd.Series) -> pd.DataFrame:
         )
         if (~short).any():
             long_vals = tvals[~short].map(int)
-            in_range = long_vals.apply(lambda v: -(2**63) <= v < 2**63)
+            # STRICT lower bound: -2^63 itself is the int64 NaT
+            # sentinel — treat it as out of range like the overflow path
+            in_range = long_vals.apply(lambda v: -(2**63) < v < 2**63)
             time_reported[long_vals.index[in_range]] = pd.to_datetime(
                 long_vals[in_range].astype("int64"), unit="ns",
                 errors="coerce",

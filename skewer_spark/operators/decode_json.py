@@ -161,7 +161,15 @@ def parse_gelf(df: DataFrame, text_col: str = "text") -> DataFrame:
         fac.alias("facility"),
         sev.alias("severity"),
         F.lit(1).alias("version"),
-        F.to_timestamp(j["timestamp"]).alias("time_reported"),
+        # plausibility-gated: ANSI-mode to_timestamp(double) throws
+        # CAST_OVERFLOW on one absurd value (e.g. 1e30) and aborts the
+        # job; the bound is the datetime64[ns] range (1677–2262), which
+        # also keeps the value Arrow/pandas-representable downstream
+        F.timestamp_seconds(
+            F.when(
+                j["timestamp"].between(-9.2e9, 9.2e9), j["timestamp"]
+            )
+        ).alias("time_reported"),
         F.coalesce(j["host"], F.lit("")).alias("hostname"),
         F.lit("").alias("appname"),
         F.lit("").alias("procid"),
@@ -205,15 +213,22 @@ def parse_ltsv(df: DataFrame, text_col: str = "text") -> DataFrame:
             ).alias("value"),
         ),
     )
-    base, ent = _materialized(df, entries)
-    kept = F.filter(
-        ent,
-        lambda e, i: ~F.exists(
-            F.slice(ent, i + 2, F.greatest(F.size(ent), F.lit(1))),
-            lambda e2: e2["key"] == e["key"],
+    # bind the entry array to a lambda variable and materialize the
+    # FINAL map: without this every downstream reference (pri / ok /
+    # both property maps) re-embeds the O(k²) dedup filter — the same
+    # re-evaluation trap _materialized documents for from_json (a plan
+    # audit counted 16 copies before this binding)
+    kept = F.transform(
+        F.array(entries),
+        lambda ent: F.filter(
+            ent,
+            lambda e, i: ~F.exists(
+                F.slice(ent, i + 2, F.greatest(F.size(ent), F.lit(1))),
+                lambda e2: e2["key"] == e["key"],
+            ),
         ),
-    )
-    m = F.map_from_entries(kept)
+    )[0]
+    base, m = _materialized(df, F.map_from_entries(kept))
     sorted_m = F.map_from_entries(
         F.array_sort(F.map_entries(m), _by_entry_key)
     )

@@ -53,7 +53,12 @@ def parse_journald(df: DataFrame, text_col: str = "text") -> DataFrame:
     procid = F.coalesce(
         F.nullif(low["_pid"], F.lit("")), low["syslog_pid"], F.lit("")
     )
+    # plausibility bound: a valid-long but absurd microsecond value
+    # (e.g. int64 max) casts to a year-294247 timestamp on the JVM and
+    # then crashes any Arrow/pandas consumer downstream; keep only
+    # values inside the datetime64[ns] range (1677–2262)
     tr_us = low["_source_realtime_timestamp"].try_cast("long")
+    tr_us = F.when(tr_us.between(-9_223_372_036_854_775, 9_223_372_036_854_775), tr_us)
     underscored = F.map_filter(low, lambda k, _: k.startswith("_"))
     props = F.to_json(
         F.create_map(

@@ -437,3 +437,55 @@ def test_curation_decisions_reason_priority(spark):
     assert rows[1].keep and not any(rows[i].keep for i in (2, 3, 4, 5))
     assert rows[2].keeper_id == 1
     assert rows[5].overlap_frac == 0.25
+
+
+def test_malformed_lines_never_abort_job(spark):
+    # one absurd value per decoder must yield a null/invalid ROW, not a
+    # job-level ANSI exception (CAST_OVERFLOW / CAST_INVALID_INPUT /
+    # DUPLICATED_MAP_KEY / year-out-of-range on Arrow collect)
+    from skewer_spark.operators.decode_json import (
+        parse_gelf,
+        parse_ltsv,
+        parse_regular_json,
+        parse_rsyslog_json,
+    )
+    from skewer_spark.sources.misc import parse_journald
+
+    g = spark.createDataFrame(
+        [(1, '{"host":"h","short_message":"m","timestamp":1e30,"level":3}')],
+        "id int, text string",
+    )
+    assert parse_gelf(g).collect()[0].time_reported is None
+
+    j = spark.createDataFrame(
+        [(1, '{"_SOURCE_REALTIME_TIMESTAMP":"9223372036854775807",'
+             '"MESSAGE":"x","_HOSTNAME":"h"}'),
+         (2, '{"_SOURCE_REALTIME_TIMESTAMP":"garbage","PRIORITY":"nope",'
+             '"SYSLOG_FACILITY":"x","MESSAGE":"y"}')],
+        "id int, text string",
+    )
+    rows = {r.id: r for r in parse_journald(j).collect()}
+    assert rows[1].time_reported is None
+    assert rows[2].time_reported is None and rows[2].severity == 0
+
+    r = spark.createDataFrame(
+        [(1, '{"timereported":"not a time","pri":"NaNope","msg":"m"}')],
+        "id int, text string",
+    )
+    row = parse_rsyslog_json(r).collect()[0]
+    assert row.time_reported is None and row.priority == 0
+
+    q = spark.createDataFrame(
+        [(1, '{"timereported":"junk","facility":"kern","severity":"err",'
+             '"message":"m"}')],
+        "id int, text string",
+    )
+    assert parse_regular_json(q).collect()[0].time_reported is None
+
+    lt = spark.createDataFrame(
+        [(1, "host:a\thost:b\ttime:junk\tpri:zzz\tmsg:m")],
+        "id int, text string",
+    )
+    row = parse_ltsv(lt).collect()[0]
+    assert (row.hostname, row.priority, row.time_reported) == ("b", 0, None)
+    assert row.parse_ok

@@ -49,6 +49,11 @@ def _jesc(s: str) -> str:
 
 def _gofloat(v: str) -> str:
     r = repr(float(v))
+    if "e" in r:  # strip zeros from the MANTISSA only, never the exponent
+        m, e = r.split("e")
+        if "." in m:
+            m = m.rstrip("0").rstrip(".")
+        return m + "e" + e
     return r.rstrip("0").rstrip(".") if "." in r else r
 
 
@@ -67,7 +72,9 @@ def _ref_decode(line: str) -> dict | None:
         if not _TS.match(ts_str):
             return None
         v = int(ts_str)
-        if not -(2**63) <= v < 2**63:  # strconv.ParseInt overflow
+        # strict: -2^63 itself is the int64 NaT sentinel, treated as
+        # out of range like the ParseInt overflow path
+        if not -(2**63) < v < 2**63:
             return None
         ts = pd.to_datetime(v, unit="ns", errors="coerce")
 
@@ -141,6 +148,9 @@ def _gen_line(rng: random.Random) -> str:
                 f"{rng.uniform(-1, 1):.3e}",
                 str(rng.randint(-999, 999)),
                 ".5", "-.25", "3.",
+                # exponent-form reprs: a whole-repr rstrip("0") mangles
+                # these ('1.5e+20' → '1.5e+2'; caught by review)
+                "1.5e20", "1.5e-10", "2e300", "5e-324", "-2.25e19",
                 rng.choice(_TRUE + _FALSE),
                 '"hi there"', '"say \\"hi\\""', '"tab\there"', '""',
             ])
