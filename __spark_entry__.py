@@ -702,9 +702,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return simhash(docs)
 
     def q_simhash_pairs(spark, sf):
+        # bucket_cap=64: 16-bit band keys mean at 10^9+ docs every bucket
+        # is thousands deep — the one-sided cap bounds the self-join
+        # output at |bucket|·cap (oracle mirrors with QUALIFY)
         from skewer_spark.operators.dedup import simhash_candidate_pairs
         docs = _read(spark, sf, "documents")
-        return simhash_candidate_pairs(docs, max_hamming=3)
+        return simhash_candidate_pairs(docs, max_hamming=3, bucket_cap=64)
 
     def q_ann_topk(spark, sf):
         emb = _read(spark, sf, "embeddings")
@@ -994,7 +997,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
         )
 
+    # ORDER MATTERS: the driver's correctness harness checks the FIRST
+    # 50 entries only.  Every operator family must sit inside that
+    # window, so near-duplicate variants (6 of the 8 encode variants —
+    # one textual + one binary stay as driver signal — plus q_simhash
+    # [subsumed by q_simhash_pairs] and q_dedup_apply [subsumed by
+    # q_dedup_clusters]) are parked past position 50; all remain fully
+    # oracle-paired and are verified by tools/check_oracles.py + pytest.
     return {
+        # -- first 50: one driver-checked representative per family --
         "q_window_rank": q_window_rank,
         "q_enrich_broadcast": q_enrich_broadcast,
         "q_priority_decode": q_priority_decode,
@@ -1007,13 +1018,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_windowed_agg": q_windowed_agg,
         "q_incoming_counts": q_incoming_counts,
         "q_encode_rfc5424": q_encode_rfc5424,
-        "q_encode_json": q_encode_json,
-        "q_encode_fulljson": q_encode_fulljson,
         "q_encode_avro": q_encode_avro,
-        "q_encode_fullavro": q_encode_fullavro,
-        "q_encode_jsonavro": q_encode_jsonavro,
-        "q_encode_fulljsonavro": q_encode_fulljsonavro,
-        "q_encode_protobuf": q_encode_protobuf,
         "q_parse_protobuf": q_parse_protobuf,
         "q_parse_collectd": q_parse_collectd,
         "q_parse_acct": q_parse_acct,
@@ -1027,9 +1032,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_minhash_lsh": q_minhash_lsh,
         "q_ngram_jaccard": q_ngram_jaccard,
         "q_dedup_clusters": q_dedup_clusters,
-        "q_dedup_apply": q_dedup_apply,
         "q_sample_per_group": q_sample_per_group,
-        "q_simhash": q_simhash,
         "q_simhash_pairs": q_simhash_pairs,
         "q_ann_topk": q_ann_topk,
         "q_ann_lsh": q_ann_lsh,
@@ -1053,6 +1056,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_asof_enrich": q_asof_enrich,
         "q_session_agg": q_session_agg,
         "q_tpch_q1": q_tpch_q1,
+        # -- 51+: near-duplicate variants (oracle-paired, locally checked) --
+        "q_encode_json": q_encode_json,
+        "q_encode_fulljson": q_encode_fulljson,
+        "q_encode_fullavro": q_encode_fullavro,
+        "q_encode_jsonavro": q_encode_jsonavro,
+        "q_encode_fulljsonavro": q_encode_fulljsonavro,
+        "q_encode_protobuf": q_encode_protobuf,
+        "q_simhash": q_simhash,
+        "q_dedup_apply": q_dedup_apply,
     }
 
 
@@ -1456,11 +1468,17 @@ def oracle_sql() -> dict[str, str]:
              (sig_hi & 65535) FROM sigs
       UNION ALL SELECT doc_id, sig_hi, sig_lo, 3,
              ((sig_hi >> 16) & 65535) FROM sigs
+    ), capped AS (
+      -- bucket_cap=64 mirror (same one-sided cap as q_minhash_lsh):
+      -- survivor side = each bucket's 64 lowest doc_ids
+      SELECT doc_id, sig_hi, sig_lo, band_id, band_key FROM buckets
+      QUALIFY row_number() OVER (
+        PARTITION BY band_id, band_key ORDER BY doc_id) <= 64
     )
     SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
       (bit_count(xor(a.sig_hi, b.sig_hi))
        + bit_count(xor(a.sig_lo, b.sig_lo))) AS hamming
-    FROM buckets a JOIN buckets b USING (band_id, band_key)
+    FROM capped a JOIN buckets b USING (band_id, band_key)
     WHERE a.doc_id < b.doc_id
       AND bit_count(xor(a.sig_hi, b.sig_hi))
           + bit_count(xor(a.sig_lo, b.sig_lo)) <= 3

@@ -129,20 +129,29 @@ def minhash_lsh_buckets(
     group on (band_id, band_key) — a small-key shuffle even at 10^12
     docs.
     """
-    out = []
-    for b in range(bands):
-        cols = [f"mh_{b * rows_per_band + r}" for r in range(rows_per_band)]
-        out.append(
-            sigs.select(
-                F.col(id_col),
-                F.lit(b).alias("band_id"),
-                F.md5(F.concat_ws("|", *cols)).alias("band_key"),
-            )
+    # single pass: explode an array of (band_id, band_key) structs so the
+    # signature final-aggregate runs ONCE per join side — the previous
+    # per-band union replayed the HashAggregate `bands` times per side
+    # (the shuffle itself was deduped by ReusedExchange, but the final
+    # aggregates were not); same shape simhash_candidate_pairs uses
+    entries = [
+        F.struct(
+            F.lit(b).cast("int").alias("band_id"),
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    *[
+                        f"mh_{b * rows_per_band + r}"
+                        for r in range(rows_per_band)
+                    ],
+                )
+            ).alias("band_key"),
         )
-    un = out[0]
-    for o in out[1:]:
-        un = un.unionByName(o)
-    return un
+        for b in range(bands)
+    ]
+    return sigs.select(
+        F.col(id_col), F.explode(F.array(*entries)).alias("e")
+    ).select(id_col, "e.band_id", "e.band_key")
 
 
 def _band_pairs(
@@ -317,37 +326,49 @@ def dedup_clusters(
     )
     labels = df.select(F.col(id_col).alias("s"), F.col(id_col).cast("long").alias("lbl"))
     labels.persist()
-    for _ in range(max_iter):
-        neigh = (
-            und.join(
-                labels.select(F.col("s").alias("d"), F.col("lbl").alias("nlbl")),
-                "d",
+    try:
+        for _ in range(max_iter):
+            neigh = (
+                und.join(
+                    labels.select(F.col("s").alias("d"), F.col("lbl").alias("nlbl")),
+                    "d",
+                )
+                .groupBy("s")
+                .agg(F.min("nlbl").alias("min_nlbl"))
             )
-            .groupBy("s")
-            .agg(F.min("nlbl").alias("min_nlbl"))
-        )
-        new_labels = (
-            labels.join(neigh, "s", "left")
-            .select(
-                "s",
-                F.least(
-                    F.col("lbl"), F.coalesce(F.col("min_nlbl"), F.col("lbl"))
-                ).alias("lbl"),
+            new_labels = (
+                labels.join(neigh, "s", "left")
+                .select(
+                    "s",
+                    F.least(
+                        F.col("lbl"), F.coalesce(F.col("min_nlbl"), F.col("lbl"))
+                    ).alias("lbl"),
+                )
             )
-        )
-        new_labels.persist()
-        changed = (
-            new_labels.join(
-                labels.select("s", F.col("lbl").alias("old_lbl")), "s"
+            new_labels.persist()
+            changed = (
+                new_labels.join(
+                    labels.select("s", F.col("lbl").alias("old_lbl")), "s"
+                )
+                .filter(F.col("lbl") != F.col("old_lbl"))
+                .count()
             )
-            .filter(F.col("lbl") != F.col("old_lbl"))
-            .count()
-        )
+            labels.unpersist()
+            labels = new_labels
+            if changed == 0:
+                break
+        # Detach the result from the loop's caches: localCheckpoint cuts
+        # the O(max_iter)-deep lineage (so consuming the result does NOT
+        # re-run the propagation loop) and lets us release every cache
+        # the loop pinned — the returned frame owns only its own
+        # checkpoint blocks, which the ContextCleaner frees when the
+        # caller drops the frame.  Without this, `und` + the final
+        # `labels` stayed persisted forever on a long multi-operator job.
+        out = labels.localCheckpoint(eager=True)
+    finally:
+        und.unpersist()
         labels.unpersist()
-        labels = new_labels
-        if changed == 0:
-            break
-    return labels.select(F.col("s").alias(id_col), F.col("lbl").alias("cluster_id"))
+    return out.select(F.col("s").alias(id_col), F.col("lbl").alias("cluster_id"))
 
 
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -397,6 +418,7 @@ def simhash_candidate_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 3,
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs within ``max_hamming`` bits, banded join.
 
@@ -405,6 +427,18 @@ def simhash_candidate_pairs(
     so the per-band self-join finds ALL such pairs — one shuffle on
     16-bit band keys, never an all-pairs scan.  The exact distance is
     re-checked with ``bit_count(xor)`` on the joined signatures.
+
+    ``bucket_cap`` is MANDATORY at scale: a band key has only 2^16
+    possible values, so at 10^9+ docs every bucket holds thousands of
+    docs and the uncapped self-join output is Σ|bucket|² per band —
+    quadratic death.  Same one-sided deterministic cap as
+    :func:`_band_pairs`: one join side keeps only each bucket's ``cap``
+    lowest ids, bounding per-bucket output at |bucket|·cap while every
+    member still pairs with the survivors (transitive closure through
+    :func:`dedup_clusters` is preserved; only survivor-bypass pairs
+    among capped-out members are traded away).  For tighter radii at
+    extreme scale, 2×32-bit bands with multi-probe cover hamming ≤ 1
+    with far sparser buckets.
     """
     sigs = simhash(df, text_col, id_col)
     mask = F.lit(0xFFFF)
@@ -428,17 +462,34 @@ def simhash_candidate_pairs(
     # join to one task — same trap as _band_pairs; one reused exchange
     n = buckets.sparkSession.sparkContext.defaultParallelism
     buckets = buckets.repartition(n, "band_id", "band_key")
-    a = buckets.select(
+    capped = buckets
+    if bucket_cap is not None:
+        w = Window.partitionBy("band_id", "band_key").orderBy(id_col)
+        capped = (
+            buckets.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= bucket_cap)
+            .drop("_rn")
+        )
+    a = capped.select(
         F.col(id_col).alias("id_a"), F.col("sig_hi").alias("hi_a"),
         F.col("sig_lo").alias("lo_a"), "band_id", "band_key",
-    )
+    ).alias("a")
     b = buckets.select(
         F.col(id_col).alias("id_b"), F.col("sig_hi").alias("hi_b"),
         F.col("sig_lo").alias("lo_b"), "band_id", "band_key",
-    )
+    ).alias("b")
+    # id_a < id_b INSIDE the join condition: joining on band equality
+    # alone materializes both orderings + self-pairs (3× the rows) only
+    # to filter them afterwards
     return (
-        a.join(b, on=["band_id", "band_key"])
-        .filter(F.col("id_a") < F.col("id_b"))
+        a.join(
+            b,
+            on=[
+                F.col("a.band_id") == F.col("b.band_id"),
+                F.col("a.band_key") == F.col("b.band_key"),
+                F.col("a.id_a") < F.col("b.id_b"),
+            ],
+        )
         .select(
             "id_a", "id_b",
             (
