@@ -95,16 +95,36 @@ def dup_word_ratio(c: str = "text") -> Column:
 def top_word_ratio(c: str = "text") -> Column:
     """Fraction of the text taken by its single most frequent word.
 
-    O(distinct × total) comparisons per row — all inside one codegen'd
-    higher-order-function expression, fine for document-sized rows
-    (the 100 TB cost model is rows × tokens², not a shuffle).
+    O(n log n) per row: ``array_sort`` the tokens, then one
+    ``aggregate`` pass tracks the longest run of equal adjacent tokens
+    (struct accumulator: previous token, current run length, best run
+    length).  All inside codegen'd higher-order-function expressions —
+    no shuffle, no Python.  The earlier O(distinct × total)
+    transform/filter product was a straggler generator: one pathological
+    100k-token document cost 10^10 comparisons inside a single task.
     """
     toks = F.split(F.col(c), " ")
-    top = F.array_max(
-        F.transform(
-            F.array_distinct(toks),
-            lambda w: F.size(F.filter(toks, lambda x: x == w)),
-        )
+    srt = F.array_sort(toks)
+    top = F.aggregate(
+        srt,
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x.eqNullSafe(acc["prev"]), acc["run"] + 1)
+            .otherwise(F.lit(1))
+            .alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(x.eqNullSafe(acc["prev"]), acc["run"] + 1).otherwise(
+                    F.lit(1)
+                ),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
     )
     return F.round(top.cast("double") / F.size(toks).cast("double"), 4)
 

@@ -181,6 +181,12 @@ def parse_gelf(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+# hard bound on LTSV labels per line: the keep-last dedup is O(k²), so
+# k must be capped before it (256² = 65k comparisons worst case — noise;
+# an uncapped adversarial line would be ~10^11)
+_LTSV_MAX_LABELS = 256
+
+
 def parse_ltsv(df: DataFrame, text_col: str = "text") -> DataFrame:
     """LTSV (Labeled Tab-Separated Values, ltsv.org) → canonical columns.
 
@@ -201,10 +207,17 @@ def parse_ltsv(df: DataFrame, text_col: str = "text") -> DataFrame:
     repeated label would abort the whole job (found by the LTSV fuzz)
     — a per-line data problem must never be a job-level failure at
     10^12 rows, and this stays robust regardless of session config.
-    The O(k²) later-duplicate probe runs over a line's ~10 labels.
+    The O(k²) later-duplicate probe runs over a line's ~10 labels and
+    is hard-bounded at ``_LTSV_MAX_LABELS`` entries: an adversarial
+    line with 500k single-char tokens would otherwise cost ~10^11
+    comparisons inside ONE row's expression — not a crash, but a
+    straggler that stalls its task (ADVICE r02).  Over-long lines keep
+    their first ``_LTSV_MAX_LABELS`` pairs and are flagged
+    ``parse_ok=false`` (honest truncation, never silent).
     """
+    raw_parts = F.split(F.col(text_col), "\t")
     entries = F.transform(
-        F.split(F.col(text_col), "\t"),
+        F.slice(raw_parts, 1, _LTSV_MAX_LABELS),
         lambda p: F.struct(
             F.substring_index(p, ":", 1).alias("key"),
             # value = everything after the FIRST colon; no colon → null
@@ -238,6 +251,8 @@ def parse_ltsv(df: DataFrame, text_col: str = "text") -> DataFrame:
         & (F.size(m) > 0)
         # a token with no colon parses as {token -> null}: malformed
         & ~F.exists(F.map_values(m), lambda v: v.isNull())
+        # pathological label counts were truncated above — flag them
+        & (F.size(F.split(F.col(text_col), "\t")) <= _LTSV_MAX_LABELS)
     )
     return base.select(
         *df.columns,

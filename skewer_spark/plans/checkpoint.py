@@ -69,14 +69,22 @@ def read_manifest(spark: SparkSession, out_dir: str) -> DataFrame:
 # snapshot summaries — the Iceberg snapshot-log analog (north rule:
 # "lineage and metrics emitted per Iceberg snapshot").  One row per
 # completed run: what Iceberg records as snapshot.summary
-# ("added-records", "total-records", operation, ...) keyed by the same
-# run_id that stamps each bucket's manifest row, so snapshot → buckets →
-# sink files is a walkable lineage chain.
+# ("added-records", "total-records", operation, ...).  Each snapshot has
+# its OWN id (``snapshot_id`` = "s{seq}-{run_id}") distinct from the
+# run_id that stamps bucket manifest rows: run_ids are user-suppliable
+# and reusable across a crash+resume, snapshot ids are not — so the
+# parent chain (``parent_snapshot_id``, like Iceberg's
+# parent-snapshot-id) can never self-loop, and the monotonically
+# increasing ``seq`` makes parent selection deterministic even when two
+# snapshots share a ``committed_at_ms``.  snapshot → run_id → buckets →
+# sink files remains a walkable lineage chain.
 # ---------------------------------------------------------------------------
 
 SNAPSHOT_SCHEMA = T.StructType([
+    T.StructField("snapshot_id", T.StringType(), False),
+    T.StructField("seq", T.IntegerType(), False),
     T.StructField("run_id", T.StringType(), False),
-    T.StructField("parent_run_id", T.StringType(), True),
+    T.StructField("parent_snapshot_id", T.StringType(), True),
     T.StructField("operation", T.StringType(), False),
     T.StructField("buckets_committed", T.IntegerType(), False),
     T.StructField("buckets_total", T.IntegerType(), False),
@@ -92,14 +100,50 @@ def snapshot_path(out_dir: str) -> str:
     return os.path.join(out_dir, "_snapshots")
 
 
-def commit_snapshot(spark: SparkSession, out_dir: str, run_id: str) -> None:
+def snapshotted_run_ids(spark: SparkSession, out_dir: str) -> set[str]:
+    """run_ids that already own a snapshot in this out_dir."""
+    snaps = _read_snapshots_or_empty(spark, out_dir)
+    return {r.run_id for r in snaps}
+
+
+def _read_snapshots_or_empty(spark: SparkSession, out_dir: str) -> list:
+    """Snapshot rows, or [] iff the snapshot dir doesn't exist yet.
+
+    Only the missing-path case maps to "no history" — a corrupted
+    snapshot dir must surface, not silently produce an orphan snapshot
+    (ADVICE r02)."""
+    path = snapshot_path(out_dir)
+    if not os.path.isdir(path):
+        return []
+    return read_snapshots(spark, out_dir).collect()
+
+
+def commit_snapshot(spark: SparkSession, out_dir: str, run_id: str) -> str:
     """Append one snapshot-summary row derived from the manifest.
 
-    ``parent_run_id`` is the previous snapshot (linear history, like
-    Iceberg's parent-snapshot-id); a resume run's snapshot therefore
-    records only the buckets IT committed as ``added_*`` while
-    ``total_rows`` covers the table."""
+    ``parent_snapshot_id`` is the previous snapshot (linear history); a
+    resume run's snapshot records only the buckets ITS run_id committed
+    as ``added_*`` while ``total_rows`` covers the table.  A run_id
+    that already snapshotted is REJECTED: its bucket rows are already
+    accounted in that snapshot's ``added_*``, so a second snapshot
+    under the same run_id would double-attribute them (a resume of a
+    *crashed* attempt reuses the run_id legally — the crash never
+    snapshotted).  Returns the new snapshot_id."""
     import pyspark.sql.functions as F
+
+    prev = _read_snapshots_or_empty(spark, out_dir)
+    if any(r.run_id == run_id for r in prev):
+        raise ValueError(
+            f"run_id {run_id!r} already has a snapshot in {out_dir!r}; "
+            "pick a fresh run_id per attempt (resume of a crashed run "
+            "may reuse its run_id only because the crash never "
+            "snapshotted)"
+        )
+    # deterministic parent: highest seq wins; snapshot_id breaks the
+    # (impossible-in-one-driver, but cheap to guard) seq tie
+    head = max(prev, key=lambda r: (r.seq, r.snapshot_id), default=None)
+    seq = (head.seq + 1) if head is not None else 1
+    snapshot_id = f"s{seq:06d}-{run_id}"
 
     man = read_manifest(spark, out_dir)
     stats = man.groupBy().agg(
@@ -113,15 +157,9 @@ def commit_snapshot(spark: SparkSession, out_dir: str, run_id: str) -> None:
         F.count("*").alias("n_total"),
         F.sum((F.col("run_id") == run_id).cast("int")).alias("n_mine"),
     ).collect()[0]
-    parent = None
-    try:
-        prev = read_snapshots(spark, out_dir) \
-            .orderBy(F.desc("committed_at_ms")).limit(1).collect()
-        parent = prev[0].run_id if prev else None
-    except Exception:
-        pass
     row = [(
-        run_id, parent,
+        snapshot_id, seq, run_id,
+        head.snapshot_id if head is not None else None,
         "append" if stats.n_mine else "noop",
         int(stats.n_mine or 0), int(stats.n_total or 0),
         int(stats.added or 0), int(stats.added_pass or 0),
@@ -130,6 +168,7 @@ def commit_snapshot(spark: SparkSession, out_dir: str, run_id: str) -> None:
     )]
     spark.createDataFrame(row, SNAPSHOT_SCHEMA).coalesce(1) \
         .write.mode("append").parquet(snapshot_path(out_dir))
+    return snapshot_id
 
 
 def read_snapshots(spark: SparkSession, out_dir: str) -> DataFrame:

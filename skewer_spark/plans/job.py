@@ -266,6 +266,13 @@ def run_pipeline(
     run_id: str | None = None,
 ) -> dict:
     run_id = run_id or uuid.uuid4().hex[:12]
+    # fail fast, not after n_buckets of work: a run_id that already
+    # snapshotted would be rejected by commit_snapshot at the end
+    if run_id in ckpt.snapshotted_run_ids(spark, out_dir):
+        raise ValueError(
+            f"run_id {run_id!r} already snapshotted in {out_dir!r}; "
+            "use a fresh run_id per attempt"
+        )
     staged = stage_input(spark, input_path, out_dir, n_buckets)
     done = ckpt.committed_buckets(spark, out_dir) if resume else set()
 

@@ -278,6 +278,52 @@ def test_simhash_order_insensitive_and_banded_pairs(spark):
     assert not any(3 in p for p in pairs)
 
 
+def test_simhash_bucket_cap_bounds_degenerate_bucket(spark):
+    """VERDICT r02 #1: one degenerate band bucket (N identical docs)
+    must emit |cap-side| × |bucket| pairs, not |bucket|² — the cap keeps
+    a boilerplate-text bucket from going quadratic at 10^9 docs while
+    every member still pairs with the cap-set survivors (transitive
+    closure preserved)."""
+    from skewer_spark.operators.dedup import simhash_candidate_pairs
+
+    n, cap = 20, 4
+    docs = spark.createDataFrame(
+        [(i, "same boilerplate text repeated everywhere") for i in range(n)],
+        "doc_id int, text string",
+    )
+    capped = simhash_candidate_pairs(docs, max_hamming=3, bucket_cap=cap)
+    # identical docs → identical signatures → one bucket per band; the
+    # capped side keeps ids 0..cap-1, so distinct (a<b) pairs are
+    # sum_{a=0}^{cap-1} (n-1-a)
+    expect = sum(n - 1 - a for a in range(cap))
+    assert capped.count() == expect
+    # every member appears in some surviving pair (closure intact)
+    ids = {
+        x for r in capped.collect() for x in (r.id_a, r.id_b)
+    }
+    assert ids == set(range(n))
+    uncapped = simhash_candidate_pairs(docs, max_hamming=3)
+    assert uncapped.count() == n * (n - 1) // 2
+
+
+def test_dedup_clusters_releases_caches(spark):
+    """VERDICT r02 #3: the operator must not leave the edge/label loop
+    caches pinned in executor storage — only the returned frame's own
+    localCheckpoint blocks may remain."""
+    from skewer_spark.operators.dedup import dedup_clusters
+
+    before = set(spark.sparkContext._jsc.getPersistentRDDs().keySet())
+    docs = spark.createDataFrame([(i,) for i in range(6)], "doc_id long")
+    pairs = spark.createDataFrame([(0, 1), (1, 2)], "id_a long, id_b long")
+    out = dedup_clusters(docs, pairs)
+    got = {r.doc_id: r.cluster_id for r in out.collect()}
+    assert got == {0: 0, 1: 0, 2: 0, 3: 3, 4: 4, 5: 5}
+    after = set(spark.sparkContext._jsc.getPersistentRDDs().keySet())
+    # at most the result's checkpoint RDD is new; the persisted edge
+    # frame and per-iteration label frames are all released
+    assert len(after - before) <= 1
+
+
 def test_streaming_sink_write_idempotent(spark, tmp_path):
     """A retried micro-batch must replace, not duplicate (ADVICE r01)."""
     from skewer_spark.plans.job import build_routed

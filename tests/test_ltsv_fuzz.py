@@ -24,6 +24,10 @@ VALUES = ["a", "server 01", "x:y:z", "", "2024-03-05T06:07:08Z",
 
 def _ref_decode(line: str) -> dict:
     pairs = line.split("\t")
+    # decoder contract: labels past the 256th are truncated and the
+    # line is flagged malformed (bounds the O(k²) dedup — ADVICE r02)
+    over_cap = len(pairs) > 256
+    pairs = pairs[:256]
     entries = []
     for p in pairs:
         if ":" in p:
@@ -35,7 +39,7 @@ def _ref_decode(line: str) -> dict:
     m: dict[str, str | None] = {}
     for k, v in entries:
         m[k] = v
-    ok = len(m) > 0 and all(v is not None for v in m.values())
+    ok = len(m) > 0 and all(v is not None for v in m.values()) and not over_cap
     if not ok:
         return {"parse_ok": False, "properties_json": None,
                 "hostname": "", "appname": "", "procid": "",
@@ -108,3 +112,23 @@ def test_ltsv_fuzz_vs_independent_reference(spark):
         if exp["time_reported"] is not None:
             assert row.time_reported == exp["time_reported"], f"line {i}: {line!r}"
     assert 300 < n_ok < 1450, n_ok
+
+
+def test_ltsv_adversarial_label_count_is_bounded(spark):
+    """ADVICE r02: a line with hundreds of thousands of tokens must not
+    stall its task inside the O(k²) dedup.  The decoder truncates at
+    256 labels and flags the line malformed; wall time stays bounded."""
+    import time
+
+    bomb = "\t".join(f"k{i}:v" for i in range(500_000))
+    edge = "\t".join(f"k{i}:v" for i in range(256))     # exactly at cap
+    df = spark.createDataFrame(
+        [(0, bomb), (1, edge), (2, "a:1\tb:2")], "id int, text string"
+    )
+    t0 = time.monotonic()
+    rows = {r.id: r for r in parse_ltsv(df).collect()}
+    assert time.monotonic() - t0 < 60
+    assert rows[0].parse_ok is False and rows[0].properties_json is None
+    assert rows[1].parse_ok is True
+    assert len(json.loads(rows[1].properties_json)["ltsv"]) == 256
+    assert rows[2].parse_ok is True

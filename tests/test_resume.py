@@ -66,7 +66,8 @@ def test_crash_resume_byte_equal(spark, tmp_path):
     assert sb.operation == "append"
     assert sb.buckets_committed == 2 and sb.buckets_total == 4
     assert sb.added_rows + 0 < sb.total_rows == 400
-    assert sb.parent_run_id is None
+    assert sb.parent_snapshot_id is None
+    assert sb.snapshot_id != "runB" and sb.seq == 1
 
 
 def test_rerun_is_noop(spark, tmp_path):
@@ -82,10 +83,17 @@ def test_rerun_is_noop(spark, tmp_path):
     assert runs == {"r1"}
     assert _sink_fingerprint(spark, out) == fp1
 
-    # snapshot chain: r1 = append, r2 = noop child of r1
+    # snapshot chain: r1 = append, r2 = noop child of r1 — parent links
+    # by SNAPSHOT id, not run_id (run_ids are reusable, snapshot ids not)
     from skewer_spark.plans.checkpoint import read_snapshots
     snaps = {s.run_id: s for s in read_snapshots(spark, out).collect()}
     assert snaps["r1"].operation == "append" and snaps["r1"].added_rows == 80
     assert snaps["r2"].operation == "noop" and snaps["r2"].added_rows == 0
-    assert snaps["r2"].parent_run_id == "r1"
+    assert snaps["r2"].parent_snapshot_id == snaps["r1"].snapshot_id
+    assert snaps["r2"].seq == snaps["r1"].seq + 1
     assert snaps["r2"].total_rows == 80
+
+    # a reused run_id is rejected up front: its buckets are already
+    # attributed to an existing snapshot (ADVICE r02 self-loop fix)
+    with pytest.raises(ValueError, match="already snapshotted"):
+        job.run_pipeline(spark, inp, out, n_buckets=2, run_id="r1")
