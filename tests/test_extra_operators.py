@@ -170,8 +170,18 @@ def test_resize_real_for_ppm(spark):
         assert arr.shape == (32, 32, 3)
 
 
+def _pil_missing() -> bool:
+    try:
+        import PIL  # noqa: F401
+        return False
+    except ImportError:
+        return True
+
+
+@pytest.mark.skipif(not _pil_missing(), reason="PIL present: real decode path")
 def test_resize_stubbed_for_compressed_formats(spark):
-    # formats with no in-container codec still raise (honest stub)
+    # formats with no in-container codec still raise (honest stub);
+    # with Pillow installed this same payload takes the real path below
     from skewer_spark.operators.multimodal import resize_images
     fake_jpeg = spark.createDataFrame(
         [(1, "image", bytearray(b"\xff\xd8\xff\xe0 not a real jpeg"))],
@@ -180,6 +190,62 @@ def test_resize_stubbed_for_compressed_formats(spark):
     with pytest.raises(Exception) as ei:
         resize_images(fake_jpeg, 8, 8).collect()
     assert "NotImplementedError" in str(ei.value) or "codec" in str(ei.value)
+
+
+@pytest.mark.skipif(not _pil_missing(), reason="PIL present")
+def test_compressed_image_features_fall_back_to_digest_without_pil(spark):
+    """VERDICT r02 #7: without Pillow the digest stub is byte-for-byte
+    what it always was — deterministic, 8-dim, in [0,1]."""
+    import hashlib
+
+    import numpy as np
+
+    from skewer_spark.operators.multimodal import extract_features
+
+    payload = b"\x89PNG\r\n\x1a\n fake png bytes"
+    df = spark.createDataFrame(
+        [(7, "image", bytearray(payload))],
+        "media_id long, media_type string, payload binary",
+    )
+    row = extract_features(df).collect()[0]
+    digest = hashlib.sha256(payload).digest()
+    expect = (
+        np.frombuffer(digest[:32], dtype=np.uint8).reshape(8, 4).mean(axis=1)
+        / 255.0
+    ).astype(np.float32)
+    assert row.features == expect.tolist()
+
+
+@pytest.mark.skipif(_pil_missing(), reason="needs the Pillow wheel")
+def test_compressed_image_real_decode_with_pil(spark):
+    """On a Pillow-equipped cluster JPEG/PNG decode for real: a solid
+    red PNG must yield mean-R 1.0 / mean-G 0 / mean-B 0 features, exact
+    pixel sums, and a same-format resize."""
+    import io
+
+    from PIL import Image
+
+    from skewer_spark.operators.multimodal import (
+        extract_features,
+        image_stats,
+        resize_images,
+    )
+
+    buf = io.BytesIO()
+    Image.new("RGB", (10, 4), (255, 0, 0)).save(buf, "PNG")
+    png = buf.getvalue()
+    df = spark.createDataFrame(
+        [(1, "image", bytearray(png))],
+        "media_id long, media_type string, payload binary",
+    )
+    feats = extract_features(df).collect()[0].features
+    assert feats[0] == 1.0 and feats[1] == 0.0 and feats[2] == 0.0
+    st = image_stats(df).collect()[0]
+    assert (st.width, st.height) == (10, 4)
+    assert (st.sum_r, st.sum_g, st.sum_b) == (255 * 40, 0, 0)
+    resized = resize_images(df, 5, 2).collect()[0].payload
+    with Image.open(io.BytesIO(bytes(resized))) as im:
+        assert im.size == (5, 2) and im.format == "PNG"
 
 
 # ---------------------------------------------------------------------------
