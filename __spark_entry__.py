@@ -966,7 +966,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         left = ev.filter(F.col("event_id") % 23 != 0).select(
             "event_id", "user_id", "ts"
         )
-        out = as_of_join(left, cfg, key="user_id", left_ts="ts", right_ts="ts")
+        # bucket_seconds engages the hot-key sub-bucket path (identical
+        # results; the per-(key,bucket) window is what survives a user
+        # holding 10% of 10^12 rows)
+        out = as_of_join(
+            left, cfg, key="user_id", left_ts="ts", right_ts="ts",
+            bucket_seconds=3600,
+        )
         return out.select("event_id", "user_id", "cfg_version")
 
     def q_session_agg(spark, sf):

@@ -42,6 +42,7 @@ def as_of_join(
     left_ts: str = "ts",
     right_ts: str = "ts",
     right_cols: list[str] | None = None,
+    bucket_seconds: int | None = None,
 ) -> DataFrame:
     """Backward as-of join: each left row gets the right row with the
     greatest ``right_ts <= left_ts`` for the same ``key`` (inclusive on
@@ -50,6 +51,21 @@ def as_of_join(
     ``right_cols`` — payload columns taken from the right side (default:
     everything except the key and timestamp).  Left rows with no prior
     right row keep NULL payloads (left-outer semantics).
+
+    ``bucket_seconds`` — hot-key guard (VERDICT r02 #8).  Without it
+    the carry-forward window partitions by ``key`` alone, so one hot
+    key (a user with 10% of 10^12 rows) sorts on ONE task.  With it,
+    rows are sub-bucketed by ``floor(ts / bucket_seconds)`` and the
+    window partitions by ``(key, bucket)`` — the hot key splits across
+    its time range.  Correctness across bucket boundaries is restored
+    by a carry-in row per (key, bucket): the last right payload from
+    any EARLIER bucket, computed on the tiny per-bucket summary frame
+    (one row per key×bucket-with-data) with the same union-window
+    trick, then sorted before every real row of its bucket.  Both
+    formulations assume right-side (key, ts) uniqueness for
+    determinism (same contract as the unbucketed path).  Results are
+    identical either way — pick ``bucket_seconds`` so a hot key's
+    densest bucket fits one task comfortably.
     """
     if right_cols is None:
         right_cols = [c for c in right.columns if c not in (key, right_ts)]
@@ -72,14 +88,65 @@ def as_of_join(
         F.struct(*left.columns).alias("_lrow"),
     )
 
-    w = (
-        Window.partitionBy("_k")
-        .orderBy("_t", "_ord")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    merged = l.unionByName(r).withColumn(
-        "_eff", F.last("_pay", ignorenulls=True).over(w)
-    )
+    if bucket_seconds is None:
+        w = (
+            Window.partitionBy("_k")
+            .orderBy("_t", "_ord")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        merged = l.unionByName(r).withColumn(
+            "_eff", F.last("_pay", ignorenulls=True).over(w)
+        )
+    else:
+        bkt = F.floor(
+            F.unix_micros(F.col("_t").cast("timestamp"))
+            / F.lit(int(bucket_seconds) * 1_000_000)
+        )
+        rb = r.withColumn("_bkt", bkt)
+        lb = l.withColumn("_bkt", bkt)
+        # last right payload per (key, bucket) — tiny summary frame
+        w_in_b = Window.partitionBy("_k", "_bkt").orderBy(F.desc("_t"))
+        bucket_last = (
+            rb.withColumn("_rn", F.row_number().over(w_in_b))
+            .filter(F.col("_rn") == 1)
+            .select("_k", "_bkt", F.col("_pay").alias("_bpay"))
+        )
+        # carry-in for each left bucket = latest bucket_last with a
+        # strictly SMALLER bucket: bucket-granular union-window where
+        # summary rows (_o=1, value at bucket END) sort after grid rows
+        # (_o=0, bucket START)
+        grid = lb.select("_k", "_bkt").distinct().withColumn("_o", F.lit(0))
+        summaries = bucket_last.withColumn("_o", F.lit(1))
+        w_carry = (
+            Window.partitionBy("_k")
+            .orderBy("_bkt", "_o")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        carries = (
+            grid.unionByName(summaries.select("_k", "_bkt", "_o", "_bpay"),
+                             allowMissingColumns=True)
+            .withColumn("_cin", F.last("_bpay", ignorenulls=True).over(w_carry))
+            .filter((F.col("_o") == 0) & F.col("_cin").isNotNull())
+            .select(
+                "_k", "_bkt",
+                F.lit(None).cast(l.schema["_t"].dataType).alias("_t"),
+                F.lit(0).alias("_ord"),
+                F.col("_cin").alias("_pay"),
+                F.lit(None).cast(l.schema["_lrow"].dataType).alias("_lrow"),
+                F.lit(0).alias("_pre"),  # sorts before every real row
+            )
+        )
+        w = (
+            Window.partitionBy("_k", "_bkt")
+            .orderBy("_pre", "_t", "_ord")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        merged = (
+            lb.withColumn("_pre", F.lit(1))
+            .unionByName(rb.withColumn("_pre", F.lit(1)))
+            .unionByName(carries)
+            .withColumn("_eff", F.last("_pay", ignorenulls=True).over(w))
+        )
     return merged.filter(F.col("_ord") == 1).select(
         *[F.col("_lrow")[c].alias(c) for c in left.columns],
         *[F.col("_eff")[c].alias(c) for c in right_cols],

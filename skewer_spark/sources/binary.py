@@ -113,6 +113,39 @@ def reassemble_gelf_datagrams(
     )
 
 
+def gelf_incomplete_groups(
+    df: DataFrame, payload_col: str = "payload"
+) -> DataFrame:
+    """Audit frame for chunk groups :func:`reassemble_gelf_datagrams`
+    drops: one row per msg_id with missing chunks —
+    ``(msg_id, n_received, total_expected)``.
+
+    The reference's gelf reader silently discards incomplete groups on
+    timeout (go-gelf's unchunked-timeout path); the repo's metrics
+    philosophy ("no message lost from metrics", operators/route.py)
+    wants them COUNTED — at 10^12 datagrams a lossy network segment
+    shows up here first.  Same grouping shuffle shape as reassembly;
+    run it on the same input frame (VERDICT r02 #10).
+    """
+    p = F.col(payload_col)
+    is_chunked = F.hex(F.substring(p, 1, 2)) == "1E0F"
+    return (
+        df.filter(is_chunked)
+        .select(
+            F.hex(F.substring(p, 3, 8)).alias("msg_id"),
+            F.conv(F.hex(F.substring(p, 11, 1)), 16, 10).cast("int").alias("seq"),
+            F.conv(F.hex(F.substring(p, 12, 1)), 16, 10).cast("int").alias("total"),
+        )
+        .dropDuplicates(["msg_id", "seq"])
+        .groupBy("msg_id")
+        .agg(
+            F.count("*").cast("int").alias("n_received"),
+            F.max("total").alias("total_expected"),
+        )
+        .filter(F.col("n_received") != F.col("total_expected"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # acct(5)
 # ---------------------------------------------------------------------------

@@ -48,6 +48,15 @@ def test_gelf_datagram_reassembly(spark):
     assert {p.severity for p in parsed} == {4}
     assert {p.facility for p in parsed} == {4}  # "auth"
 
+    # VERDICT r02 #10: the dropped group is ACCOUNTED, not silent —
+    # one audit row per incomplete msg_id with received/expected counts
+    # (the duplicated chunk must not count twice)
+    from skewer_spark.sources.binary import gelf_incomplete_groups
+    inc = gelf_incomplete_groups(df).collect()
+    assert len(inc) == 1
+    assert inc[0].msg_id == b"BBBBBBBB".hex().upper()
+    assert (inc[0].n_received, inc[0].total_expected) == (2, 4)
+
 
 def _acct_record(flag=0x01, tty=3, exitcode=0, uid=1000, gid=100, pid=4242,
                  ppid=1, btime=1767225600, etime=2.5,

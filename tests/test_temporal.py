@@ -55,6 +55,65 @@ def test_as_of_join_keeps_all_left_columns(spark):
     assert plan.count("Exchange hashpartitioning") == 1
 
 
+def test_as_of_join_bucketed_equals_unbucketed(spark):
+    """VERDICT r02 #8: the hot-key sub-bucket path must be result-
+    identical, including carry-over across bucket boundaries (an event
+    whose governing config lives several buckets earlier) and the
+    inclusive-at-equal-ts contract."""
+    import random
+
+    rng = random.Random(8)
+    cfg_rows = [
+        (f"u{u}", _ts(m), u * 1000 + m)
+        for u in range(4)
+        for m in sorted(rng.sample(range(0, 59), 5))
+    ]
+    ev_rows = [
+        (f"u{u}", _ts(m), f"e{u}-{i}")
+        for u in range(5)                        # u4 has no cfg at all
+        for i, m in enumerate(rng.choices(range(0, 59), k=40))
+    ]
+    # boundary case: exactly at a bucket edge + config far in the past
+    ev_rows += [("u0", _ts(58), "edge"), ("u0", _ts(1), "early")]
+    cfg = spark.createDataFrame(cfg_rows, "k string, ts timestamp, version int")
+    ev = spark.createDataFrame(ev_rows, "k string, ts timestamp, label string")
+
+    base = as_of_join(ev, cfg, key="k")
+    # 300 s buckets → the hour splits into 12 sub-buckets, most configs
+    # land buckets away from their events
+    bucketed = as_of_join(ev, cfg, key="k", bucket_seconds=300)
+    key_cols = ["k", "ts", "label", "version"]
+    assert sorted(map(tuple, base.select(key_cols).collect())) == sorted(
+        map(tuple, bucketed.select(key_cols).collect())
+    )
+
+
+def test_as_of_join_bucketing_splits_hot_key(spark):
+    """Skew fixture: one user holds ~10% of all rows.  The bucketed
+    window partitions by (key, time-bucket), so the hot key's largest
+    partition group shrinks by ~the bucket count — the property that
+    keeps one task from sorting 10% of 10^12 rows."""
+    hot = [("hot", _ts(0) + dt.timedelta(seconds=6 * i), f"h{i}")
+           for i in range(500)]                       # 3000 s span
+    cold = [(f"u{u}", _ts(0) + dt.timedelta(seconds=60 * i), f"c{u}-{i}")
+            for u in range(90) for i in range(50)]
+    ev = spark.createDataFrame(hot + cold, "k string, ts timestamp, label string")
+    cfg = spark.createDataFrame(
+        [("hot", _ts(0), 1), ("u3", _ts(0), 2)], "k string, ts timestamp, v int"
+    )
+    bucket_s = 300
+    out = as_of_join(ev, cfg, key="k", bucket_seconds=bucket_s)
+    assert out.filter(F.col("k") == "hot").filter(F.col("v") == 1).count() == 500
+    # the window's partition groups = (key, floor(ts/bucket)) counts;
+    # the hot key spreads over 3000/300 = 10 groups of ~50 — the same
+    # order as a cold user's per-bucket group, no 10%-of-table group left
+    sizes = (
+        ev.groupBy("k", F.floor(F.unix_micros("ts") / (bucket_s * 1_000_000)))
+        .count().select("count").collect()
+    )
+    assert max(r["count"] for r in sizes) <= 60   # vs 500 unbucketed
+
+
 def test_session_agg_gap_boundary(spark):
     # gap = 10 min; measured Spark semantics: diff <= gap merges (an
     # event at exactly prev + gap extends the session), diff > gap
