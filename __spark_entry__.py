@@ -683,6 +683,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
         )
 
+    def q_dedup_clusters_star(spark, sf):
+        # same transitive-closure contract as q_dedup_clusters (same
+        # recursive-CTE oracle) via alternating large-star/small-star —
+        # O(log diameter) rounds, the 10^12-edge scale path
+        from skewer_spark.operators.dedup import (
+            dedup_clusters_star,
+            ngram_jaccard_pairs,
+        )
+        docs = _read(spark, sf, "documents")
+        pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.3)
+        return dedup_clusters_star(docs, pairs)
+
+    def q_boilerplate(spark, sf):
+        # C4/RefinedWeb-style cross-document boilerplate span removal:
+        # any word 5-gram in >= 3 distinct docs is cut from every doc
+        from skewer_spark.operators.curate import remove_boilerplate_spans
+        docs = _read(spark, sf, "documents")
+        return remove_boilerplate_spans(docs, n=5, min_docs=3)
+
     def q_sample_per_group(spark, sf):
         # deterministic stratified sample: n docs per language, ordered
         # by a hash of the id (reproducible, no RNG — resume-safe)
@@ -1071,6 +1090,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_encode_protobuf": q_encode_protobuf,
         "q_simhash": q_simhash,
         "q_dedup_apply": q_dedup_apply,
+        "q_dedup_clusters_star": q_dedup_clusters_star,
+        "q_boilerplate": q_boilerplate,
     }
 
 
@@ -1804,6 +1825,39 @@ def oracle_sql() -> dict[str, str]:
         "q_minhash_lsh": minhash_sql,
         "q_ngram_jaccard": ngram_jaccard_sql,
         "q_dedup_clusters": dedup_clusters_sql,
+        # the star variant must produce the EXACT same closure
+        "q_dedup_clusters_star": dedup_clusters_sql,
+        "q_boilerplate": """
+            WITH base AS (
+              SELECT doc_id, string_split(text, ' ') AS l FROM documents
+            ), tok AS (
+              SELECT doc_id, i - 1 AS pos, l[i] AS tok
+              FROM base, unnest(range(1, len(l) + 1)) AS u(i)
+            ), shq AS (
+              SELECT doc_id, i - 1 AS spos,
+                     substr(md5(array_to_string(l[i:i+4], ' ')), 1, 8) AS sh
+              FROM base, unnest(range(1, len(l) - 3)) AS u(i)
+              WHERE len(l) >= 5
+            ), boiler AS (
+              SELECT sh FROM (SELECT DISTINCT sh, doc_id FROM shq)
+              GROUP BY sh HAVING count(*) >= 3
+            ), covered AS (
+              SELECT DISTINCT doc_id, pos FROM (
+                SELECT s.doc_id, unnest(range(s.spos, s.spos + 5)) AS pos
+                FROM shq s JOIN boiler b USING (sh))
+            ), kept AS (
+              SELECT t.* FROM tok t ANTI JOIN covered c
+              ON t.doc_id = c.doc_id AND t.pos = c.pos
+            ), rebuilt AS (
+              SELECT doc_id, count(*) AS n_kept,
+                     string_agg(tok, ' ' ORDER BY pos) AS text_clean
+              FROM kept GROUP BY doc_id
+            )
+            SELECT base.doc_id, len(l)::INT AS n_tokens,
+                   (len(l) - coalesce(n_kept, 0))::INT AS n_removed,
+                   coalesce(text_clean, '') AS text_clean
+            FROM base LEFT JOIN rebuilt USING (doc_id)
+        """,
         "q_dedup_apply": f"""
             WITH clusters AS ({dedup_clusters_sql})
             SELECT cluster_id AS keeper_id, count(*) AS n_members,

@@ -79,3 +79,105 @@ def curation_decisions(
         reason.alias("reason"),
         (reason == F.lit("kept")).alias("keep"),
     )
+
+
+def remove_boilerplate_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    min_docs: int = 3,
+) -> DataFrame:
+    """Cross-document boilerplate removal (the C4/RefinedWeb span-dedup
+    curation step): any word ``n``-gram appearing in ≥ ``min_docs``
+    DISTINCT documents is boilerplate; every token covered by at least
+    one boilerplate n-gram occurrence is cut from its document.
+
+    Returns ``(id, n_tokens, n_removed, text_clean)`` — one row per
+    input document (fully-boilerplate docs come back with empty text).
+
+    Scale shape — everything is exploded ROWS, never per-row quadratic
+    work (the straggler trap :func:`~skewer_spark.functions.scrub
+    .top_word_ratio` had):
+
+    1. map-side posexplode of tokens and of md5'd n-gram positions;
+    2. boilerplate vocabulary = distinct (shingle, doc) → count per
+       shingle ≥ min_docs — two compact-key exchanges on 32-bit hash
+       prefixes, text never shuffles;
+    3. covered token positions = shingle-hash join back + sequence
+       explode + distinct (doc, pos);
+    4. kept tokens = LEFT ANTI join of (doc, pos, token) rows against
+       covered positions — Catalyst makes it a shuffled hash join on
+       (doc, pos);
+    5. rebuild per doc: one groupBy(doc) with
+       ``array_sort(collect_list(struct(pos, tok)))`` — order restored
+       without a sort-within-partitions pass.
+
+    Four corpus-token-sized exchanges total; at 10^12 docs this is the
+    same cost class as the parse pipeline (the token stream rides the
+    shuffle once as narrow (id, pos, tok) rows).
+    """
+    toks = F.split(F.col(text_col), " ")
+    base = df.select(F.col(id_col), toks.alias("_toks"))
+
+    tok_rows = base.select(
+        id_col, F.posexplode("_toks").alias("pos", "tok")
+    )
+    # 8-char md5 prefix: 32-bit shingle keys (the MinHash trade —
+    # 2^-32 collision slack for a 4× narrower shuffle key)
+    sh_rows = base.select(
+        F.col(id_col),
+        F.posexplode(
+            F.when(
+                F.size("_toks") >= n,
+                F.transform(
+                    F.sequence(F.lit(0), F.size("_toks") - n),
+                    lambda i: F.substring(
+                        F.md5(F.concat_ws(" ", F.slice("_toks", i + 1, n))),
+                        1, 8,
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("spos", "sh"),
+    )
+    boiler = (
+        sh_rows.select("sh", id_col)
+        .distinct()
+        .groupBy("sh")
+        .agg(F.count("*").alias("_nd"))
+        .filter(F.col("_nd") >= min_docs)
+        .select("sh")
+    )
+    covered = (
+        sh_rows.join(boiler, "sh")
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.sequence(F.col("spos"), F.col("spos") + (n - 1))
+            ).alias("pos"),
+        )
+        .distinct()
+    )
+    kept = tok_rows.join(covered, [id_col, "pos"], "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.count("*").alias("_n_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s["tok"],
+            ),
+        ).alias("text_clean"),
+    )
+    return (
+        base.select(id_col, F.size("_toks").alias("n_tokens"))
+        .join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            "n_tokens",
+            (F.col("n_tokens") - F.coalesce(F.col("_n_kept"), F.lit(0)))
+            .cast("int")
+            .alias("n_removed"),
+            F.coalesce(F.col("text_clean"), F.lit("")).alias("text_clean"),
+        )
+    )

@@ -311,10 +311,11 @@ def dedup_clusters(
     components are shallow — dozens of rounds would mean a pathological
     chain).  Each round is one shuffle join on the edge list; the loop
     stops early via an aggregate convergence probe (a scalar count, not
-    a collect of data rows).  At 10^12 edges the alternating
-    large-star/small-star variant (Kiveris et al., SoCC'14) halves the
-    round count; the per-round join shape is identical, so this is the
-    right skeleton.  Docs in no pair are their own singleton cluster.
+    a collect of data rows).  Raises if ``max_iter`` rounds pass
+    without convergence — a silently-truncated closure would split
+    clusters and KEEP duplicates; for graphs that deep use
+    :func:`dedup_clusters_star` (O(log diameter) rounds).  Docs in no
+    pair are their own singleton cluster.
     """
     und = (
         pairs.select(F.col("id_a").alias("s"), F.col("id_b").alias("d"))
@@ -326,8 +327,9 @@ def dedup_clusters(
     )
     labels = df.select(F.col(id_col).alias("s"), F.col(id_col).cast("long").alias("lbl"))
     labels.persist()
+    converged = False
     try:
-        for _ in range(max_iter):
+        for it in range(max_iter):
             neigh = (
                 und.join(
                     labels.select(F.col("s").alias("d"), F.col("lbl").alias("nlbl")),
@@ -356,7 +358,27 @@ def dedup_clusters(
             labels.unpersist()
             labels = new_labels
             if changed == 0:
+                converged = True
                 break
+            # each round's LOGICAL plan references the previous labels
+            # twice (directly + through neigh), so the plan tree doubles
+            # per round — 2^r nodes OOMs the driver around r≈25 even
+            # though execution hits the cache.  Cut the lineage with an
+            # eager localCheckpoint every 8 rounds (bounded plan,
+            # already-materialized data, negligible cost next to the
+            # per-round convergence count).
+            if (it + 1) % 8 == 0:
+                cp = labels.localCheckpoint(eager=True)
+                labels.unpersist()
+                labels = cp
+                labels.persist()
+        if not converged:
+            raise RuntimeError(
+                f"dedup_clusters did not converge in {max_iter} rounds "
+                "(component diameter exceeds max_iter) — a truncated "
+                "closure would silently keep duplicates; raise max_iter "
+                "or use dedup_clusters_star (O(log diameter) rounds)"
+            )
         # Detach the result from the loop's caches: localCheckpoint cuts
         # the O(max_iter)-deep lineage (so consuming the result does NOT
         # re-run the propagation loop) and lets us release every cache
@@ -369,6 +391,101 @@ def dedup_clusters(
         und.unpersist()
         labels.unpersist()
     return out.select(F.col("s").alias(id_col), F.col("lbl").alias("cluster_id"))
+
+
+def dedup_clusters_star(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    max_iter: int = 30,
+) -> DataFrame:
+    """Transitive clusters via alternating large-star / small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14) — same output contract as :func:`dedup_clusters`
+    ``(id, cluster_id = min reachable id)``, but O(log diameter)
+    rounds instead of O(diameter): the scale path for deep components
+    (long near-dup chains, web-graph-shaped link data at 10^12 edges).
+
+    Per round, two single-shuffle steps over the edge list:
+
+    * **large-star** — group the bidirectional edges by ``u``; every
+      strictly-larger neighbor re-attaches to ``m = min(N(u) ∪ {u})``.
+    * **small-star** — orient each edge toward its larger endpoint and
+      group; the smaller neighbors (and ``u`` itself) attach to ``m``.
+
+    Both steps strictly flatten trees toward component minima; the
+    fixed point is a star per component rooted at its minimum id.
+    Convergence is detected by a scalar (count, hash-sum) probe on the
+    edge set; each round's frame is localCheckpointed (eager) so the
+    iterative lineage never stacks and superseded caches are freed
+    round-by-round — nothing stays pinned on return.
+    """
+    e = (
+        pairs.select(
+            F.col("id_a").cast("long").alias("u"),
+            F.col("id_b").cast("long").alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    # (count, bit_xor-of-hashes) probe: order-insensitive, cannot
+    # overflow under ANSI mode (a SUM of 10^12 xxhash64 values would)
+    probe = e.agg(
+        F.count("*").alias("n"), F.bit_xor(F.xxhash64("u", "v")).alias("h")
+    ).collect()[0]
+    sig = (probe.n, probe.h)
+    converged = False
+    for _ in range(max_iter):
+        bi = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = bi.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+        large = (
+            bi.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        )
+        e1 = large.filter(F.col("u") != F.col("v")).distinct()
+        # small-star on the large-star output: orient toward the max
+        oriented = e1.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        mins2 = oriented.groupBy("u").agg(F.min("v").alias("m"))
+        # emit (v, m) for every smaller neighbor v, plus (u, m) itself
+        small = (
+            oriented.join(mins2, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(mins2.select("u", F.col("m").alias("v")))
+        )
+        e_next = (
+            small.filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        p = e_next.agg(
+            F.count("*").alias("n"), F.bit_xor(F.xxhash64("u", "v")).alias("h")
+        ).collect()[0]
+        e = e_next
+        if (p.n, p.h) == sig:
+            converged = True
+            break
+        sig = (p.n, p.h)
+    if not converged:
+        raise RuntimeError(
+            f"dedup_clusters_star did not converge in {max_iter} rounds"
+        )
+    # fixed point: every edge is (member, component-min).  Nodes in no
+    # edge are their own singleton cluster.
+    labels = e.select(F.col("u").alias("s"), F.col("v").alias("lbl"))
+    return (
+        df.select(F.col(id_col).alias("s"))
+        .join(labels, "s", "left")
+        .select(
+            F.col("s").alias(id_col),
+            F.coalesce(F.col("lbl"), F.col("s").cast("long")).alias("cluster_id"),
+        )
+    )
 
 
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

@@ -472,6 +472,74 @@ def test_dedup_clusters_transitive_closure(spark):
     assert got == {0: 0, 1: 0, 2: 0, 3: 0, 4: 4, 5: 5, 6: 5, 7: 7}
 
 
+def test_dedup_clusters_star_matches_min_label(spark):
+    """Large-star/small-star must produce the identical closure as
+    min-label propagation (same min-id cluster contract)."""
+    import random
+
+    from skewer_spark.operators.dedup import dedup_clusters, dedup_clusters_star
+
+    rng = random.Random(31)
+    n = 60
+    edges = sorted({
+        tuple(sorted(rng.sample(range(n), 2))) for _ in range(70)
+    })
+    docs = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    a = {r.doc_id: r.cluster_id for r in dedup_clusters(docs, pairs, max_iter=60).collect()}
+    b = {r.doc_id: r.cluster_id for r in dedup_clusters_star(docs, pairs).collect()}
+    assert a == b
+
+
+def test_dedup_clusters_star_deep_chain_and_min_label_raises(spark):
+    """A 120-node chain has diameter 119: min-label with default
+    max_iter=20 must now RAISE (a truncated closure silently keeps
+    duplicates); the star variant converges in O(log n) rounds and is
+    exact."""
+    import pytest as _pytest
+
+    from skewer_spark.operators.dedup import dedup_clusters, dedup_clusters_star
+
+    n = 120
+    docs = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+    )
+    got = {r.doc_id: r.cluster_id for r in dedup_clusters_star(docs, chain, max_iter=12).collect()}
+    assert got == {i: 0 for i in range(n)}
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        dedup_clusters(docs, chain, max_iter=20)
+
+
+def test_remove_boilerplate_spans(spark):
+    """C4-style span removal: the 5-gram shared by >= 3 docs is cut
+    from every occurrence (including repeats within one doc); clean
+    docs pass through untouched."""
+    from skewer_spark.operators.curate import remove_boilerplate_spans
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f a b c d e f"),
+            (2, "a b c d e x y"),
+            (3, "a b c d e z"),
+            (4, "q r s t u v"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.n_tokens, r.n_removed, r.text_clean)
+        for r in remove_boilerplate_spans(docs, n=5, min_docs=3).collect()
+    }
+    # "a b c d e" appears in docs 1,2,3 → boilerplate; doc 1's second
+    # occurrence starts at pos 6 so tokens 0-4 and 6-10 go ("f f" stays)
+    assert got == {
+        1: (12, 10, "f f"),
+        2: (7, 5, "x y"),
+        3: (6, 5, "z"),
+        4: (6, 0, "q r s t u v"),
+    }
+
+
 def test_ngram_jaccard_pairs(spark):
     from skewer_spark.operators.dedup import ngram_jaccard_pairs
 
