@@ -702,6 +702,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs = _read(spark, sf, "documents")
         return remove_boilerplate_spans(docs, n=5, min_docs=3)
 
+    def q_soft_dedup(spark, sf):
+        # duplicate down-weighting (SlimPajama-style): weight = 1/k per
+        # identical-text group, deterministic Bernoulli keep
+        from skewer_spark.operators.curate import soft_dedup_weights
+        docs = _read(spark, sf, "documents")
+        return soft_dedup_weights(docs)
+
+    def q_tfidf_terms(spark, sf):
+        from skewer_spark.operators.curate import tfidf_top_terms
+        docs = _read(spark, sf, "documents")
+        return tfidf_top_terms(docs, k=3)
+
     def q_sample_per_group(spark, sf):
         # deterministic stratified sample: n docs per language, ordered
         # by a hash of the id (reproducible, no RNG — resume-safe)
@@ -1092,6 +1104,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dedup_apply": q_dedup_apply,
         "q_dedup_clusters_star": q_dedup_clusters_star,
         "q_boilerplate": q_boilerplate,
+        "q_soft_dedup": q_soft_dedup,
+        "q_tfidf_terms": q_tfidf_terms,
     }
 
 
@@ -1827,6 +1841,46 @@ def oracle_sql() -> dict[str, str]:
         "q_dedup_clusters": dedup_clusters_sql,
         # the star variant must produce the EXACT same closure
         "q_dedup_clusters_star": dedup_clusters_sql,
+        "q_soft_dedup": """
+            WITH g AS (
+              SELECT doc_id,
+                     count(*) OVER (PARTITION BY md5(text)) AS n_copies,
+                     ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT
+                       / 4294967296.0 AS u
+              FROM documents
+            )
+            SELECT doc_id, n_copies,
+                   round(1.0 / n_copies, 6) AS weight,
+                   round(u, 6) AS u,
+                   (u * n_copies < 1.0) AS kept
+            FROM g
+        """,
+        "q_tfidf_terms": """
+            WITH tok AS (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS term
+              FROM documents
+            ), tf AS (
+              SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2
+            ), dl AS (
+              SELECT doc_id, sum(tf) AS len FROM tf GROUP BY 1
+            ), dfr AS (
+              SELECT term, count(*) AS dfreq FROM tf GROUP BY 1
+            ), n AS (
+              SELECT count(*) AS nd FROM documents
+            ), scored AS (
+              SELECT tf.doc_id, tf.term,
+                     (tf.tf::DOUBLE / dl.len) * ln(n.nd::DOUBLE / dfr.dfreq)
+                       AS score
+              FROM tf JOIN dl USING (doc_id) JOIN dfr USING (term)
+              CROSS JOIN n
+            )
+            SELECT doc_id, term, round(score, 6) AS tfidf, rank::INT AS rank
+            FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY doc_id ORDER BY score DESC, term) AS rank
+              FROM scored
+            ) WHERE rank <= 3
+        """,
         "q_boilerplate": """
             WITH base AS (
               SELECT doc_id, string_split(text, ' ') AS l FROM documents

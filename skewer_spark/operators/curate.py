@@ -81,6 +81,88 @@ def curation_decisions(
     )
 
 
+def soft_dedup_weights(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Duplicate DOWN-WEIGHTING instead of dropping (the SlimPajama /
+    DoReMi-style soft alternative to exact dedup): every member of an
+    identical-text group of size ``k`` gets ``weight = 1/k``, and a
+    deterministic Bernoulli draw keeps each doc with that probability —
+    so in expectation each duplicate CLASS contributes one document,
+    but which copy survives is an unbiased, reproducible function of
+    the id (no RNG state, resume-safe).
+
+    Returns ``(id, n_copies, weight, u, kept)``; ``u`` is the uniform
+    draw ``uint32(md5(id)) / 2^32``.  One shuffle on ``md5(text)``
+    (same class as :func:`~skewer_spark.operators.dedup.exact_dedup`);
+    the draw is a pure expression.
+    """
+    w = Window.partitionBy(F.md5(F.col(text_col)))
+    u = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10)
+        .cast("double")
+        / F.lit(4294967296.0)
+    )
+    n_copies = F.count("*").over(w)
+    return df.select(
+        F.col(id_col),
+        n_copies.alias("n_copies"),
+        F.round(F.lit(1.0) / n_copies, 6).alias("weight"),
+        F.round(u, 6).alias("u"),
+        (u * n_copies < F.lit(1.0)).alias("kept"),
+    )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
+    """Top-``k`` TF-IDF terms per document — the classic keyword /
+    topic-signal extraction over a corpus.
+
+    ``tfidf = (tf / n_tokens) * ln(N / df_term)`` with raw document
+    frequency (no smoothing — deterministic and oracle-exact).  Shapes:
+    one token explode feeding BOTH aggregates (term-per-doc counts and
+    the distinct-doc frequency), doc count ``N`` as a scalar broadcast
+    via cross join of a 1-row aggregate, final per-doc top-k via a
+    rank-limited window (WindowGroupLimit — never buffers whole
+    groups).  Ties break on the term string so results are total-order
+    deterministic.
+    """
+    n_docs = df.select(F.count("*").alias("_N"))
+    tok = df.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("term")
+    )
+    tf = tok.groupBy(id_col, "term").agg(F.count("*").alias("_tf"))
+    doc_len = tf.groupBy(id_col).agg(F.sum("_tf").alias("_len"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("_df"))
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("_score"), F.asc("term")
+    )
+    return (
+        tf.join(doc_len, id_col)
+        .join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "_score",
+            (F.col("_tf") / F.col("_len"))
+            * F.log(F.col("_N") / F.col("_df")),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            id_col,
+            "term",
+            F.round("_score", 6).alias("tfidf"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
 def remove_boilerplate_spans(
     df: DataFrame,
     text_col: str = "text",

@@ -540,6 +540,53 @@ def test_remove_boilerplate_spans(spark):
     }
 
 
+def test_soft_dedup_weights(spark):
+    """Soft dedup: 1/k weight per identical-text group; the Bernoulli
+    keep is deterministic in the id and keeps ~one doc per class in
+    expectation (singletons always survive)."""
+    from skewer_spark.operators.curate import soft_dedup_weights
+
+    docs = spark.createDataFrame(
+        [(1, "same"), (2, "same"), (3, "same"), (4, "solo")],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in soft_dedup_weights(docs).collect()}
+    assert all(rows[i].n_copies == 3 and rows[i].weight == round(1 / 3, 6)
+               for i in (1, 2, 3))
+    assert rows[4].n_copies == 1 and rows[4].kept is True
+    for i in (1, 2, 3):
+        assert rows[i].kept == (rows[i].u < 1 / 3)
+    # deterministic across runs
+    again = {r.doc_id: r.kept for r in soft_dedup_weights(docs).collect()}
+    assert again == {i: rows[i].kept for i in rows}
+
+
+def test_tfidf_top_terms(spark):
+    """TF-IDF ranks the term unique to a doc above corpus-wide terms;
+    terms present in every doc score exactly 0 (ln 1)."""
+    import math
+
+    from skewer_spark.operators.curate import tfidf_top_terms
+
+    docs = spark.createDataFrame(
+        [
+            (1, "common apple apple"),
+            (2, "common banana"),
+            (3, "common cherry"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.doc_id, r.rank): (r.term, r.tfidf)
+        for r in tfidf_top_terms(docs, k=2).collect()
+    }
+    # doc 1: apple tf=2/3, df=1 → (2/3)·ln3 top; common scores 0
+    assert got[(1, 1)][0] == "apple"
+    assert got[(1, 1)][1] == round(2 / 3 * math.log(3), 6)
+    assert got[(1, 2)] == ("common", 0.0)
+    assert got[(2, 1)][0] == "banana" and got[(3, 1)][0] == "cherry"
+
+
 def test_ngram_jaccard_pairs(spark):
     from skewer_spark.operators.dedup import ngram_jaccard_pairs
 
