@@ -714,6 +714,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs = _read(spark, sf, "documents")
         return tfidf_top_terms(docs, k=3)
 
+    def q_bigram_ppl(spark, sf):
+        # CCNet-style LM quality gate: per-doc mean log-prob under a
+        # corpus-trained add-alpha bigram model
+        from skewer_spark.operators.curate import bigram_logprob_scores
+        docs = _read(spark, sf, "documents")
+        return bigram_logprob_scores(docs)
+
     def q_sample_per_group(spark, sf):
         # deterministic stratified sample: n docs per language, ordered
         # by a hash of the id (reproducible, no RNG — resume-safe)
@@ -1055,7 +1062,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_windowed_agg": q_windowed_agg,
         "q_incoming_counts": q_incoming_counts,
         "q_encode_rfc5424": q_encode_rfc5424,
-        "q_encode_avro": q_encode_avro,
+        "q_dedup_clusters_star": q_dedup_clusters_star,
+        "q_boilerplate": q_boilerplate,
+        "q_soft_dedup": q_soft_dedup,
+        "q_tfidf_terms": q_tfidf_terms,
+        "q_bigram_ppl": q_bigram_ppl,
         "q_parse_protobuf": q_parse_protobuf,
         "q_parse_collectd": q_parse_collectd,
         "q_parse_acct": q_parse_acct,
@@ -1065,20 +1076,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_parse_w3c": q_parse_w3c,
         "q_parse_ltsv": q_parse_ltsv,
         "q_dedup_exact": q_dedup_exact,
-        "q_dedup_fingerprint": q_dedup_fingerprint,
         "q_minhash_lsh": q_minhash_lsh,
         "q_ngram_jaccard": q_ngram_jaccard,
         "q_dedup_clusters": q_dedup_clusters,
         "q_sample_per_group": q_sample_per_group,
         "q_simhash_pairs": q_simhash_pairs,
         "q_ann_topk": q_ann_topk,
-        "q_ann_lsh": q_ann_lsh,
         "q_ivf_topk": q_ivf_topk,
         "q_embed_neardup": q_embed_neardup,
         "q_text_stats": q_text_stats,
-        "q_bpe_tokens": q_bpe_tokens,
         "q_token_pctl": q_token_pctl,
-        "q_winnow_fp": q_winnow_fp,
         "q_lang_id": q_lang_id,
         "q_doc_fingerprint": q_doc_fingerprint,
         "q_parse_json": q_parse_json,
@@ -1093,7 +1100,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_asof_enrich": q_asof_enrich,
         "q_session_agg": q_session_agg,
         "q_tpch_q1": q_tpch_q1,
-        # -- 51+: near-duplicate variants (oracle-paired, locally checked) --
+        # -- 51+: near-duplicate variants (oracle-paired, locally checked;
+        # all six tail families below were driver-green in r02) --
+        "q_encode_avro": q_encode_avro,
+        "q_dedup_fingerprint": q_dedup_fingerprint,
+        "q_ann_lsh": q_ann_lsh,
+        "q_bpe_tokens": q_bpe_tokens,
+        "q_winnow_fp": q_winnow_fp,
         "q_encode_json": q_encode_json,
         "q_encode_fulljson": q_encode_fulljson,
         "q_encode_fullavro": q_encode_fullavro,
@@ -1102,10 +1115,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_encode_protobuf": q_encode_protobuf,
         "q_simhash": q_simhash,
         "q_dedup_apply": q_dedup_apply,
-        "q_dedup_clusters_star": q_dedup_clusters_star,
-        "q_boilerplate": q_boilerplate,
-        "q_soft_dedup": q_soft_dedup,
-        "q_tfidf_terms": q_tfidf_terms,
     }
 
 
@@ -1880,6 +1889,35 @@ def oracle_sql() -> dict[str, str]:
                 PARTITION BY doc_id ORDER BY score DESC, term) AS rank
               FROM scored
             ) WHERE rank <= 3
+        """,
+        "q_bigram_ppl": """
+            WITH base AS (
+              SELECT doc_id, string_split(text, ' ') AS l FROM documents
+            ), big AS (
+              SELECT doc_id, l[i] AS w1, l[i + 1] AS w2
+              FROM base, unnest(range(1, len(l))) AS u(i)
+              WHERE len(l) >= 2
+            ), bc AS (
+              SELECT w1, w2, count(*) AS cb FROM big GROUP BY 1, 2
+            ), cw AS (
+              SELECT w1, sum(cb) AS cwv FROM bc GROUP BY 1
+            ), v AS (
+              SELECT count(DISTINCT w) AS vv FROM (
+                SELECT w1 AS w FROM big UNION ALL SELECT w2 FROM big)
+            ), scored AS (
+              SELECT b.doc_id,
+                     ln((bc.cb + 0.5) / (cw.cwv + 0.5 * v.vv)) AS lp
+              FROM big b JOIN bc USING (w1, w2) JOIN cw USING (w1)
+              CROSS JOIN v
+            ), agg AS (
+              SELECT doc_id, count(*) AS n_bigrams,
+                     round(avg(lp), 6) AS avg_logprob
+              FROM scored GROUP BY 1
+            )
+            SELECT d.doc_id,
+                   coalesce(a.n_bigrams, 0) AS n_bigrams,
+                   coalesce(a.avg_logprob, 0.0) AS avg_logprob
+            FROM documents d LEFT JOIN agg a USING (doc_id)
         """,
         "q_boilerplate": """
             WITH base AS (

@@ -163,6 +163,85 @@ def tfidf_top_terms(
     )
 
 
+def bigram_logprob_scores(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Per-document mean bigram log-probability — the CCNet-style LM
+    perplexity gate (docs whose token transitions are unlike the
+    corpus score low; gate on a percentile of ``avg_logprob``).
+
+    Add-``alpha`` smoothed bigram model trained on the corpus itself:
+    ``log P(w2|w1) = ln((c(w1,w2)+α) / (c(w1)+α·V))`` with ``V`` the
+    corpus unigram vocabulary size.  In production the counts come
+    from a fixed reference corpus (CCNet trains on Wikipedia) — swap
+    the count frames; the scoring join is identical.
+
+    Returns ``(id, n_bigrams, avg_logprob)``; docs with < 2 tokens get
+    0 bigrams and a 0.0 score.  Shapes: one map-side bigram explode
+    feeds both count aggregates; scoring joins on the compact bigram
+    key; one final per-doc aggregate — every shuffle is on counts or
+    narrow keys, text never re-shuffles.
+    """
+    toks = F.split(F.col(text_col), " ")
+    big = df.select(
+        F.col(id_col),
+        F.explode(
+            F.when(
+                F.size(toks) >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(toks) - 1),
+                    lambda i: F.struct(
+                        F.element_at(toks, i).alias("w1"),
+                        F.element_at(toks, i + 1).alias("w2"),
+                    ),
+                ),
+            ).otherwise(
+                F.array().cast("array<struct<w1:string,w2:string>>")
+            )
+        ).alias("b"),
+    ).select(id_col, "b.w1", "b.w2")
+    bg_counts = big.groupBy("w1", "w2").agg(F.count("*").alias("_cb"))
+    un_counts = big.select(F.col("w1").alias("w")).union(
+        big.select("w2")
+    )
+    # unigram counts must match "count of tokens", not "count of bigram
+    # endpoints": c(w1) as a bigram LEFT context = occurrences of w as
+    # non-final token, which is exactly the per-w1 sum of bigram counts
+    ctx_counts = bg_counts.groupBy("w1").agg(F.sum("_cb").alias("_cw"))
+    vocab = un_counts.agg(
+        F.count_distinct("w").alias("_V")
+    )
+    scored = (
+        big.join(bg_counts, ["w1", "w2"])
+        .join(ctx_counts, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            F.col(id_col),
+            F.log(
+                (F.col("_cb") + F.lit(alpha))
+                / (F.col("_cw") + F.lit(alpha) * F.col("_V"))
+            ).alias("_lp"),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(F.avg("_lp"), 6).alias("avg_logprob"),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(scored, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_bigrams"), F.lit(0)).alias("n_bigrams"),
+            F.coalesce(F.col("avg_logprob"), F.lit(0.0)).alias("avg_logprob"),
+        )
+    )
+
+
 def remove_boilerplate_spans(
     df: DataFrame,
     text_col: str = "text",

@@ -587,6 +587,30 @@ def test_tfidf_top_terms(spark):
     assert got[(2, 1)][0] == "banana" and got[(3, 1)][0] == "cherry"
 
 
+def test_bigram_logprob_scores(spark):
+    """Corpus-trained add-alpha bigram LM: frequent transitions score
+    higher than rare ones; docs with < 2 tokens get 0 bigrams / 0.0."""
+    import math
+
+    from skewer_spark.operators.curate import bigram_logprob_scores
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b"), (3, "x")],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in bigram_logprob_scores(docs).collect()}
+    # corpus: c(a,b)=3, c(b,a)=1; contexts c(a)=3, c(b)=1; V={a,b}=2
+    lp_ab = math.log((3 + 0.5) / (3 + 0.5 * 2))
+    lp_ba = math.log((1 + 0.5) / (1 + 0.5 * 2))
+    assert rows[1].n_bigrams == 3
+    assert rows[1].avg_logprob == round((2 * lp_ab + lp_ba) / 3, 6)
+    assert rows[2].n_bigrams == 1
+    assert rows[2].avg_logprob == round(lp_ab, 6)
+    # the common transition outscores the rare one
+    assert rows[2].avg_logprob > round(lp_ba, 6)
+    assert rows[3].n_bigrams == 0 and rows[3].avg_logprob == 0.0
+
+
 def test_ngram_jaccard_pairs(spark):
     from skewer_spark.operators.dedup import ngram_jaccard_pairs
 
