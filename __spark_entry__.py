@@ -721,6 +721,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs = _read(spark, sf, "documents")
         return bigram_logprob_scores(docs)
 
+    def q_dsir_weights(spark, sf):
+        # DSIR data selection: hashed-n-gram importance log-ratio of an
+        # 'en'-target bag model vs the rest of the corpus
+        from skewer_spark.operators.curate import dsir_importance_weights
+        docs = _read(spark, sf, "documents")
+        return dsir_importance_weights(docs, F.col("lang") == "en")
+
+    def q_pack_sequences(spark, sf):
+        # GPT-style concat-and-chunk packing: per-doc token span in the
+        # fixed-length training-sequence stream (distributed prefix sum)
+        from skewer_spark.operators.pack import pack_sequences
+        docs = _read(spark, sf, "documents")
+        return pack_sequences(docs, seq_len=512)
+
     def q_sample_per_group(spark, sf):
         # deterministic stratified sample: n docs per language, ordered
         # by a hash of the id (reproducible, no RNG — resume-safe)
@@ -1067,6 +1081,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_soft_dedup": q_soft_dedup,
         "q_tfidf_terms": q_tfidf_terms,
         "q_bigram_ppl": q_bigram_ppl,
+        "q_dsir_weights": q_dsir_weights,
+        "q_pack_sequences": q_pack_sequences,
         "q_parse_protobuf": q_parse_protobuf,
         "q_parse_collectd": q_parse_collectd,
         "q_parse_acct": q_parse_acct,
@@ -1085,12 +1101,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ivf_topk": q_ivf_topk,
         "q_embed_neardup": q_embed_neardup,
         "q_text_stats": q_text_stats,
-        "q_token_pctl": q_token_pctl,
         "q_lang_id": q_lang_id,
         "q_doc_fingerprint": q_doc_fingerprint,
         "q_parse_json": q_parse_json,
         "q_parse_influx": q_parse_influx,
-        "q_quality_score": q_quality_score,
         "q_pii_redact": q_pii_redact,
         "q_repetition": q_repetition,
         "q_decontam": q_decontam,
@@ -1103,6 +1117,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- 51+: near-duplicate variants (oracle-paired, locally checked;
         # all six tail families below were driver-green in r02) --
         "q_encode_avro": q_encode_avro,
+        "q_token_pctl": q_token_pctl,
+        "q_quality_score": q_quality_score,
         "q_dedup_fingerprint": q_dedup_fingerprint,
         "q_ann_lsh": q_ann_lsh,
         "q_bpe_tokens": q_bpe_tokens,
@@ -1918,6 +1934,59 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(a.n_bigrams, 0) AS n_bigrams,
                    coalesce(a.avg_logprob, 0.0) AS avg_logprob
             FROM documents d LEFT JOIN agg a USING (doc_id)
+        """,
+        "q_dsir_weights": """
+            WITH base AS (
+              SELECT doc_id, lang = 'en' AS tgt,
+                     string_split(text, ' ') AS l
+              FROM documents
+            ), uni AS (
+              SELECT doc_id, tgt, l[i] AS f
+              FROM base, unnest(range(1, len(l) + 1)) AS u(i)
+            ), big AS (
+              SELECT doc_id, tgt, l[i] || ' ' || l[i + 1] AS f
+              FROM base, unnest(range(1, len(l))) AS u(i)
+              WHERE len(l) >= 2
+            ), feats AS (
+              SELECT doc_id, tgt,
+                     ('0x' || substr(md5(f), 1, 8))::BIGINT % 1024 AS b
+              FROM (SELECT * FROM uni UNION ALL SELECT * FROM big)
+            ), stats AS (
+              SELECT b,
+                     sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS ct,
+                     sum(CASE WHEN tgt THEN 0 ELSE 1 END) AS cr
+              FROM feats GROUP BY 1
+            ), tot AS (
+              SELECT sum(ct) AS tct, sum(cr) AS tcr FROM stats
+            ), blr AS (
+              SELECT b, ln(((ct + 0.5) / (tct + 512.0))
+                           / ((cr + 0.5) / (tcr + 512.0))) AS lr
+              FROM stats CROSS JOIN tot
+            ), docb AS (
+              SELECT doc_id, b, count(*) AS n FROM feats GROUP BY 1, 2
+            )
+            SELECT doc_id, sum(n)::BIGINT AS n_feats,
+                   round(sum(n * lr) / sum(n), 6) AS dsir_score
+            FROM docb JOIN blr USING (b) GROUP BY 1
+        """,
+        "q_pack_sequences": """
+            WITH t AS (
+              SELECT doc_id,
+                     len(string_split(text, ' '))::BIGINT AS n_tokens
+              FROM documents
+            ), c AS (
+              SELECT doc_id, n_tokens,
+                     sum(n_tokens) OVER (
+                       ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                     )::BIGINT AS cum
+              FROM t
+            )
+            SELECT doc_id, n_tokens,
+                   ((cum - n_tokens) // 512)::BIGINT AS seq_first,
+                   ((cum - 1) // 512)::BIGINT AS seq_last,
+                   ((cum - n_tokens) % 512)::INT AS offset_in_seq
+            FROM c
         """,
         "q_boilerplate": """
             WITH base AS (

@@ -342,3 +342,89 @@ def remove_boilerplate_spans(
             F.coalesce(F.col("text_clean"), F.lit("")).alias("text_clean"),
         )
     )
+
+
+def dsir_importance_weights(
+    df: DataFrame,
+    target,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 1024,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """DSIR-style data selection (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every document
+    by the log importance ratio of two hashed-n-gram bag models — one
+    trained on the ``target`` domain, one on the rest of the corpus —
+    then keep/sample by score.  The reference repo has no analog; this
+    is part of the training-data-pipeline surface.
+
+    ``target`` is a boolean Column marking target-domain rows (e.g.
+    ``F.col('lang') == 'en'``).  Features are unigrams AND bigrams
+    hashed to ``n_buckets`` buckets via the 32-bit md5 prefix (the same
+    compact-key trade the dedup operators use); both bag models are
+    add-``alpha`` smoothed over the bucket vocabulary, and the score is
+    the per-feature MEAN of ``ln(p_target(b) / p_ref(b))`` so length
+    does not dominate (the paper's sum-form is ``score * n_feats``).
+
+    Returns ``(id, n_feats, dsir_score)``.
+
+    Scale shape: one map-side feature explode carries a boolean target
+    flag; BOTH models come from a single groupBy(bucket) with
+    conditional sums (one compact-key exchange, ``n_buckets`` rows
+    out); per-(doc, bucket) counts are one id-keyed narrow exchange;
+    scoring joins the broadcast ``n_buckets``-row stats frame; one
+    final per-doc aggregate.  Text bytes never ride a shuffle.
+    """
+    toks = F.split(F.col(text_col), " ")
+    grams = F.concat(
+        toks,
+        F.when(
+            F.size(toks) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - 1),
+                lambda i: F.concat_ws(
+                    " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>")),
+    )
+    feats = df.select(
+        F.col(id_col),
+        target.cast("boolean").alias("_tgt"),
+        F.explode(grams).alias("_f"),
+    ).select(
+        id_col,
+        "_tgt",
+        F.pmod(
+            F.conv(F.substring(F.md5("_f"), 1, 8), 16, 10).cast("long"),
+            F.lit(n_buckets),
+        ).alias("_b"),
+    )
+    stats = feats.groupBy("_b").agg(
+        F.sum(F.when(F.col("_tgt"), 1).otherwise(0)).alias("_ct"),
+        F.sum(F.when(F.col("_tgt"), 0).otherwise(1)).alias("_cr"),
+    )
+    # corpus totals via a global window over the n_buckets-row stats
+    # frame (tiny by construction) — avoids a self-lineage cross join
+    wall = Window.partitionBy(F.lit(0))
+    a, ab = F.lit(alpha), F.lit(alpha * n_buckets)
+    bucket_lr = stats.select(
+        "_b",
+        F.log(
+            ((F.col("_ct") + a) / (F.sum("_ct").over(wall) + ab))
+            / ((F.col("_cr") + a) / (F.sum("_cr").over(wall) + ab))
+        ).alias("_lr"),
+    )
+    doc_b = feats.groupBy(id_col, "_b").agg(F.count("*").alias("_n"))
+    lr = F.col("_lr")
+    return (
+        doc_b.join(F.broadcast(bucket_lr), "_b")
+        .groupBy(id_col)
+        .agg(
+            F.sum("_n").cast("long").alias("n_feats"),
+            F.round(
+                F.sum(F.col("_n") * lr) / F.sum("_n"), 6
+            ).alias("dsir_score"),
+        )
+    )

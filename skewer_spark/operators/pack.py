@@ -1,0 +1,146 @@
+"""Sequence packing — the GPT-style concat-and-chunk step that turns a
+curated document corpus into fixed-length training sequences.
+
+The corpus is laid out as one deterministic token stream (documents in
+``id`` order, whitespace tokens), and chunked into sequences of exactly
+``seq_len`` tokens; each document is mapped to the half-open token span
+``[start, start + n_tokens)`` of that stream and hence to the sequence
+ids it occupies.  No reference analog (the reference is a log gateway);
+this is part of the training-data-pipeline surface.
+
+Scale note — the global running total is a textbook distributed prefix
+sum, NOT a single-partition window: an all-rows ``Window.orderBy(id)``
+collapses the whole corpus onto one task, which is exactly the
+straggler this module exists to avoid.  Instead:
+
+1. each row gets a RANGE-bucket id via a monotone map of the order key
+   (min/max come from a broadcast 1-row aggregate — no driver collect,
+   no action);
+2. in-bucket running totals use a window partitioned by bucket
+   (parallel across buckets);
+3. bucket base offsets are a global window over the ``n_buckets``-row
+   totals frame (trivially small), broadcast-joined back.
+
+Integer arithmetic throughout — the bucketed prefix sum is bit-equal to
+the single-partition formulation regardless of bucket boundaries, which
+is what the DuckDB oracle (plain global window cumsum) checks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def pack_sequences(
+    df: DataFrame,
+    seq_len: int = 512,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Assign every document its token span in the packed stream.
+
+    Returns one row per input document::
+
+        (id, n_tokens, seq_first, seq_last, offset_in_seq)
+
+    where ``seq_first``/``seq_last`` are the first and last sequence
+    ids the document's tokens land in (a document longer than
+    ``seq_len`` spans several), and ``offset_in_seq`` is the token
+    offset of the document's first token inside ``seq_first``.
+    """
+    base = df.select(
+        F.col(id_col).cast("long").alias(id_col),
+        F.size(F.split(F.col(text_col), " ")).cast("long").alias("n_tokens"),
+    )
+    # monotone range-bucket id from broadcast min/max — all docs in
+    # bucket b precede bucket b+1 in id order, so per-bucket partial
+    # sums + bucket base offsets reproduce the global cumsum exactly
+    bounds = base.agg(
+        F.min(id_col).alias("_lo"), F.max(id_col).alias("_hi")
+    )
+    bucketed = base.crossJoin(F.broadcast(bounds)).select(
+        id_col,
+        "n_tokens",
+        F.least(
+            F.lit(n_buckets - 1),
+            F.floor(
+                (F.col(id_col) - F.col("_lo"))
+                * F.lit(n_buckets)
+                / (F.col("_hi") - F.col("_lo") + 1)
+            ),
+        ).alias("_bkt"),
+    )
+    in_bucket = F.sum("n_tokens").over(
+        Window.partitionBy("_bkt")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    rows = bucketed.withColumn("_run", in_bucket)
+    bucket_totals = rows.groupBy("_bkt").agg(
+        F.max("_run").alias("_tot")
+    )
+    # n_buckets rows: the one intentionally-global window in the plan
+    base_off = bucket_totals.select(
+        "_bkt",
+        (
+            F.coalesce(
+                F.sum("_tot").over(
+                    Window.orderBy("_bkt").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            )
+        ).alias("_base"),
+    )
+    start = F.col("_base") + F.col("_run") - F.col("n_tokens")
+    end = F.col("_base") + F.col("_run")
+    return (
+        rows.join(F.broadcast(base_off), "_bkt")
+        .select(
+            id_col,
+            "n_tokens",
+            F.floor(start / seq_len).alias("seq_first"),
+            F.floor((end - 1) / seq_len).alias("seq_last"),
+            (start % seq_len).cast("int").alias("offset_in_seq"),
+        )
+    )
+
+
+def sequence_manifest(
+    packed: DataFrame,
+    seq_len: int = 512,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-sequence roll-up of :func:`pack_sequences` output:
+    ``(seq_id, n_docs, n_tokens)`` with each document's token count
+    clipped to the sequence boundaries (so every full sequence sums to
+    exactly ``seq_len`` tokens).
+
+    One sequence-id explode (a document emits ``seq_last - seq_first
+    + 1`` rows — bounded by ``n_tokens / seq_len + 1``) and one
+    compact-key aggregate.
+    """
+    start = (
+        F.col("seq_first") * seq_len + F.col("offset_in_seq")
+    ).alias("_start")
+    span = packed.select(
+        id_col,
+        "n_tokens",
+        F.explode(
+            F.sequence(F.col("seq_first"), F.col("seq_last"))
+        ).alias("seq_id"),
+        start,
+    )
+    contrib = F.least(
+        (F.col("seq_id") + 1) * seq_len, F.col("_start") + F.col("n_tokens")
+    ) - F.greatest(F.col("seq_id") * seq_len, F.col("_start"))
+    return (
+        span.groupBy("seq_id")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(contrib).cast("long").alias("n_tokens"),
+        )
+    )

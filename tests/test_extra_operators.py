@@ -740,3 +740,84 @@ def test_malformed_lines_never_abort_job(spark):
     row = parse_ltsv(lt).collect()[0]
     assert (row.hostname, row.priority, row.time_reported) == ("b", 0, None)
     assert row.parse_ok
+
+
+def test_dsir_importance_weights(spark):
+    """Hashed-n-gram importance ratio: docs made of target-only n-grams
+    score high, reference-only low, and the score is an exact
+    add-alpha bucket-model computation (checked per-row in python)."""
+    import hashlib
+    import math
+
+    from skewer_spark.operators.curate import dsir_importance_weights
+
+    docs = spark.createDataFrame(
+        [(1, "aa bb aa bb", "en"), (2, "aa bb", "en"),
+         (3, "zz qq zz", "de"), (4, "aa zz", "de")],
+        "doc_id long, text string, lang string",
+    )
+    B, a = 64, 0.5
+
+    def feats(t):
+        toks = t.split(" ")
+        fs = toks + [f"{toks[i]} {toks[i+1]}" for i in range(len(toks) - 1)]
+        return [int(hashlib.md5(f.encode()).hexdigest()[:8], 16) % B
+                for f in fs]
+
+    ct, cr = {}, {}
+    rows_in = [(1, "aa bb aa bb", True), (2, "aa bb", True),
+               (3, "zz qq zz", False), (4, "aa zz", False)]
+    for _, t, tgt in rows_in:
+        for b in feats(t):
+            (ct if tgt else cr)[b] = (ct if tgt else cr).get(b, 0) + 1
+    Ct, Cr = sum(ct.values()), sum(cr.values())
+
+    def score(t):
+        bs = feats(t)
+        lr = [math.log(((ct.get(b, 0) + a) / (Ct + a * B))
+                       / ((cr.get(b, 0) + a) / (Cr + a * B)))
+              for b in bs]
+        return len(bs), round(sum(lr) / len(bs), 6)
+
+    got = {r.doc_id: r for r in dsir_importance_weights(
+        docs, F.col("lang") == "en", n_buckets=B).collect()}
+    for did, t, _ in rows_in:
+        n, s = score(t)
+        assert got[did].n_feats == n
+        assert abs(got[did].dsir_score - s) < 1e-5
+    # target-style doc outscores reference-style doc
+    assert got[1].dsir_score > got[3].dsir_score
+
+
+def test_pack_sequences(spark):
+    """Bucketed prefix sum == plain global cumsum; spans and offsets
+    follow the concat-and-chunk layout exactly."""
+    from skewer_spark.operators.pack import pack_sequences, sequence_manifest
+
+    # sparse, unordered ids; token counts 1..7 with one doc > seq_len
+    data = [(100, "w " * 6), (3, "w " * 2), (57, "w " * 13),
+            (8, "w"), (999, "w " * 4)]
+    docs = spark.createDataFrame(
+        [(i, t.strip()) for i, t in data], "doc_id long, text string"
+    )
+    S = 5
+    got = {r.doc_id: r for r in
+           pack_sequences(docs, seq_len=S, n_buckets=4).collect()}
+    cum = 0
+    for did, t in sorted(data):
+        n = len(t.strip().split(" "))
+        start, end = cum, cum + n
+        cum = end
+        r = got[did]
+        assert r.n_tokens == n
+        assert r.seq_first == start // S
+        assert r.seq_last == (end - 1) // S
+        assert r.offset_in_seq == start % S
+    # manifest: every sequence except the last holds exactly S tokens
+    man = {r.seq_id: r for r in sequence_manifest(
+        pack_sequences(docs, seq_len=S, n_buckets=4), seq_len=S).collect()}
+    total = cum
+    for sid, r in man.items():
+        exp = S if (sid + 1) * S <= total else total - sid * S
+        assert r.n_tokens == exp
+    assert sum(r.n_tokens for r in man.values()) == total

@@ -107,3 +107,35 @@ def test_parquet_scan_pushes_filters_and_prunes_columns(spark, tmp_path):
     # column pruning: the scan schema must not include text
     scan = plan[plan.index("ReadSchema"):].splitlines()[0]
     assert "text" not in scan and "doc_id" in scan
+
+
+def test_dsir_scoring_join_is_broadcast(spark):
+    """The n_buckets-row log-ratio frame must join the per-doc bucket
+    counts as a BROADCAST hash join — a shuffle here re-keys the whole
+    feature stream on the bucket id a second time."""
+    from skewer_spark.operators.curate import dsir_importance_weights
+
+    plan = _plan(
+        dsir_importance_weights(_docs(spark), F.lit(True), n_buckets=64)
+    )
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_pack_sequences_has_no_corpus_global_window(spark):
+    """The prefix sum must be the bucketed two-phase form: the only
+    single-partition (empty-partition-key) window runs over the tiny
+    bucket-totals frame, never over the corpus rows, and the base
+    offsets join back as a broadcast."""
+    from skewer_spark.operators.pack import pack_sequences
+
+    import re
+
+    plan = _plan(pack_sequences(_docs(spark), seq_len=5, n_buckets=4))
+    assert "BroadcastHashJoin" in plan
+    # every running total over corpus rows is partitioned by the range
+    # bucket (parallel), never a bare ORDER BY doc_id global window
+    corpus_windows = re.findall(
+        r"windowspecdefinition\([^\n]*n_tokens[^\n]*", plan
+    ) or re.findall(r"Arguments: \[sum\(n_tokens[^\n]*", plan)
+    assert corpus_windows and all("_bkt" in w for w in corpus_windows)
+    assert not re.search(r"windowspecdefinition\(doc_id#\d+L? ASC", plan)
