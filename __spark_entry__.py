@@ -735,6 +735,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs = _read(spark, sf, "documents")
         return pack_sequences(docs, seq_len=512)
 
+    def q_budget_select(spark, sf):
+        # greedy token-budget corpus selection: keep whole docs in
+        # (quality DESC, doc_id) order while the running token total
+        # fits the budget — distributed bucketed prefix sum
+        from skewer_spark.functions.text import quality_score
+        from skewer_spark.operators.select import token_budget_select
+        docs = _read(spark, sf, "documents")
+        return token_budget_select(docs, quality_score(), budget_tokens=20000)
+
+    def q_mixture_weights(spark, sf):
+        # temperature-scaled domain sampling weights (mT5/UniMax style)
+        from skewer_spark.operators.select import mixture_weights
+        docs = _read(spark, sf, "documents")
+        return mixture_weights(docs, "lang", temperature=2.0)
+
+    def q_shard_shuffle(spark, sf):
+        # deterministic global shuffle into training shards: stable
+        # md5-keyed shard + in-shard position, no RNG state
+        from skewer_spark.operators.select import shard_and_shuffle
+        docs = _read(spark, sf, "documents")
+        return shard_and_shuffle(docs, n_shards=8)
+
     def q_sample_per_group(spark, sf):
         # deterministic stratified sample: n docs per language, ordered
         # by a hash of the id (reproducible, no RNG — resume-safe)
@@ -1083,13 +1105,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bigram_ppl": q_bigram_ppl,
         "q_dsir_weights": q_dsir_weights,
         "q_pack_sequences": q_pack_sequences,
+        "q_budget_select": q_budget_select,
+        "q_mixture_weights": q_mixture_weights,
+        "q_shard_shuffle": q_shard_shuffle,
         "q_parse_protobuf": q_parse_protobuf,
         "q_parse_collectd": q_parse_collectd,
         "q_parse_acct": q_parse_acct,
         "q_gelf_chunks": q_gelf_chunks,
-        "q_parse_rsyslog": q_parse_rsyslog,
-        "q_parse_gelf": q_parse_gelf,
-        "q_parse_w3c": q_parse_w3c,
         "q_parse_ltsv": q_parse_ltsv,
         "q_dedup_exact": q_dedup_exact,
         "q_minhash_lsh": q_minhash_lsh,
@@ -1131,6 +1153,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_encode_protobuf": q_encode_protobuf,
         "q_simhash": q_simhash,
         "q_dedup_apply": q_dedup_apply,
+        "q_parse_rsyslog": q_parse_rsyslog,
+        "q_parse_gelf": q_parse_gelf,
+        "q_parse_w3c": q_parse_w3c,
     }
 
 
@@ -1987,6 +2012,68 @@ def oracle_sql() -> dict[str, str]:
                    ((cum - 1) // 512)::BIGINT AS seq_last,
                    ((cum - n_tokens) % 512)::INT AS offset_in_seq
             FROM c
+        """,
+        "q_budget_select": """
+            WITH q AS (
+              SELECT doc_id,
+                     (length(text) - length(replace(text, ' ', ''))
+                      + 1)::BIGINT AS n_tokens,
+                     round(
+                       CASE WHEN length(text) >= 100 THEN 0.5
+                            ELSE length(text) / 200.0 END
+                       + CASE WHEN length(regexp_replace(
+                                 text, '[^.,;:!?]', '', 'g'))::DOUBLE
+                                   / length(text)::DOUBLE <= 0.1
+                              THEN 0.25 ELSE 0.0 END
+                       + CASE WHEN len(list_filter(string_split(text, ' '),
+                                 x -> x IN ('the','a','of','and','to',
+                                            'in','is','it')))::DOUBLE
+                                   / len(string_split(text, ' '))::DOUBLE
+                                   >= 0.05
+                              THEN 0.25 ELSE 0.0 END, 4)::DOUBLE AS score
+              FROM documents
+            )
+            SELECT doc_id, n_tokens, score,
+                   sum(n_tokens) OVER (
+                     ORDER BY score DESC, doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   )::BIGINT AS cum_tokens,
+                   sum(n_tokens) OVER (
+                     ORDER BY score DESC, doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) <= 20000 AS selected
+            FROM q
+        """,
+        "q_mixture_weights": """
+            WITH g AS (
+              SELECT lang AS "group", count(*)::BIGINT AS n_docs,
+                     sum(length(text) - length(replace(text, ' ', ''))
+                         + 1)::BIGINT AS n_tokens
+              FROM documents GROUP BY 1
+            )
+            , p AS (
+              SELECT "group", n_docs, n_tokens,
+                     n_tokens::DOUBLE / sum(n_tokens) OVER () AS p_raw
+              FROM g
+            )
+            SELECT "group", n_docs, n_tokens,
+                   round(p_raw, 6) AS p_raw,
+                   round(pow(p_raw, 0.5)
+                         / sum(pow(p_raw, 0.5)) OVER (), 6) AS mix_weight
+            FROM p
+        """,
+        "q_shard_shuffle": """
+            WITH k AS (
+              SELECT doc_id,
+                     ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT
+                       AS key
+              FROM documents
+            )
+            SELECT doc_id, (key % 8)::INT AS shard,
+                   row_number() OVER (
+                     PARTITION BY key % 8 ORDER BY key, doc_id
+                   )::BIGINT AS shard_pos
+            FROM k
         """,
         "q_boilerplate": """
             WITH base AS (

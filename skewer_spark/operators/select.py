@@ -1,0 +1,201 @@
+"""Corpus selection & mixing — the last-mile operators between curation
+and sequence packing in a training-data pipeline: pick which documents
+to train on (token-budget selection), decide how much of each domain to
+sample (temperature mixing weights), and lay the result out in
+deterministic shuffled shards for the trainer.
+
+No reference analog (the reference is a log gateway,
+/root/reference/README.md:1); this extends the training-data-pipeline
+surface alongside operators/curate.py and operators/pack.py.
+
+Scale shapes (all plan-guarded in tests/test_plans.py):
+
+- ``token_budget_select`` is a distributed prefix sum over *score*
+  order — the same range-bucket two-phase form as
+  :func:`skewer_spark.operators.pack.pack_sequences` (per-bucket
+  running totals + broadcast base offsets), never a single-partition
+  corpus-wide window.
+- ``mixture_weights`` aggregates to one row per group first; the only
+  global window runs over that tiny frame.
+- ``shard_and_shuffle`` partitions its ordering window by the shard id,
+  so the sort parallelizes across ``n_shards`` (at 100 TB you run
+  ~10^5 shards and every sort is shard-local).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def token_budget_select(
+    df: DataFrame,
+    score: Column,
+    budget_tokens: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Greedy token-budget corpus selection: walk documents in
+    ``(score DESC, id ASC)`` order and keep each whole document while
+    the running token total stays within ``budget_tokens``.
+
+    Returns one row per input document::
+
+        (id, n_tokens, score, cum_tokens, selected)
+
+    where ``cum_tokens`` is the running total *including* the row and
+    ``selected`` marks the kept prefix (``cum_tokens <= budget``).
+
+    The running total is the bucketed two-phase prefix sum: documents
+    range-bucket on the score (monotone non-increasing map, so every
+    row in bucket b outranks every row in bucket b+1; equal scores land
+    in one bucket and tie-break by id *inside* the per-bucket window),
+    per-bucket running sums run in parallel, and the ``n_buckets``-row
+    totals frame supplies broadcast base offsets.  Bit-equal to the
+    global ``SUM() OVER (ORDER BY score DESC, id)`` the oracle runs.
+    """
+    t = F.col(text_col)
+    n_tokens = (
+        F.length(t) - F.length(F.replace(t, F.lit(" "), F.lit(""))) + 1
+    ).cast("long")
+    base = df.select(
+        F.col(id_col).cast("long").alias(id_col),
+        n_tokens.alias("n_tokens"),
+        score.cast("double").alias("score"),
+    )
+    bounds = base.agg(F.min("score").alias("_lo"), F.max("score").alias("_hi"))
+    bucketed = base.crossJoin(F.broadcast(bounds)).select(
+        id_col,
+        "n_tokens",
+        "score",
+        F.when(F.col("_hi") == F.col("_lo"), F.lit(0))
+        .otherwise(
+            F.least(
+                F.lit(n_buckets - 1),
+                F.greatest(
+                    F.lit(0),
+                    F.floor(
+                        (F.col("_hi") - F.col("score"))
+                        * F.lit(n_buckets)
+                        / (F.col("_hi") - F.col("_lo"))
+                    ),
+                ),
+            )
+        )
+        .cast("int")
+        .alias("_bkt"),
+    )
+    in_bucket = F.sum("n_tokens").over(
+        Window.partitionBy("_bkt")
+        .orderBy(F.col("score").desc(), F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    rows = bucketed.withColumn("_run", in_bucket)
+    base_off = (
+        rows.groupBy("_bkt")
+        .agg(F.sum("n_tokens").alias("_tot"))
+        .select(
+            "_bkt",
+            F.coalesce(
+                F.sum("_tot").over(
+                    Window.orderBy("_bkt").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ).alias("_base"),
+        )
+    )
+    cum = (F.col("_base") + F.col("_run")).alias("cum_tokens")
+    return rows.join(F.broadcast(base_off), "_bkt").select(
+        id_col,
+        "n_tokens",
+        "score",
+        cum,
+        (F.col("_base") + F.col("_run") <= F.lit(budget_tokens)).alias(
+            "selected"
+        ),
+    )
+
+
+def mixture_weights(
+    df: DataFrame,
+    group_col: str = "lang",
+    temperature: float = 2.0,
+    text_col: str = "text",
+) -> DataFrame:
+    """Temperature-scaled domain mixing weights (the multilingual /
+    multi-domain sampling scheme of mT5 & UniMax): a group holding
+    fraction ``p`` of the corpus tokens is sampled with probability
+    proportional to ``p^(1/T)``, flattening the head and boosting the
+    tail as ``T`` grows (``T=1`` = natural mix, ``T→∞`` = uniform).
+
+    Returns one row per group::
+
+        (group, n_docs, n_tokens, p_raw, mix_weight)
+
+    with ``p_raw`` the natural token share and ``mix_weight`` the
+    temperature-normalized sampling weight (both rounded to 6).
+
+    Shape: one compact-key groupBy; the normalizations are global
+    windows over the resulting *n_groups*-row frame (tiny by
+    construction) — corpus rows never meet a global window.
+    """
+    t = F.col(text_col)
+    n_tokens = (
+        F.length(t) - F.length(F.replace(t, F.lit(" "), F.lit(""))) + 1
+    ).cast("long")
+    per_group = df.groupBy(F.col(group_col).alias("group")).agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(n_tokens).cast("long").alias("n_tokens"),
+    )
+    wall = Window.partitionBy(F.lit(0))
+    p_raw = F.col("n_tokens").cast("double") / F.sum("n_tokens").over(wall)
+    scaled = F.pow(p_raw, 1.0 / temperature)
+    return per_group.select(
+        "group",
+        "n_docs",
+        "n_tokens",
+        F.round(p_raw, 6).alias("p_raw"),
+        F.round(scaled / F.sum(scaled).over(wall), 6).alias("mix_weight"),
+    )
+
+
+def shard_and_shuffle(
+    df: DataFrame,
+    n_shards: int = 16,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic global shuffle into training shards: every
+    document gets a pseudo-random 60-bit key (md5 of its id — stable
+    across runs and resumes, no RNG state), a shard assignment, and its
+    position within the shard's key-sorted order.
+
+    Returns ``(id, shard, shard_pos)`` — the trainer reads shards in
+    any order and each shard's rows in ``shard_pos`` order, giving a
+    reproducible corpus-wide shuffle without ever materializing a
+    global sort: the ordering window partitions by ``shard``, so the
+    sort is shard-local and parallel (run ~10^5 shards at 100 TB).
+
+    60-bit key (15 hex digits) keeps the value positive in a signed
+    64-bit long on both engines, matching the oracle's
+    ``('0x' || substr(md5(id), 1, 15))::BIGINT``.
+    """
+    key = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    keyed = df.select(
+        F.col(id_col),
+        key.alias("_k"),
+    ).select(
+        id_col,
+        F.pmod(F.col("_k"), F.lit(n_shards)).cast("int").alias("shard"),
+        "_k",
+    )
+    pos = F.row_number().over(
+        Window.partitionBy("shard").orderBy(F.col("_k"), F.col(id_col))
+    )
+    return keyed.select(
+        id_col, "shard", pos.cast("long").alias("shard_pos")
+    )

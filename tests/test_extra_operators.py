@@ -821,3 +821,92 @@ def test_pack_sequences(spark):
         exp = S if (sid + 1) * S <= total else total - sid * S
         assert r.n_tokens == exp
     assert sum(r.n_tokens for r in man.values()) == total
+
+
+def test_token_budget_select(spark):
+    """Bucketed prefix sum over (score DESC, id) == plain global
+    cumsum; whole-document greedy selection stops at the budget."""
+    from skewer_spark.operators.select import token_budget_select
+
+    # equal scores exercise the id tie-break; bucket count < distinct
+    # scores exercises multi-score buckets
+    data = [(1, "w " * 4, 3.0), (2, "w " * 6, 1.0), (3, "w " * 2, 3.0),
+            (4, "w " * 5, 2.0), (5, "w " * 3, 0.5)]
+    docs = spark.createDataFrame(
+        [(i, t.strip()) for i, t, _ in data], "doc_id long, text string"
+    )
+    score = (
+        F.when(F.col("doc_id") == 1, 3.0)
+        .when(F.col("doc_id") == 2, 1.0)
+        .when(F.col("doc_id") == 3, 3.0)
+        .when(F.col("doc_id") == 4, 2.0)
+        .otherwise(0.5)
+    )
+    got = {r.doc_id: r for r in
+           token_budget_select(docs, score, 11, n_buckets=3).collect()}
+    cum = 0
+    for did, t, _ in sorted(data, key=lambda x: (-x[2], x[0])):
+        n = len(t.strip().split(" "))
+        cum += n
+        assert got[did].n_tokens == n
+        assert got[did].cum_tokens == cum
+        assert got[did].selected == (cum <= 11)
+    # selected = docs 1 (4 toks) + 3 (2 toks) + 4 (5 toks) = 11 <= 11
+    assert {d for d, r in got.items() if r.selected} == {1, 3, 4}
+
+    # degenerate: all scores equal (hi == lo bucket guard) — order is
+    # by id, and greedy keeps the PREFIX: doc 1 (4 toks) fits budget 6,
+    # doc 2 (6 toks) overflows, everything after stays unselected
+    flat = token_budget_select(docs, F.lit(1.0), 6, n_buckets=3).collect()
+    assert {r.doc_id for r in flat if r.selected} == {1}
+
+
+def test_mixture_weights(spark):
+    """Temperature flattens the natural token share toward uniform."""
+    import math
+
+    from skewer_spark.operators.select import mixture_weights
+
+    docs = spark.createDataFrame(
+        [(1, ("w " * 80).strip(), "en"), (2, ("w " * 10).strip(), "en"),
+         (3, ("w " * 9).strip(), "de"), (4, "w", "fr")],
+        "doc_id long, text string, lang string",
+    )
+    toks = {"en": 90, "de": 9, "fr": 1}
+    total = sum(toks.values())
+    for T in (1.0, 2.0):
+        got = {r.group: r for r in
+               mixture_weights(docs, "lang", temperature=T).collect()}
+        z = sum((v / total) ** (1 / T) for v in toks.values())
+        for g, v in toks.items():
+            assert got[g].n_tokens == v
+            assert abs(got[g].p_raw - round(v / total, 6)) < 1e-9
+            assert abs(
+                got[g].mix_weight - round((v / total) ** (1 / T) / z, 6)
+            ) < 1e-9
+    # T=2 boosts the tail relative to its natural share
+    got2 = {r.group: r for r in
+            mixture_weights(docs, "lang", temperature=2.0).collect()}
+    assert got2["fr"].mix_weight > got2["fr"].p_raw
+    assert got2["en"].mix_weight < got2["en"].p_raw
+
+
+def test_shard_and_shuffle(spark):
+    """Every doc lands in exactly one shard, positions are contiguous
+    1..n per shard, and the layout is run-to-run deterministic."""
+    from skewer_spark.operators.select import shard_and_shuffle
+
+    docs = spark.createDataFrame(
+        [(i, "x") for i in range(200)], "doc_id long, text string"
+    )
+    rows = shard_and_shuffle(docs, n_shards=8).collect()
+    assert len(rows) == 200 and len({r.doc_id for r in rows}) == 200
+    by_shard = {}
+    for r in rows:
+        assert 0 <= r.shard < 8
+        by_shard.setdefault(r.shard, []).append(r.shard_pos)
+    for ps in by_shard.values():
+        assert sorted(ps) == list(range(1, len(ps) + 1))
+    again = {(r.doc_id, r.shard, r.shard_pos)
+             for r in shard_and_shuffle(docs, n_shards=8).collect()}
+    assert again == {(r.doc_id, r.shard, r.shard_pos) for r in rows}

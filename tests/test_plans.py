@@ -139,3 +139,40 @@ def test_pack_sequences_has_no_corpus_global_window(spark):
     ) or re.findall(r"Arguments: \[sum\(n_tokens[^\n]*", plan)
     assert corpus_windows and all("_bkt" in w for w in corpus_windows)
     assert not re.search(r"windowspecdefinition\(doc_id#\d+L? ASC", plan)
+
+
+def test_budget_select_has_no_corpus_global_window(spark):
+    """Same invariant as pack_sequences: the running token total over
+    corpus rows must be partitioned by the score range bucket; the only
+    single-partition window runs over the n_buckets-row totals frame,
+    whose base offsets join back as a broadcast."""
+    import re
+
+    from skewer_spark.operators.select import token_budget_select
+
+    plan = _plan(
+        token_budget_select(
+            _docs(spark), F.length("text").cast("double"), 100, n_buckets=4
+        )
+    )
+    assert "BroadcastHashJoin" in plan
+    corpus_windows = re.findall(
+        r"windowspecdefinition\([^\n]*n_tokens[^\n]*", plan
+    ) or re.findall(r"Arguments: \[sum\(n_tokens[^\n]*", plan)
+    assert corpus_windows and all("_bkt" in w for w in corpus_windows)
+    assert not re.search(r"windowspecdefinition\(score#\d+ DESC", plan)
+
+
+def test_shard_shuffle_window_is_shard_partitioned(spark):
+    """The in-shard position window must partition by the shard id so
+    the sort parallelizes across shards — a bare global row_number
+    serializes the corpus onto one task."""
+    import re
+
+    from skewer_spark.operators.select import shard_and_shuffle
+
+    plan = _plan(shard_and_shuffle(_docs(spark), n_shards=8))
+    wins = [l for l in plan.splitlines() if "row_number()" in l]
+    assert wins and all(
+        "windowspecdefinition(shard#" in w for w in wins
+    )
