@@ -750,6 +750,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs = _read(spark, sf, "documents")
         return mixture_weights(docs, "lang", temperature=2.0)
 
+    def q_apply_mixture(spark, sf):
+        # materialized temperature mix: per-doc epoch count (copies)
+        # realizing the mixing weights under a token budget, decided by
+        # a deterministic md5 uniform (no RNG state)
+        from skewer_spark.operators.select import apply_mixture
+        docs = _read(spark, sf, "documents")
+        return apply_mixture(docs, budget_tokens=50000, group_col="lang",
+                             temperature=2.0)
+
     def q_shard_shuffle(spark, sf):
         # deterministic global shuffle into training shards: stable
         # md5-keyed shard + in-shard position, no RNG state
@@ -1107,6 +1116,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pack_sequences": q_pack_sequences,
         "q_budget_select": q_budget_select,
         "q_mixture_weights": q_mixture_weights,
+        "q_apply_mixture": q_apply_mixture,
         "q_shard_shuffle": q_shard_shuffle,
         "q_parse_protobuf": q_parse_protobuf,
         "q_parse_collectd": q_parse_collectd,
@@ -1115,7 +1125,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_parse_ltsv": q_parse_ltsv,
         "q_dedup_exact": q_dedup_exact,
         "q_minhash_lsh": q_minhash_lsh,
-        "q_ngram_jaccard": q_ngram_jaccard,
         "q_dedup_clusters": q_dedup_clusters,
         "q_sample_per_group": q_sample_per_group,
         "q_simhash_pairs": q_simhash_pairs,
@@ -1156,6 +1165,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_parse_rsyslog": q_parse_rsyslog,
         "q_parse_gelf": q_parse_gelf,
         "q_parse_w3c": q_parse_w3c,
+        "q_ngram_jaccard": q_ngram_jaccard,
     }
 
 
@@ -2061,6 +2071,37 @@ def oracle_sql() -> dict[str, str]:
                    round(pow(p_raw, 0.5)
                          / sum(pow(p_raw, 0.5)) OVER (), 6) AS mix_weight
             FROM p
+        """,
+        "q_apply_mixture": """
+            WITH g AS (
+              SELECT lang AS "group", count(*)::BIGINT AS n_docs,
+                     sum(length(text) - length(replace(text, ' ', ''))
+                         + 1)::BIGINT AS n_tokens
+              FROM documents GROUP BY 1
+            ), p AS (
+              SELECT "group", n_tokens,
+                     n_tokens::DOUBLE / sum(n_tokens) OVER () AS p_raw
+              FROM g
+            ), w AS (
+              SELECT "group", n_tokens AS gtok,
+                     round(pow(p_raw, 0.5)
+                           / sum(pow(p_raw, 0.5)) OVER (), 6) AS mw
+              FROM p
+            ), d AS (
+              SELECT doc_id, lang AS "group",
+                     (length(text) - length(replace(text, ' ', ''))
+                      + 1)::BIGINT AS n_tokens,
+                     ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT
+                       ::DOUBLE / power(2, 60) AS u
+              FROM documents
+            )
+            SELECT doc_id, "group", d.n_tokens,
+                   round(50000.0 * mw / gtok::DOUBLE, 6) AS rate,
+                   (floor(50000.0 * mw / gtok::DOUBLE)
+                    + CASE WHEN u < 50000.0 * mw / gtok::DOUBLE
+                               - floor(50000.0 * mw / gtok::DOUBLE)
+                           THEN 1 ELSE 0 END)::BIGINT AS n_copies
+            FROM d JOIN w USING ("group")
         """,
         "q_shard_shuffle": """
             WITH k AS (

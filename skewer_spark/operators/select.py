@@ -162,6 +162,85 @@ def mixture_weights(
     )
 
 
+def apply_mixture(
+    df: DataFrame,
+    budget_tokens: int,
+    group_col: str = "lang",
+    temperature: float = 2.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Materialize a temperature mix: give every document the number of
+    training epochs (copies) that realizes :func:`mixture_weights`
+    under a total token budget.
+
+    A group with mixing weight ``w`` gets a target of ``w * budget``
+    tokens, i.e. a per-document rate ``r = w * budget / group_tokens``
+    (> 1 ⇒ the domain is up-sampled / multi-epoch, < 1 ⇒ down-sampled).
+    Each document draws a deterministic uniform ``u`` from the 60-bit
+    md5 of its id and receives ``n_copies = floor(r) + (u < frac(r))``
+    — so expected group tokens hit the target exactly, the decision is
+    reproducible across runs/resumes (no RNG state), and whole
+    documents are kept or dropped (never split).
+
+    Returns ``(id, group, n_tokens, rate, n_copies)`` with ``rate``
+    rounded to 6.
+
+    Shape: one compact-key groupBy builds the *n_groups*-row weight
+    frame (global windows only over that frame), which broadcast-joins
+    back onto the corpus; the per-doc draw is pure expression
+    arithmetic.  Corpus rows never shuffle.
+    """
+    weights = mixture_weights(df, group_col, temperature, text_col)
+    t = F.col(text_col)
+    n_tokens = (
+        F.length(t) - F.length(F.replace(t, F.lit(" "), F.lit(""))) + 1
+    ).cast("long")
+    # 60-bit uniform in [0, 1): matches the oracle's
+    # ('0x' || substr(md5(id), 1, 15))::BIGINT / 2^60
+    u = (
+        F.conv(
+            F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10
+        ).cast("double")
+        / F.lit(float(1 << 60))
+    )
+    rate = (
+        F.lit(float(budget_tokens))
+        * F.col("mix_weight")
+        / F.col("n_tokens_group").cast("double")
+    )
+    return (
+        df.select(
+            F.col(id_col),
+            F.col(group_col).alias("group"),
+            n_tokens.alias("n_tokens"),
+            u.alias("_u"),
+        )
+        .join(
+            F.broadcast(
+                weights.select(
+                    "group",
+                    F.col("n_tokens").alias("n_tokens_group"),
+                    "mix_weight",
+                )
+            ),
+            "group",
+        )
+        .select(
+            id_col,
+            "group",
+            "n_tokens",
+            F.round(rate, 6).alias("rate"),
+            (
+                F.floor(rate)
+                + F.when(
+                    F.col("_u") < rate - F.floor(rate), F.lit(1)
+                ).otherwise(F.lit(0))
+            ).cast("long").alias("n_copies"),
+        )
+    )
+
+
 def shard_and_shuffle(
     df: DataFrame,
     n_shards: int = 16,

@@ -910,3 +910,40 @@ def test_shard_and_shuffle(spark):
     again = {(r.doc_id, r.shard, r.shard_pos)
              for r in shard_and_shuffle(docs, n_shards=8).collect()}
     assert again == {(r.doc_id, r.shard, r.shard_pos) for r in rows}
+
+
+def test_apply_mixture(spark):
+    """Epoch counts realize the temperature mix: expected group tokens
+    hit the target, the draw is deterministic, and rates follow
+    w*budget/group_tokens exactly (checked per-row in python)."""
+    import hashlib
+    import math
+
+    from skewer_spark.operators.select import apply_mixture
+
+    rows = [(1, ("w " * 80).strip(), "en"), (2, ("w " * 10).strip(), "en"),
+            (3, ("w " * 9).strip(), "de"), (4, "w", "fr")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    toks = {"en": 90, "de": 9, "fr": 1}
+    total = sum(toks.values())
+    z = sum((v / total) ** 0.5 for v in toks.values())
+    mw = {g: round((v / total) ** 0.5 / z, 6) for g, v in toks.items()}
+    B = 200
+    got = {r.doc_id: r for r in
+           apply_mixture(docs, B, "lang", temperature=2.0).collect()}
+    for did, t, g in rows:
+        n = len(t.split(" "))
+        rate = B * mw[g] / toks[g]
+        u = int(hashlib.md5(str(did).encode()).hexdigest()[:15], 16) / 2**60
+        exp = math.floor(rate) + (1 if u < rate - math.floor(rate) else 0)
+        r = got[did]
+        assert (r.group, r.n_tokens) == (g, n)
+        assert abs(r.rate - round(rate, 6)) < 1e-9
+        assert r.n_copies == exp
+    # tail domain (fr: 1 token, weight-boosted) is up-sampled hard:
+    # rate = 200 * mw_fr / 1 >> 1 -> multiple epochs
+    assert got[4].n_copies >= 2
+    # deterministic across runs
+    again = {r.doc_id: r.n_copies for r in
+             apply_mixture(docs, B, "lang", temperature=2.0).collect()}
+    assert again == {d: r.n_copies for d, r in got.items()}

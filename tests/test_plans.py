@@ -176,3 +176,16 @@ def test_shard_shuffle_window_is_shard_partitioned(spark):
     assert wins and all(
         "windowspecdefinition(shard#" in w for w in wins
     )
+
+
+def test_apply_mixture_weight_join_is_broadcast(spark):
+    """The n_groups-row weight frame must broadcast onto the corpus —
+    a shuffle here re-keys every document by group for a 5-row join."""
+    from skewer_spark.operators.select import apply_mixture
+
+    docs = spark.createDataFrame(
+        [(i, "alpha beta", "en" if i % 2 else "de") for i in range(40)],
+        "doc_id long, text string, lang string",
+    )
+    plan = _plan(apply_mixture(docs, 1000, "lang"))
+    assert "BroadcastHashJoin" in plan
