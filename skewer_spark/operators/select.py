@@ -35,6 +35,7 @@ def token_budget_select(
     text_col: str = "text",
     id_col: str = "doc_id",
     n_buckets: int = 64,
+    tie_safe: bool = True,
 ) -> DataFrame:
     """Greedy token-budget corpus selection: walk documents in
     ``(score DESC, id ASC)`` order and keep each whole document while
@@ -48,12 +49,29 @@ def token_budget_select(
     ``selected`` marks the kept prefix (``cum_tokens <= budget``).
 
     The running total is the bucketed two-phase prefix sum: documents
-    range-bucket on the score (monotone non-increasing map, so every
-    row in bucket b outranks every row in bucket b+1; equal scores land
-    in one bucket and tie-break by id *inside* the per-bucket window),
+    bucket monotonically along the ``(score DESC, id)`` order,
     per-bucket running sums run in parallel, and the ``n_buckets``-row
     totals frame supplies broadcast base offsets.  Bit-equal to the
     global ``SUM() OVER (ORDER BY score DESC, id)`` the oracle runs.
+
+    Bucketing mode — ``tie_safe`` (default) vs value-range:
+
+    * ``tie_safe=True`` assigns buckets with ``repartitionByRange`` on
+      the full sort key ``(score DESC, id)`` + ``spark_partition_id``.
+      The range partitioner SAMPLES the data for balanced boundaries
+      and splits score ties across buckets by id — essential for real
+      quality scores, which are coarse (4-decimal grid): at 10^12 docs
+      a single popular score value holds a large corpus fraction, and
+      any bucket map that is a function of the score alone sends the
+      whole tie group to ONE bucket (single-task straggler).  Costs
+      one extra exchange (the range repartition) + the sampling pass.
+    * ``tie_safe=False`` derives the bucket from the score value via a
+      broadcast min/max range map — one fewer exchange, no sampling
+      job, but every tie group shares a bucket; use only when scores
+      are known continuous/high-cardinality.
+
+    Both modes produce bit-identical output (bucket boundaries never
+    affect the sum); the equality is pinned by tests.
     """
     t = F.col(text_col)
     n_tokens = (
@@ -64,28 +82,37 @@ def token_budget_select(
         n_tokens.alias("n_tokens"),
         score.cast("double").alias("score"),
     )
-    bounds = base.agg(F.min("score").alias("_lo"), F.max("score").alias("_hi"))
-    bucketed = base.crossJoin(F.broadcast(bounds)).select(
-        id_col,
-        "n_tokens",
-        "score",
-        F.when(F.col("_hi") == F.col("_lo"), F.lit(0))
-        .otherwise(
-            F.least(
-                F.lit(n_buckets - 1),
-                F.greatest(
-                    F.lit(0),
-                    F.floor(
-                        (F.col("_hi") - F.col("score"))
-                        * F.lit(n_buckets)
-                        / (F.col("_hi") - F.col("_lo"))
-                    ),
-                ),
-            )
+    if tie_safe:
+        # balanced, tie-splitting buckets: range partitions on the full
+        # sort key are monotone w.r.t. (score DESC, id) by construction
+        bucketed = base.repartitionByRange(
+            n_buckets, F.col("score").desc(), F.col(id_col)
+        ).withColumn("_bkt", F.spark_partition_id())
+    else:
+        bounds = base.agg(
+            F.min("score").alias("_lo"), F.max("score").alias("_hi")
         )
-        .cast("int")
-        .alias("_bkt"),
-    )
+        bucketed = base.crossJoin(F.broadcast(bounds)).select(
+            id_col,
+            "n_tokens",
+            "score",
+            F.when(F.col("_hi") == F.col("_lo"), F.lit(0))
+            .otherwise(
+                F.least(
+                    F.lit(n_buckets - 1),
+                    F.greatest(
+                        F.lit(0),
+                        F.floor(
+                            (F.col("_hi") - F.col("score"))
+                            * F.lit(n_buckets)
+                            / (F.col("_hi") - F.col("_lo"))
+                        ),
+                    ),
+                )
+            )
+            .cast("int")
+            .alias("_bkt"),
+        )
     in_bucket = F.sum("n_tokens").over(
         Window.partitionBy("_bkt")
         .orderBy(F.col("score").desc(), F.col(id_col))

@@ -947,3 +947,27 @@ def test_apply_mixture(spark):
     again = {r.doc_id: r.n_copies for r in
              apply_mixture(docs, B, "lang", temperature=2.0).collect()}
     assert again == {d: r.n_copies for d, r in got.items()}
+
+
+def test_token_budget_select_tie_safe_equals_value_range(spark):
+    """The two bucketing modes are bit-identical — boundaries never
+    affect the prefix sum — including under heavy score ties (the
+    4-decimal quality grid at scale)."""
+    from skewer_spark.operators.select import token_budget_select
+
+    # 60 docs, only THREE distinct scores -> every value-range bucket
+    # is a whole tie group; tie_safe must split them by id instead
+    docs = spark.createDataFrame(
+        [(i, "w " * (i % 5 + 1)) for i in range(60)],
+        "doc_id long, text string",
+    )
+    score = (F.col("doc_id") % 3).cast("double")
+    a = sorted(
+        map(tuple, token_budget_select(
+            docs, score, 70, n_buckets=8, tie_safe=True).collect())
+    )
+    b = sorted(
+        map(tuple, token_budget_select(
+            docs, score, 70, n_buckets=8, tie_safe=False).collect())
+    )
+    assert a == b
