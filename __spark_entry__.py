@@ -820,6 +820,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         cents = {int(r["vec_id"]): [float(x) for x in r["embedding"]] for r in rows}
         return ivf_topk(emb, cents[0], cents, k=10, nprobe=4)
 
+    def q_kmeans(spark, sf):
+        # one exactly-reproducible distributed Lloyd step: assignment by
+        # rounded cosine (max-cos, max-cid tiebreak — the ivf_assign
+        # contract) + integer-quantized per-cell means so the result is
+        # independent of partition summation order.  kmeans_fit runs the
+        # float-sum training loop; this is the audited single update.
+        from skewer_spark.operators.cluster import kmeans_update
+        emb = _read(spark, sf, "embeddings")
+        rows = emb.filter(F.col("vec_id") < 8).select(
+            "vec_id", "embedding"
+        ).collect()
+        cents = {int(r[0]): [float(x) for x in r[1]] for r in rows}
+        return kmeans_update(emb, cents)
+
+    def q_semdedup(spark, sf):
+        # SemDeDup (cluster-scoped embedding near-dedup): drop any doc
+        # whose cell holds a lower-id doc with cosine >= 0.3.  cell_cap
+        # caps the PROPOSING side only (decisions for every doc similar
+        # to a surviving keeper are unchanged; oracle mirrors via
+        # QUALIFY) so a degenerate cell cannot go quadratic.
+        from skewer_spark.operators.cluster import semdedup
+        emb = _read(spark, sf, "embeddings")
+        rows = emb.filter(F.col("vec_id") < 8).select(
+            "vec_id", "embedding"
+        ).collect()
+        cents = {int(r[0]): [float(x) for x in r[1]] for r in rows}
+        return semdedup(emb, cents, threshold=0.3, cell_cap=64)
+
+    def q_classifier(spark, sf):
+        # fastText-style hashed linear quality-classifier inference; the
+        # LCG demo weights collapse the weight lookup to a pure
+        # expression and the integer dot product is summation-order
+        # exact, so DuckDB reproduces the hash bit-for-bit.
+        from skewer_spark.operators.curate import hashed_classifier_score
+        docs = _read(spark, sf, "documents")
+        return hashed_classifier_score(docs, threshold=0.0)
+
     def q_token_pctl(spark, sf):
         # exact per-language token-length percentiles (curation gate:
         # "drop docs above the p95 length for their language").  Exact
@@ -1090,8 +1127,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # 50 entries only.  Every operator family must sit inside that
     # window, so near-duplicate variants (6 of the 8 encode variants —
     # one textual + one binary stay as driver signal — plus q_simhash
-    # [subsumed by q_simhash_pairs] and q_dedup_apply [subsumed by
-    # q_dedup_clusters]) are parked past position 50; all remain fully
+    # [subsumed by q_simhash_pairs], q_dedup_apply + q_dedup_clusters
+    # [subsumed by q_dedup_clusters_star, same oracle contract],
+    # q_ann_topk [exact ranking also runs inside q_ivf_topk] and
+    # q_incoming_counts [same grouping-sets metric scan as
+    # q_sink_counts]) are parked past position 50; all remain fully
     # oracle-paired and are verified by tools/check_oracles.py + pytest.
     return {
         # -- first 50: one driver-checked representative per family --
@@ -1105,7 +1145,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_route_topic": q_route_topic,
         "q_sink_counts": q_sink_counts,
         "q_windowed_agg": q_windowed_agg,
-        "q_incoming_counts": q_incoming_counts,
         "q_encode_rfc5424": q_encode_rfc5424,
         "q_dedup_clusters_star": q_dedup_clusters_star,
         "q_boilerplate": q_boilerplate,
@@ -1125,12 +1164,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_parse_ltsv": q_parse_ltsv,
         "q_dedup_exact": q_dedup_exact,
         "q_minhash_lsh": q_minhash_lsh,
-        "q_dedup_clusters": q_dedup_clusters,
+        "q_kmeans": q_kmeans,
         "q_sample_per_group": q_sample_per_group,
         "q_simhash_pairs": q_simhash_pairs,
-        "q_ann_topk": q_ann_topk,
+        "q_semdedup": q_semdedup,
         "q_ivf_topk": q_ivf_topk,
         "q_embed_neardup": q_embed_neardup,
+        "q_classifier": q_classifier,
         "q_text_stats": q_text_stats,
         "q_lang_id": q_lang_id,
         "q_doc_fingerprint": q_doc_fingerprint,
@@ -1162,6 +1202,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_encode_protobuf": q_encode_protobuf,
         "q_simhash": q_simhash,
         "q_dedup_apply": q_dedup_apply,
+        "q_dedup_clusters": q_dedup_clusters,
+        "q_ann_topk": q_ann_topk,
+        "q_incoming_counts": q_incoming_counts,
         "q_parse_rsyslog": q_parse_rsyslog,
         "q_parse_gelf": q_parse_gelf,
         "q_parse_w3c": q_parse_w3c,
@@ -2219,6 +2262,106 @@ def oracle_sql() -> dict[str, str]:
             LIMIT 10
         """,
         "q_embed_neardup": neardup_sql,
+        "q_kmeans": """
+            WITH cents AS (
+              SELECT vec_id AS cid, embedding::DOUBLE[] AS ce
+              FROM embeddings WHERE vec_id < 8
+            ), assign AS (
+              SELECT e.vec_id, c.cid,
+                row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                  round(list_dot_product(e.embedding::DOUBLE[], c.ce) /
+                    (sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                           e.embedding::DOUBLE[])) *
+                     sqrt(list_dot_product(c.ce, c.ce))), 6) DESC,
+                  c.cid DESC) AS rn
+              FROM embeddings e CROSS JOIN cents c
+            ), cells AS (
+              SELECT vec_id, cid FROM assign WHERE rn = 1
+            ), comp AS (
+              SELECT cells.cid AS cell, (i - 1)::INT AS pos,
+                     CAST(round(e.embedding[i]::DOUBLE * 1000000.0)
+                          AS BIGINT) AS qv
+              FROM embeddings e
+              JOIN cells USING (vec_id),
+              unnest(range(1, len(e.embedding) + 1)) AS u(i)
+            )
+            SELECT cell, pos, count(*)::BIGINT AS n,
+                   round(sum(qv) / count(*) / 1000000.0, 6) AS c_mean
+            FROM comp GROUP BY cell, pos
+        """,
+        "q_semdedup": """
+            WITH cents AS (
+              SELECT vec_id AS cid, embedding::DOUBLE[] AS ce
+              FROM embeddings WHERE vec_id < 8
+            ), assign AS (
+              SELECT e.vec_id, c.cid,
+                row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                  round(list_dot_product(e.embedding::DOUBLE[], c.ce) /
+                    (sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                           e.embedding::DOUBLE[])) *
+                     sqrt(list_dot_product(c.ce, c.ce))), 6) DESC,
+                  c.cid DESC) AS rn
+              FROM embeddings e CROSS JOIN cents c
+            ), cells AS (
+              SELECT vec_id, cid FROM assign WHERE rn = 1
+            ), aside AS (
+              -- one-sided deterministic cell cap (QUALIFY mirrors the
+              -- Spark row_number <= 64 on the proposing side only)
+              SELECT vec_id, cid FROM (
+                SELECT vec_id, cid,
+                       row_number() OVER (PARTITION BY cid
+                                          ORDER BY vec_id) AS rn
+                FROM cells
+              ) WHERE rn <= 64
+            ), pairs AS (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b
+              FROM aside a JOIN cells b
+                ON a.cid = b.cid AND a.vec_id < b.vec_id
+            ), drops AS (
+              SELECT DISTINCT p.id_b
+              FROM pairs p
+              JOIN embeddings ea ON ea.vec_id = p.id_a
+              JOIN embeddings eb ON eb.vec_id = p.id_b
+              WHERE round(
+                list_dot_product(ea.embedding::DOUBLE[],
+                                 eb.embedding::DOUBLE[]) /
+                (sqrt(list_dot_product(ea.embedding::DOUBLE[],
+                                       ea.embedding::DOUBLE[])) *
+                 sqrt(list_dot_product(eb.embedding::DOUBLE[],
+                                       eb.embedding::DOUBLE[]))), 6)
+                >= 0.3
+            )
+            SELECT c.vec_id, c.cid AS cell, (d.id_b IS NULL) AS keep
+            FROM cells c LEFT JOIN drops d ON c.vec_id = d.id_b
+        """,
+        "q_classifier": """
+            WITH base AS (
+              SELECT doc_id, string_split(text, ' ') AS l FROM documents
+            ), uni AS (
+              SELECT doc_id, l[i] AS f
+              FROM base, unnest(range(1, len(l) + 1)) AS u(i)
+            ), big AS (
+              SELECT doc_id, l[i] || ' ' || l[i + 1] AS f
+              FROM base, unnest(range(1, len(l))) AS u(i)
+              WHERE len(l) >= 2
+            ), feats AS (
+              SELECT doc_id,
+                     ('0x' || substr(md5(f), 1, 8))::BIGINT % 1024 AS b
+              FROM (SELECT * FROM uni UNION ALL SELECT * FROM big)
+            ), docb AS (
+              SELECT doc_id, b, count(*) AS n FROM feats GROUP BY 1, 2
+            ), agg AS (
+              SELECT doc_id, sum(n)::BIGINT AS n_feats,
+                     sum(n * ((b * 1103515245 + 12345) % 2001 - 1000))
+                       ::BIGINT AS raw
+              FROM docb GROUP BY 1
+            )
+            SELECT doc_id, n_feats,
+                   round(0.0 + raw / (n_feats * 1000.0), 6) AS clf_score,
+                   (round(0.0 + raw / (n_feats * 1000.0), 6) >= 0.0)
+                     AS keep
+            FROM agg
+        """,
         "q_text_stats": """
             -- sums cast to BIGINT: DuckDB sum(BIGINT) yields HUGEINT,
             -- which the driver's normalizer renders as float64 while

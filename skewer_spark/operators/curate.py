@@ -344,6 +344,39 @@ def remove_boilerplate_spans(
     )
 
 
+def _uni_bigram_array(text_col: str):
+    """Array of unigram + bigram features for a whitespace-token text.
+
+    Shared by :func:`dsir_importance_weights` and
+    :func:`hashed_classifier_score` — both hash these grams to compact
+    bucket keys so the feature stream that shuffles is (id, int) rows,
+    never text bytes.
+    """
+    toks = F.split(F.col(text_col), " ")
+    return F.concat(
+        toks,
+        F.when(
+            F.size(toks) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - 1),
+                lambda i: F.concat_ws(
+                    " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>")),
+    )
+
+
+def _md5_bucket(col, n_buckets: int):
+    """32-bit md5-prefix hash of ``col`` modulo ``n_buckets`` (the same
+    compact-key idiom the dedup/DSIR operators use; DuckDB mirrors it
+    as ``('0x' || substr(md5(f), 1, 8))::BIGINT % n``)."""
+    return F.pmod(
+        F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long"),
+        F.lit(n_buckets),
+    )
+
+
 def dsir_importance_weights(
     df: DataFrame,
     target,
@@ -376,30 +409,14 @@ def dsir_importance_weights(
     scoring joins the broadcast ``n_buckets``-row stats frame; one
     final per-doc aggregate.  Text bytes never ride a shuffle.
     """
-    toks = F.split(F.col(text_col), " ")
-    grams = F.concat(
-        toks,
-        F.when(
-            F.size(toks) >= 2,
-            F.transform(
-                F.sequence(F.lit(1), F.size(toks) - 1),
-                lambda i: F.concat_ws(
-                    " ", F.element_at(toks, i), F.element_at(toks, i + 1)
-                ),
-            ),
-        ).otherwise(F.array().cast("array<string>")),
-    )
     feats = df.select(
         F.col(id_col),
         target.cast("boolean").alias("_tgt"),
-        F.explode(grams).alias("_f"),
+        F.explode(_uni_bigram_array(text_col)).alias("_f"),
     ).select(
         id_col,
         "_tgt",
-        F.pmod(
-            F.conv(F.substring(F.md5("_f"), 1, 8), 16, 10).cast("long"),
-            F.lit(n_buckets),
-        ).alias("_b"),
+        _md5_bucket(F.col("_f"), n_buckets).alias("_b"),
     )
     stats = feats.groupBy("_b").agg(
         F.sum(F.when(F.col("_tgt"), 1).otherwise(0)).alias("_ct"),
@@ -427,4 +444,73 @@ def dsir_importance_weights(
                 F.sum(F.col("_n") * lr) / F.sum("_n"), 6
             ).alias("dsir_score"),
         )
+    )
+
+
+def hashed_classifier_score(
+    df: DataFrame,
+    weights: dict[int, int] | None = None,
+    bias: float = 0.0,
+    threshold: float = 0.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 1024,
+    scale: int = 1000,
+) -> DataFrame:
+    """fastText-style linear quality-classifier INFERENCE at corpus
+    scale (the GPT-3 / CCNet "quality filter" stage: a small linear
+    model over hashed bag-of-n-gram features scores every document;
+    docs under a threshold are dropped or down-sampled).
+
+    Training happens out of band on labeled samples (fastText, sklearn
+    — tiny data); what must scale is inference, and that is pure
+    DataFrame ops here.  ``weights`` maps feature bucket → INTEGER
+    weight in [-scale, scale] (an exported model, quantized); the score
+    is::
+
+        clf_score = bias + (Σ_b n_b · w_b) / (n_feats · scale)
+
+    i.e. bias + mean feature weight in [-1, 1].  The dot product is an
+    exact BIGINT sum — independent of partition order, so the DuckDB
+    oracle reproduces the hash bit-for-bit (same trick as
+    ``kmeans_update``).  With ``weights=None`` a deterministic LCG
+    assigns demo weights ``(b·1103515245 + 12345) % 2001 − 1000`` —
+    exercised by the correctness harness, where the weight lookup
+    collapses to a pure expression (no join at all).
+
+    Returns ``(id, n_feats, clf_score, keep)``.
+
+    Scale shape: one map-side feature explode → one groupBy(id, bucket)
+    exchange on compact keys → weight attach (pure expression for LCG
+    weights; broadcast of the ≤ ``n_buckets``-row weight frame for a
+    real model) → one per-doc aggregate.  Text bytes never shuffle.
+    """
+    feats = df.select(
+        F.col(id_col), F.explode(_uni_bigram_array(text_col)).alias("_f")
+    ).select(id_col, _md5_bucket(F.col("_f"), n_buckets).alias("_b"))
+    doc_b = feats.groupBy(id_col, "_b").agg(F.count("*").alias("_n"))
+    if weights is None:
+        w = (F.col("_b") * F.lit(1103515245) + F.lit(12345)) % F.lit(2001) - F.lit(1000)
+        weighted = doc_b.withColumn("_w", w.cast("long"))
+    else:
+        spark = df.sparkSession
+        wdf = spark.createDataFrame(
+            [(int(b), int(wt)) for b, wt in sorted(weights.items())],
+            "_b long, _w long",
+        )
+        weighted = doc_b.join(F.broadcast(wdf), "_b", "left").fillna(
+            {"_w": 0}
+        )
+    return (
+        weighted.groupBy(id_col)
+        .agg(
+            F.sum("_n").cast("long").alias("n_feats"),
+            F.round(
+                F.lit(float(bias))
+                + F.sum(F.col("_n") * F.col("_w")).cast("double")
+                / (F.sum("_n") * F.lit(float(scale))),
+                6,
+            ).alias("clf_score"),
+        )
+        .withColumn("keep", F.col("clf_score") >= F.lit(float(threshold)))
     )

@@ -205,10 +205,11 @@ def ivf_topk(
     nprobe/|C| of the data.  Probe cells are chosen DRIVER-SIDE (plain
     floats, no Spark job), with the same round-to-6 + max-cid tiebreak
     as :func:`ivf_assign` so the oracle's SQL probe list matches.
-    Centroid *training* is intentionally out of band — callers pass any
-    deterministic dict (tests use the lowest-id vectors: zero-iteration
-    k-means seeding, which keeps the DuckDB oracle exact; a real
-    deployment would Lloyd-refine on a sample and persist them)."""
+    Centroid *training* lives in
+    :func:`skewer_spark.operators.cluster.kmeans_fit` (distributed
+    Lloyd with deterministic maximin seeding — train on a sample,
+    persist the dict); tests and the oracle-paired query use the
+    lowest-id vectors (zero-iteration seeding) so DuckDB stays exact."""
     ranked = sorted(
         ((round(_driver_cosine(query_vec, v), 6), cid) for cid, v in centroids.items()),
         key=lambda t: (-t[0], -t[1]),

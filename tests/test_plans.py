@@ -189,3 +189,36 @@ def test_apply_mixture_weight_join_is_broadcast(spark):
     )
     plan = _plan(apply_mixture(docs, 1000, "lang"))
     assert "BroadcastHashJoin" in plan
+
+
+def test_semdedup_cell_join_keeps_explicit_exchange(spark):
+    """Same AQE trap as the LSH self-joins: the within-cell pair join
+    must keep its explicit fixed-width exchange on the cell id, the
+    one-sided width cap must be a rank-limited window, and id_a < id_b
+    must ride the join condition."""
+    import re
+
+    from skewer_spark.operators.cluster import semdedup
+
+    emb = spark.createDataFrame(
+        [(i, [float(i % 5), 1.0, -1.0, float(i % 3)]) for i in range(40)],
+        "vec_id int, embedding array<double>",
+    )
+    cents = {0: [1.0, 0.0, 0.0, 0.0], 1: [0.0, 1.0, 0.0, 0.0]}
+    plan = _plan(semdedup(emb, cents, threshold=0.5, cell_cap=8))
+    assert "REPARTITION_BY_NUM" in plan
+    assert "row_number" in plan and "WindowGroupLimit" in plan
+    assert re.search(r"Join condition:.*id_a#\d+ < id_b#\d+", plan)
+
+
+def test_classifier_weight_join_is_broadcast(spark):
+    """A real (dict-supplied) weight model must attach as a BROADCAST
+    join — a shuffle here re-keys the whole feature stream on the
+    bucket id a second time."""
+    from skewer_spark.operators.curate import hashed_classifier_score
+
+    plan = _plan(
+        hashed_classifier_score(_docs(spark), weights={1: 500, 2: -500})
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
