@@ -702,6 +702,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs = _read(spark, sf, "documents")
         return remove_boilerplate_spans(docs, n=5, min_docs=3)
 
+    def q_dedup_substr(spark, sf):
+        # exact-substring span dedup (Lee et al. 2022): every word
+        # 5-gram occurring more than once corpus-wide is cut from all
+        # occurrences EXCEPT the globally-first (keep-first semantics
+        # — contrast q_boilerplate, which cuts every occurrence)
+        from skewer_spark.operators.dedup import dedup_substring_spans
+        docs = _read(spark, sf, "documents")
+        return dedup_substring_spans(docs, n=5)
+
+    def q_url_filter(spark, sf):
+        # URL/domain document filter (C4/RefinedWeb pre-content stage).
+        # URLs BY CONSTRUCTION from doc_id (documents carry no URL
+        # column): deterministic scheme/userinfo/www/port/tld mix plus
+        # a malformed-host branch, exercising every reason branch
+        from skewer_spark.operators.curate import url_filter
+        docs = _read(spark, sf, "documents")
+        did = F.col("doc_id")
+        schemes = F.array(F.lit("https"), F.lit("http"),
+                          F.lit("ftp"), F.lit("https"))
+        tlds = F.array(F.lit("com"), F.lit("org"), F.lit("zip"),
+                       F.lit("net"), F.lit("io"))
+        normal = F.concat(
+            F.element_at(schemes, F.pmod(did, F.lit(4)).cast("int") + 1),
+            F.lit("://"),
+            F.when(F.pmod(did, F.lit(7)) == 0, F.lit("u:p@")).otherwise(F.lit("")),
+            F.when(F.pmod(did, F.lit(5)) == 0, F.lit("www.")).otherwise(F.lit("")),
+            F.format_string("site%02d", F.pmod(did, F.lit(40))),
+            F.lit("."),
+            F.element_at(tlds, F.pmod(did, F.lit(5)).cast("int") + 1),
+            F.when(F.pmod(did, F.lit(11)) == 0, F.lit(":8080")).otherwise(F.lit("")),
+            F.format_string("/p/%d?q=%d", did, F.pmod(did, F.lit(9))),
+        )
+        url = F.when(
+            F.pmod(did, F.lit(17)) == 0,
+            F.format_string("https:///broken/%d", did),
+        ).otherwise(normal)
+        src = docs.select("doc_id", url.alias("url"))
+        return url_filter(
+            src,
+            blocked_domains=["site03.net", "site08.net", "site21.org"],
+        )
+
     def q_soft_dedup(spark, sf):
         # duplicate down-weighting (SlimPajama-style): weight = 1/k per
         # identical-text group, deterministic Bernoulli keep
@@ -1172,8 +1214,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_embed_neardup": q_embed_neardup,
         "q_classifier": q_classifier,
         "q_text_stats": q_text_stats,
-        "q_lang_id": q_lang_id,
-        "q_doc_fingerprint": q_doc_fingerprint,
+        "q_dedup_substr": q_dedup_substr,
+        "q_url_filter": q_url_filter,
         "q_parse_json": q_parse_json,
         "q_parse_influx": q_parse_influx,
         "q_pii_redact": q_pii_redact,
@@ -1186,7 +1228,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_session_agg": q_session_agg,
         "q_tpch_q1": q_tpch_q1,
         # -- 51+: near-duplicate variants (oracle-paired, locally checked;
-        # all six tail families below were driver-green in r02) --
+        # all tail families below were driver-green in r02; q_lang_id /
+        # q_doc_fingerprint demoted r3 — lang gate rides q_curation and
+        # fingerprint machinery rides q_dedup_fingerprint) --
+        "q_lang_id": q_lang_id,
+        "q_doc_fingerprint": q_doc_fingerprint,
         "q_encode_avro": q_encode_avro,
         "q_token_pctl": q_token_pctl,
         "q_quality_score": q_quality_score,
@@ -2189,6 +2235,85 @@ def oracle_sql() -> dict[str, str]:
                    (len(l) - coalesce(n_kept, 0))::INT AS n_removed,
                    coalesce(text_clean, '') AS text_clean
             FROM base LEFT JOIN rebuilt USING (doc_id)
+        """,
+        "q_dedup_substr": """
+            WITH base AS (
+              SELECT doc_id, string_split(text, ' ') AS l FROM documents
+            ), tok AS (
+              SELECT doc_id, i - 1 AS pos, l[i] AS tok
+              FROM base, unnest(range(1, len(l) + 1)) AS u(i)
+            ), shq AS (
+              SELECT doc_id, i - 1 AS spos,
+                     substr(md5(array_to_string(l[i:i+4], ' ')), 1, 8) AS sh
+              FROM base, unnest(range(1, len(l) - 3)) AS u(i)
+              WHERE len(l) >= 5
+            ), occ AS (
+              SELECT doc_id, spos,
+                     row_number() OVER (
+                       PARTITION BY sh ORDER BY doc_id, spos) AS rn
+              FROM shq
+            ), covered AS (
+              SELECT DISTINCT doc_id, pos FROM (
+                SELECT doc_id, unnest(range(spos, spos + 5)) AS pos
+                FROM occ WHERE rn >= 2)
+            ), kept AS (
+              SELECT t.* FROM tok t ANTI JOIN covered c
+              ON t.doc_id = c.doc_id AND t.pos = c.pos
+            ), rebuilt AS (
+              SELECT doc_id, count(*) AS n_kept,
+                     string_agg(tok, ' ' ORDER BY pos) AS text_clean
+              FROM kept GROUP BY doc_id
+            )
+            SELECT base.doc_id, len(l)::INT AS n_tokens,
+                   (len(l) - coalesce(n_kept, 0))::INT AS n_removed,
+                   coalesce(text_clean, '') AS text_clean
+            FROM base LEFT JOIN rebuilt USING (doc_id)
+        """,
+        "q_url_filter": """
+            WITH src AS (
+              SELECT doc_id,
+                CASE WHEN doc_id % 17 = 0
+                  THEN printf('https:///broken/%d', doc_id)
+                  ELSE
+                    ['https','http','ftp','https'][(doc_id % 4)::INT + 1]
+                    || '://'
+                    || CASE WHEN doc_id % 7 = 0 THEN 'u:p@' ELSE '' END
+                    || CASE WHEN doc_id % 5 = 0 THEN 'www.' ELSE '' END
+                    || printf('site%02d', (doc_id % 40)::INT) || '.'
+                    || ['com','org','zip','net','io'][(doc_id % 5)::INT + 1]
+                    || CASE WHEN doc_id % 11 = 0 THEN ':8080' ELSE '' END
+                    || printf('/p/%d?q=%d', doc_id, (doc_id % 9)::INT)
+                END AS url
+              FROM documents
+            ), parsed AS (
+              SELECT doc_id, url,
+                lower(regexp_extract(url,
+                  '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+                regexp_replace(lower(regexp_extract(url,
+                  '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#]*@)?([^/:?#@]+)', 1)),
+                  '^www\\.', '') AS host
+              FROM src
+            ), p2 AS (
+              SELECT *,
+                regexp_extract(host, '\\.([a-z0-9-]+)$', 1) AS tld,
+                coalesce(nullif(regexp_extract(host,
+                  '([a-z0-9-]+\\.[a-z0-9-]+)$', 1), ''), host) AS domain
+              FROM parsed
+            ), decided AS (
+              SELECT *,
+                CASE
+                  WHEN scheme NOT IN ('http', 'https') THEN 'scheme'
+                  WHEN host = '' THEN 'no_host'
+                  WHEN domain IN ('site03.net', 'site08.net', 'site21.org')
+                    THEN 'blocked_domain'
+                  WHEN tld IN ('zip', 'xxx') THEN 'blocked_tld'
+                  ELSE 'kept'
+                END AS reason
+              FROM p2
+            )
+            SELECT doc_id, url, scheme, host, domain, tld, reason,
+                   (reason = 'kept') AS keep
+            FROM decided
         """,
         "q_dedup_apply": f"""
             WITH clusters AS ({dedup_clusters_sql})

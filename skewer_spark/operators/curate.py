@@ -514,3 +514,73 @@ def hashed_classifier_score(
         )
         .withColumn("keep", F.col("clf_score") >= F.lit(float(threshold)))
     )
+
+
+def url_filter(
+    df: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    blocked_domains: list[str] | None = None,
+    blocked_tlds: tuple[str, ...] = ("zip", "xxx"),
+    allowed_schemes: tuple[str, ...] = ("http", "https"),
+) -> DataFrame:
+    """URL-based document filter (the C4/RefinedWeb pre-content stage:
+    drop documents by source URL before ever touching the text).
+
+    Extracts ``scheme`` / ``host`` / approximate registrable
+    ``domain`` / ``tld`` with pure regex expressions (Java∩RE2 syntax
+    so a DuckDB oracle evaluates the identical patterns), then applies
+    rules in fixed priority order — first failing rule is the
+    ``reason``::
+
+        scheme ∉ allowed > unparseable host > blocked domain
+        > blocked TLD > kept
+
+    Returns ``(id, url, scheme, host, domain, tld, keep, reason)``.
+
+    Scale shape: scheme/host/tld are narrow codegen expressions riding
+    the scan (zero shuffles); the domain blocklist — UT1-style lists
+    run to ~10^6 entries, far past ``isin`` literal folding — joins as
+    an explicit ``broadcast`` on the compact domain key, so the corpus
+    never shuffles.  "Registrable domain" is the last two host labels
+    (documented approximation: a public-suffix-list join plugs in at
+    the same broadcast point).
+    """
+    spark = df.sparkSession
+    url = F.col(url_col)
+    scheme = F.lower(F.regexp_extract(url, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    host = F.lower(
+        F.regexp_extract(
+            url, r"^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#]*@)?([^/:?#@]+)", 1
+        )
+    )
+    host_nw = F.regexp_replace(host, r"^www\.", "")
+    tld = F.regexp_extract(host_nw, r"\.([a-z0-9-]+)$", 1)
+    dom2 = F.regexp_extract(host_nw, r"([a-z0-9-]+\.[a-z0-9-]+)$", 1)
+    domain = F.when(dom2 != "", dom2).otherwise(host_nw)
+
+    parsed = df.select(
+        F.col(id_col),
+        url.alias("url"),
+        scheme.alias("scheme"),
+        host_nw.alias("host"),
+        domain.alias("domain"),
+        tld.alias("tld"),
+    )
+    block = spark.createDataFrame(
+        [(d,) for d in sorted(set(blocked_domains or []))] or [("",)],
+        "domain string",
+    ).withColumn("_blocked", F.lit(True))
+    joined = parsed.join(F.broadcast(block), "domain", "left")
+
+    reason = (
+        F.when(~F.col("scheme").isin(*allowed_schemes), F.lit("scheme"))
+        .when(F.col("host") == "", F.lit("no_host"))
+        .when(F.col("_blocked").isNotNull(), F.lit("blocked_domain"))
+        .when(F.col("tld").isin(*blocked_tlds), F.lit("blocked_tld"))
+        .otherwise(F.lit("kept"))
+    )
+    return joined.select(
+        id_col, "url", "scheme", "host", "domain", "tld",
+        reason.alias("reason"),
+    ).withColumn("keep", F.col("reason") == "kept")

@@ -617,3 +617,120 @@ def simhash_candidate_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+def dedup_substring_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+) -> DataFrame:
+    """Exact-substring span deduplication (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"):
+    any word ``n``-gram occurring MORE THAN ONCE corpus-wide — across
+    documents or repeated inside one — is a duplicated span; every
+    occurrence EXCEPT the globally first (min ``(doc, pos)``) is cut,
+    so exactly one copy of each duplicated span survives the corpus.
+
+    Contrast with :func:`~skewer_spark.operators.curate
+    .remove_boilerplate_spans`: boilerplate removal cuts ALL
+    occurrences of n-grams seen in ≥ ``min_docs`` distinct docs
+    (nothing survives); substring dedup is occurrence-level and
+    keep-first, the semantics of the reference suffix-array method
+    (here n-gram shingles stand in for the 50-byte suffix-array
+    threshold — the distributed-shuffle shape is what matters, the
+    suffix automaton does not distribute).
+
+    Returns ``(id, n_tokens, n_removed, text_clean)``, one row per
+    input doc.
+
+    Scale shape — the same exploded-row machinery as boilerplate
+    removal (no per-row quadratic work anywhere):
+
+    1. map-side posexplode of tokens and 32-bit shingle keys;
+    2. per-shingle ``count(*)`` + ``min(struct(doc, pos))`` in ONE
+       compact-key aggregate (struct min = lexicographic first
+       occurrence; partial-aggregates map-side, so a shingle repeated
+       10^6 times ships one row per partition, never a hot key);
+    3. duplicate occurrences = shingle join back, dropping the row
+       equal to the first occurrence;
+    4. covered positions → LEFT ANTI join → groupBy(doc) rebuild,
+       identical to boilerplate steps 3-5.
+
+    The keep-first rule makes the result deterministic and
+    resume-idempotent (no RNG, no partition-order dependence).
+    """
+    toks = F.split(F.col(text_col), " ")
+    base = df.select(F.col(id_col), toks.alias("_toks"))
+
+    tok_rows = base.select(
+        id_col, F.posexplode("_toks").alias("pos", "tok")
+    )
+    sh_rows = base.select(
+        F.col(id_col),
+        F.posexplode(
+            F.when(
+                F.size("_toks") >= n,
+                F.transform(
+                    F.sequence(F.lit(0), F.size("_toks") - n),
+                    lambda i: F.substring(
+                        F.md5(F.concat_ws(" ", F.slice("_toks", i + 1, n))),
+                        1, 8,
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("spos", "sh"),
+    )
+    # one aggregate yields both the duplicate test and the survivor:
+    # min(struct(doc, pos)) orders lexicographically, so `_first` IS
+    # the globally-first occurrence of the shingle
+    dup_sh = (
+        sh_rows.groupBy("sh")
+        .agg(
+            F.count("*").alias("_cnt"),
+            F.min(
+                F.struct(F.col(id_col).alias("d"), F.col("spos").alias("p"))
+            ).alias("_first"),
+        )
+        .filter(F.col("_cnt") > 1)
+        .select("sh", "_first")
+    )
+    covered = (
+        sh_rows.join(dup_sh, "sh")
+        .filter(
+            ~(
+                (F.col(id_col) == F.col("_first.d"))
+                & (F.col("spos") == F.col("_first.p"))
+            )
+        )
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.sequence(F.col("spos"), F.col("spos") + (n - 1))
+            ).alias("pos"),
+        )
+        .distinct()
+    )
+    kept = tok_rows.join(covered, [id_col, "pos"], "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.count("*").alias("_n_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s["tok"],
+            ),
+        ).alias("text_clean"),
+    )
+    return (
+        base.select(id_col, F.size("_toks").alias("n_tokens"))
+        .join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            "n_tokens",
+            (F.col("n_tokens") - F.coalesce(F.col("_n_kept"), F.lit(0)))
+            .cast("int")
+            .alias("n_removed"),
+            F.coalesce(F.col("text_clean"), F.lit("")).alias("text_clean"),
+        )
+    )

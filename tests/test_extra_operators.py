@@ -971,3 +971,70 @@ def test_token_budget_select_tie_safe_equals_value_range(spark):
             docs, score, 70, n_buckets=8, tie_safe=False).collect())
     )
     assert a == b
+
+
+def test_dedup_substring_spans(spark):
+    """Exact-substring dedup (Lee et al. 2022): duplicated 5-grams are
+    cut from every occurrence EXCEPT the globally-first — across docs
+    (doc 2 loses the span doc 1 keeps) and within one doc (doc 3's
+    self-repeat loses only the second copy)."""
+    from skewer_spark.operators.dedup import dedup_substring_spans
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g"),
+            (2, "x a b c d e f y"),
+            (3, "p q r s t p q r s t u"),
+            (4, "m n o aa bb cc"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.n_tokens, r.n_removed, r.text_clean)
+        for r in dedup_substring_spans(docs, n=5).collect()
+    }
+    assert got == {
+        # every shingle of doc 1 is a first occurrence: untouched
+        1: (7, 0, "a b c d e f g"),
+        # "a b c d e"@1 and "b c d e f"@2 are repeats of doc 1's spans
+        # → positions 1-6 cut
+        2: (8, 6, "x y"),
+        # same-doc repeat: "p q r s t"@5 duplicates @0 → 5-9 cut
+        3: (11, 5, "p q r s t u"),
+        4: (6, 0, "m n o aa bb cc"),
+    }
+
+
+def test_url_filter(spark):
+    """URL filter: scheme gate > host parse > domain blocklist > TLD
+    blocklist, with userinfo/port/www/case normalization handled."""
+    from skewer_spark.operators.curate import url_filter
+
+    docs = spark.createDataFrame(
+        [
+            (1, "https://www.Good.Example.com/a"),
+            (2, "ftp://files.example.com/x"),
+            (3, "not a url"),
+            (4, "https:///oops"),
+            (5, "http://u:p@bad.site.zip:8080/q?x=1"),
+            (6, "https://evil.net/"),
+            (7, "https://localhost/"),
+        ],
+        "doc_id long, url string",
+    )
+    rows = {
+        r.doc_id: r
+        for r in url_filter(docs, blocked_domains=["evil.net"]).collect()
+    }
+    assert (rows[1].host, rows[1].domain, rows[1].tld, rows[1].reason) == (
+        "good.example.com", "example.com", "com", "kept")
+    assert rows[2].reason == "scheme"
+    assert rows[3].reason == "scheme"          # no "://" → no scheme
+    assert rows[4].reason == "no_host"
+    assert (rows[5].host, rows[5].reason) == ("bad.site.zip", "blocked_tld")
+    assert rows[6].reason == "blocked_domain"
+    # dotless host: domain falls back to the host itself, empty TLD
+    assert (rows[7].domain, rows[7].tld, rows[7].reason) == (
+        "localhost", "", "kept")
+    assert {i: rows[i].keep for i in rows} == {
+        1: True, 2: False, 3: False, 4: False, 5: False, 6: False, 7: True}
