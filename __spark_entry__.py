@@ -1165,6 +1165,72 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
         )
 
+    def q_sft_pairs(spark, sf):
+        # SFT (prompt, response) extraction from transcript turns —
+        # the skew-safe join formulation (no per-conversation window;
+        # dense positions via distributed prefix count + equi-join on
+        # the unique (conv, pos) key).  The oracle states the SAME
+        # semantics as the naive SQL window — equality of the two
+        # formulations is exactly what is being checked.
+        from skewer_spark.operators.transcripts import sft_pairs
+        ev = _read(spark, sf, "events")
+        eid = F.col("event_id")
+        payload = F.concat(
+            F.col("event_type"), F.lit(" msg "), eid.cast("string"),
+            F.when(F.pmod(eid, F.lit(11)) == 0, F.lit(" REJECTME"))
+            .otherwise(F.lit("")),
+        )
+        turns = ev.select(
+            F.col("user_id").cast("string").alias("conv_id"),
+            eid.cast("int").alias("turn_idx"),
+            F.col("event_type").alias("role"),
+            payload.alias("text"),
+        )
+        return sft_pairs(
+            turns, assistant_role="purchase", k=4,
+            skew_safe=True, n_buckets=16,
+        )
+
+    def q_conv_stats(spark, sf):
+        # per-conversation rollup over payload-text turns (tool via
+        # the event_type dictionary, cf. sources/events.TOOL_BY_EVENT)
+        from skewer_spark.operators.transcripts import conv_stats
+        ev = _read(spark, sf, "events")
+        eid = F.col("event_id")
+        payload = F.concat(
+            F.col("event_type"), F.lit(" msg "), eid.cast("string"),
+            F.when(F.pmod(eid, F.lit(11)) == 0, F.lit(" REJECTME"))
+            .otherwise(F.lit("")),
+        )
+        tool = F.lit("none")
+        for k_, v_ in {
+            "click": "browser", "view": "browser",
+            "purchase": "bash", "signup": "editor",
+        }.items():
+            tool = F.when(F.col("event_type") == k_, F.lit(v_)).otherwise(tool)
+        turns = ev.select(
+            F.col("user_id").cast("string").alias("conv_id"),
+            eid.cast("int").alias("turn_idx"),
+            F.col("event_type").alias("role"),
+            payload.alias("text"),
+            tool.alias("tool"),
+            F.col("ts"),
+        )
+        return conv_stats(turns)
+
+    def q_domain_quantile(spark, sf):
+        # FineWeb-style per-domain quantile selection: each source
+        # keeps its own top quartile by score (score = n_chars so the
+        # oracle's quantile_cont interpolation is exact in double)
+        from skewer_spark.operators.select import per_domain_quantile_select
+        docs = _read(spark, sf, "documents")
+        src = docs.select(
+            "doc_id",
+            F.col("source").alias("domain"),
+            F.col("n_chars").cast("double").alias("score"),
+        )
+        return per_domain_quantile_select(src, q=0.75)
+
     # ORDER MATTERS: the driver's correctness harness checks the FIRST
     # 50 entries only.  Every operator family must sit inside that
     # window, so near-duplicate variants (6 of the 8 encode variants —
@@ -1223,14 +1289,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_decontam": q_decontam,
         "q_curation": q_curation,
         "q_image_decode": q_image_decode,
-        "q_audio_decode": q_audio_decode,
+        "q_sft_pairs": q_sft_pairs,
         "q_asof_enrich": q_asof_enrich,
         "q_session_agg": q_session_agg,
-        "q_tpch_q1": q_tpch_q1,
+        "q_domain_quantile": q_domain_quantile,
         # -- 51+: near-duplicate variants (oracle-paired, locally checked;
         # all tail families below were driver-green in r02; q_lang_id /
         # q_doc_fingerprint demoted r3 — lang gate rides q_curation and
-        # fingerprint machinery rides q_dedup_fingerprint) --
+        # fingerprint machinery rides q_dedup_fingerprint; q_audio_decode
+        # demoted r3 [same mapInPandas codec family as q_image_decode];
+        # q_tpch_q1 demoted r3 [generic SQL smoke, not a SURVEY operator]) --
+        "q_audio_decode": q_audio_decode,
+        "q_tpch_q1": q_tpch_q1,
+        "q_conv_stats": q_conv_stats,
         "q_lang_id": q_lang_id,
         "q_doc_fingerprint": q_doc_fingerprint,
         "q_encode_avro": q_encode_avro,
@@ -2798,5 +2869,64 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
             WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
             GROUP BY l_returnflag, l_linestatus
+        """,
+        # the oracle states SFT extraction as the NAIVE per-conv window;
+        # the Spark side runs the skew-safe join formulation — their
+        # equality is the point of the check
+        "q_sft_pairs": """
+            WITH t AS (
+              SELECT user_id::VARCHAR AS conv_id, event_id::INT AS turn_idx,
+                     event_type AS role,
+                     event_type || ' msg ' || event_id ||
+                       (CASE WHEN event_id % 11 = 0 THEN ' REJECTME'
+                             ELSE '' END) AS text
+              FROM events
+            ), wi AS (
+              SELECT conv_id, turn_idx, role, text,
+                count(*) OVER w AS n_context,
+                coalesce(string_agg(text, chr(10)) OVER w, '') AS prompt
+              FROM t
+              WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx
+                           ROWS BETWEEN 4 PRECEDING AND 1 PRECEDING)
+            )
+            SELECT conv_id, turn_idx, n_context::INT AS n_context,
+                   prompt, text AS response
+            FROM wi WHERE role = 'purchase'
+        """,
+        "q_conv_stats": """
+            WITH t AS (
+              SELECT user_id::VARCHAR AS conv_id, event_id::INT AS turn_idx,
+                     event_type AS role,
+                     event_type || ' msg ' || event_id ||
+                       (CASE WHEN event_id % 11 = 0 THEN ' REJECTME'
+                             ELSE '' END) AS text,
+                     CASE event_type WHEN 'click' THEN 'browser'
+                       WHEN 'view' THEN 'browser' WHEN 'purchase' THEN 'bash'
+                       WHEN 'signup' THEN 'editor' ELSE 'none' END AS tool,
+                     ts
+              FROM events
+            )
+            SELECT conv_id, count(*)::BIGINT AS n_turns,
+                   count(DISTINCT role)::BIGINT AS n_roles,
+                   count(DISTINCT tool)::BIGINT AS n_tools,
+                   array_to_string(list_sort(list(DISTINCT tool)), ',') AS tools,
+                   min(turn_idx) AS first_turn, max(turn_idx) AS last_turn,
+                   (epoch_us(max(ts)) // 1000000
+                    - epoch_us(min(ts)) // 1000000)::BIGINT AS duration_sec,
+                   sum(length(text))::BIGINT AS total_chars,
+                   max(length(text))::BIGINT AS max_chars
+            FROM t GROUP BY conv_id
+        """,
+        "q_domain_quantile": """
+            WITH s AS (
+              SELECT doc_id, source AS domain, n_chars::DOUBLE AS score
+              FROM documents
+            ), thr AS (
+              SELECT domain, quantile_cont(score, 0.75) AS thr
+              FROM s GROUP BY domain
+            )
+            SELECT s.doc_id, s.domain, s.score, thr.thr,
+                   s.score >= thr.thr AS keep
+            FROM s JOIN thr USING (domain)
         """,
     }

@@ -305,3 +305,46 @@ def shard_and_shuffle(
     return keyed.select(
         id_col, "shard", pos.cast("long").alias("shard_pos")
     )
+
+
+def per_domain_quantile_select(
+    df: DataFrame,
+    score_col: str = "score",
+    domain_col: str = "domain",
+    id_col: str = "doc_id",
+    q: float = 0.75,
+) -> DataFrame:
+    """Per-domain quantile thresholding (the FineWeb-style selection
+    rule: keep each domain's top ``1 - q`` fraction by score, so one
+    prolific low-quality domain cannot crowd out the corpus and small
+    high-quality domains are not globally outbid).
+
+    Returns ``(id, domain, score, thr, keep)`` with
+    ``keep = score >= thr`` where ``thr`` is domain's exact ``q``-th
+    interpolated percentile of ``score``.
+
+    Scale shape: ONE compact-key aggregate computes all thresholds
+    (``percentile`` partials combine map-side; the grouped frame is one
+    row per domain), then the thresholds come back as an explicit
+    ``broadcast`` join — the corpus itself never shuffles, text never
+    moves.  Exact ``percentile`` is used here because the driver oracle
+    (DuckDB ``quantile_cont``) demands bit-equality; at 100 TB swap in
+    ``approx_percentile(score, q, accuracy)`` at the same call site —
+    the t-digest partials are mergeable, the rest of the plan is
+    unchanged.
+    """
+    base = df.select(
+        F.col(id_col),
+        F.col(domain_col).alias("domain"),
+        F.col(score_col).cast("double").alias("score"),
+    )
+    thr = base.groupBy("domain").agg(
+        F.percentile("score", F.lit(float(q))).alias("thr")
+    )
+    return base.join(F.broadcast(thr), "domain").select(
+        id_col,
+        "domain",
+        "score",
+        "thr",
+        (F.col("score") >= F.col("thr")).alias("keep"),
+    )

@@ -1,0 +1,229 @@
+"""Conversation-level operators over transcript turns — SFT pair
+extraction and per-conversation rollups.
+
+The input is the transcript shape the whole pipeline runs on
+(``conv_id, turn_idx, role, text, tool, ts``).  No reference analog
+(the reference is a log gateway, reference README.md:1); these are the
+training-data-pipeline steps that turn raw agent/conversation logs
+into supervised fine-tuning examples.
+
+Scale notes
+-----------
+
+``sft_pairs`` has two physically different plans with bit-identical
+output (pinned by ``test_sft_pairs_paths_equal``):
+
+* the **window path** (default) — one exchange on ``conv_id``, a
+  bounded ``ROWS BETWEEN -k AND -1`` frame collects the context.  The
+  right plan when conversations are bounded (real chat logs: ≤ 10^3
+  turns), because the frame is O(k) per row and Spark streams the
+  partition.  Its failure mode is a single conversation holding a
+  macroscopic fraction of all rows — that conv's partition becomes one
+  straggler task.
+* the **skew-safe path** (``skew_safe=True``) — no per-conversation
+  window at all.  A dense per-conv position comes from the same
+  two-phase distributed prefix count as ``pack.pack_sequences``
+  (per-(conv, range-bucket) ``row_number`` + base offsets from the
+  tiny (conv, bucket) totals frame), then each assistant row explodes
+  its ≤ k context positions and equi-joins back on the UNIQUE
+  ``(conv, pos)`` key — perfectly distributable regardless of how hot
+  one conversation is, at the cost of ~k× join amplification and two
+  extra exchanges.  At 10^12 turns with adversarial skew this is the
+  plan you want; under normal skew the window path is cheaper.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dense_conv_pos(
+    df: DataFrame,
+    conv_col: str,
+    order_col: str,
+    n_buckets: int,
+) -> DataFrame:
+    """Add ``_pos``: the 1-based rank of each row inside its
+    conversation by ``order_col``, computed WITHOUT a per-conversation
+    global window (distributed prefix count, cf. pack.pack_sequences).
+
+    Buckets are ranges of the GLOBAL order key (broadcast min/max, no
+    action), so every (conv, bucket) cell is a contiguous slice of the
+    conversation and per-cell ranks + per-conv cumulative cell counts
+    reproduce the global per-conv rank exactly — integer arithmetic,
+    bit-equal to the naive window for any bucket count.
+    """
+    bounds = df.agg(
+        F.min(order_col).alias("_lo"), F.max(order_col).alias("_hi")
+    )
+    bucketed = df.crossJoin(F.broadcast(bounds)).withColumn(
+        "_bkt",
+        F.least(
+            F.lit(n_buckets - 1),
+            F.floor(
+                (F.col(order_col) - F.col("_lo"))
+                * F.lit(n_buckets)
+                / (F.col("_hi") - F.col("_lo") + 1)
+            ),
+        ),
+    ).drop("_lo", "_hi")
+    rn = F.row_number().over(
+        Window.partitionBy(conv_col, "_bkt").orderBy(order_col)
+    )
+    rows = bucketed.withColumn("_rn", rn)
+    cell_counts = rows.groupBy(conv_col, "_bkt").agg(
+        F.count("*").alias("_cnt")
+    )
+    # per-conv running cell offsets: the totals frame has one row per
+    # non-empty (conv, bucket) — O(convs · buckets), partitioned by
+    # conv so the window parallelizes across conversations
+    base = cell_counts.select(
+        conv_col,
+        "_bkt",
+        F.coalesce(
+            F.sum("_cnt").over(
+                Window.partitionBy(conv_col)
+                .orderBy("_bkt")
+                .rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).alias("_base"),
+    )
+    return rows.join(base, [conv_col, "_bkt"]).withColumn(
+        "_pos", (F.col("_base") + F.col("_rn")).cast("long")
+    ).drop("_bkt", "_rn", "_base")
+
+
+def sft_pairs(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+    assistant_role: str = "assistant",
+    k: int = 5,
+    sep: str = "\n",
+    skew_safe: bool = False,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Extract (prompt, response) supervised-fine-tuning pairs.
+
+    For every turn whose role is ``assistant_role``, the response is
+    that turn's text and the prompt is the previous ≤ ``k`` turns of
+    the same conversation (any role) joined with ``sep``, in turn
+    order.  Assistant turns with no preceding context are kept with an
+    empty prompt (``n_context = 0``) — dropping conversation openers is
+    a downstream policy decision, not an extraction one.
+
+    Returns ``(conv_id, turn_idx, n_context, prompt, response)``.
+
+    See the module docstring for the two physical plans; both are
+    deterministic (``order_col`` must be unique per conversation, as
+    transcript ``turn_idx`` is).
+    """
+    if not skew_safe:
+        w = (
+            Window.partitionBy(conv_col)
+            .orderBy(order_col)
+            .rowsBetween(-k, -1)
+        )
+        ctx = F.collect_list(text_col).over(w)
+        return (
+            df.select(
+                conv_col,
+                order_col,
+                role_col,
+                F.col(text_col).alias("response"),
+                ctx.alias("_ctx"),
+            )
+            .filter(F.col(role_col) == assistant_role)
+            .select(
+                conv_col,
+                order_col,
+                F.size("_ctx").alias("n_context"),
+                F.concat_ws(sep, "_ctx").alias("prompt"),
+                "response",
+            )
+        )
+
+    pos = _dense_conv_pos(
+        df.select(conv_col, order_col, role_col, text_col),
+        conv_col,
+        order_col,
+        n_buckets,
+    )
+    ctx_side = pos.select(
+        conv_col, F.col("_pos").alias("_cpos"), F.col(text_col).alias("_ctxt")
+    )
+    targets = pos.filter(F.col(role_col) == assistant_role).select(
+        conv_col,
+        order_col,
+        F.col(text_col).alias("response"),
+        F.explode_outer(
+            F.when(
+                F.col("_pos") > 1,
+                F.sequence(
+                    F.greatest(F.col("_pos") - k, F.lit(1).cast("long")),
+                    F.col("_pos") - 1,
+                ),
+            )
+        ).alias("_cpos"),
+    )
+    joined = targets.join(ctx_side, [conv_col, "_cpos"], "left")
+    return joined.groupBy(conv_col, order_col, "response").agg(
+        F.count("_ctxt").cast("int").alias("n_context"),
+        F.concat_ws(
+            sep,
+            F.transform(
+                F.array_sort(
+                    F.filter(
+                        F.collect_list(F.struct("_cpos", "_ctxt")),
+                        lambda s: s["_ctxt"].isNotNull(),
+                    )
+                ),
+                lambda s: s["_ctxt"],
+            ),
+        ).alias("prompt"),
+    ).select(conv_col, order_col, "n_context", "prompt", "response")
+
+
+def conv_stats(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+    tool_col: str = "tool",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Per-conversation rollup: the corpus-triage table a transcript
+    pipeline materializes before any selection decision.
+
+    Returns one row per conversation::
+
+        (conv_id, n_turns, n_roles, n_tools, tools,
+         first_turn, last_turn, duration_sec, total_chars, max_chars)
+
+    One compact-key aggregate (partial map-side); the per-group
+    ``count_distinct``/``collect_set`` are bounded by the role/tool
+    dictionary sizes (≤ tens), never by conversation length, so there
+    is no grouping-sets-style input expansion to worry about
+    (contrast aggregate.py's metrics side-channel, which switches to
+    approx_count_distinct for unbounded domains).
+    """
+    return df.groupBy(conv_col).agg(
+        F.count("*").cast("long").alias("n_turns"),
+        F.count_distinct(role_col).cast("long").alias("n_roles"),
+        F.count_distinct(tool_col).cast("long").alias("n_tools"),
+        F.array_join(F.array_sort(F.collect_set(tool_col)), ",").alias(
+            "tools"
+        ),
+        F.min(order_col).alias("first_turn"),
+        F.max(order_col).alias("last_turn"),
+        (
+            F.unix_timestamp(F.max(ts_col)) - F.unix_timestamp(F.min(ts_col))
+        ).cast("long").alias("duration_sec"),
+        F.sum(F.length(text_col)).cast("long").alias("total_chars"),
+        F.max(F.length(text_col)).cast("long").alias("max_chars"),
+    )

@@ -1038,3 +1038,97 @@ def test_url_filter(spark):
         "localhost", "", "kept")
     assert {i: rows[i].keep for i in rows} == {
         1: True, 2: False, 3: False, 4: False, 5: False, 6: False, 7: True}
+
+
+def test_sft_pairs_window(spark):
+    """SFT extraction: each assistant turn pairs with the previous <=k
+    turns joined in order; openers keep an empty prompt."""
+    from skewer_spark.operators.transcripts import sft_pairs
+
+    turns = spark.createDataFrame(
+        [
+            ("c1", 1, "user", "hi"),
+            ("c1", 2, "assistant", "hello"),
+            ("c1", 3, "user", "do x"),
+            ("c1", 4, "tool", "x done"),
+            ("c1", 5, "assistant", "done"),
+            ("c2", 1, "assistant", "opener"),
+        ],
+        "conv_id string, turn_idx int, role string, text string",
+    )
+    got = {
+        (r.conv_id, r.turn_idx): (r.n_context, r.prompt, r.response)
+        for r in sft_pairs(turns, k=2).collect()
+    }
+    assert got == {
+        ("c1", 2): (1, "hi", "hello"),
+        ("c1", 5): (2, "do x\nx done", "done"),
+        ("c2", 1): (0, "", "opener"),
+    }
+
+
+def test_sft_pairs_paths_equal(spark):
+    """The skew-safe join formulation is bit-identical to the window
+    path, across bucket boundaries (tiny buckets force context spans
+    to cross several range buckets and empty (conv,bucket) cells)."""
+    from skewer_spark.operators.transcripts import sft_pairs
+
+    rows = [
+        (f"c{i % 3}", i, ["user", "assistant", "tool"][i % 3] if i % 7 else "assistant", f"t{i}")
+        for i in range(1, 200)
+    ]
+    turns = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string"
+    )
+    a = sorted(map(tuple, sft_pairs(turns, k=5).collect()))
+    b = sorted(
+        map(
+            tuple,
+            sft_pairs(turns, k=5, skew_safe=True, n_buckets=7).collect(),
+        )
+    )
+    assert a == b and len(a) > 50
+
+
+def test_conv_stats(spark):
+    from skewer_spark.operators.transcripts import conv_stats
+
+    from datetime import datetime as DT
+
+    turns = spark.createDataFrame(
+        [
+            ("c1", 1, "user", "abc", "none", DT(2024, 1, 1, 0, 0, 0)),
+            ("c1", 2, "assistant", "defgh", "bash", DT(2024, 1, 1, 0, 1, 30)),
+            ("c1", 5, "user", "i", "bash", DT(2024, 1, 1, 0, 2, 0)),
+            ("c2", 9, "system", "xy", "editor", DT(2024, 2, 1, 10, 0, 0)),
+        ],
+        "conv_id string, turn_idx int, role string, text string,"
+        " tool string, ts timestamp",
+    )
+    got = {r.conv_id: r for r in conv_stats(turns).collect()}
+    c1 = got["c1"]
+    assert (
+        c1.n_turns, c1.n_roles, c1.n_tools, c1.tools,
+        c1.first_turn, c1.last_turn, c1.duration_sec,
+        c1.total_chars, c1.max_chars,
+    ) == (3, 2, 2, "bash,none", 1, 5, 120, 9, 5)
+    assert (got["c2"].n_turns, got["c2"].duration_sec) == (1, 0)
+
+
+def test_per_domain_quantile_select(spark):
+    """Per-domain thresholding: each domain keeps its own top quartile
+    (exact interpolated percentile), independent of other domains."""
+    from skewer_spark.operators.select import per_domain_quantile_select
+
+    docs = spark.createDataFrame(
+        # domain a scores 1..4 -> p75 = 3.25 -> keep only 4
+        # domain b scores 100..104 (5 rows) -> p75 = 103 -> keep 103,104
+        [(i, "a", float(i)) for i in range(1, 5)]
+        + [(10 + i, "b", 100.0 + i) for i in range(5)],
+        "doc_id long, domain string, score double",
+    )
+    out = per_domain_quantile_select(docs, q=0.75)
+    kept = sorted(r.doc_id for r in out.collect() if r.keep)
+    assert kept == [4, 13, 14]
+    thr = {r.domain: r.thr for r in out.select("domain", "thr").distinct().collect()}
+    assert thr == {"a": 3.25, "b": 103.0}
