@@ -1231,6 +1231,73 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return per_domain_quantile_select(src, q=0.75)
 
+    def q_bm25_search(spark, sf):
+        # full-text BM25 top-10 over the documents corpus (inverted
+        # index + Lucene-idf scoring; scores rounded to 6 dp BEFORE the
+        # (score desc, doc_id) order so the rank-k cut is
+        # engine-independent even under exact score ties)
+        from skewer_spark.operators.search import bm25_search
+        docs = _read(spark, sf, "documents")
+        return bm25_search(
+            docs.select("doc_id", "text"), ["spark", "join", "window"], k=10
+        )
+
+    def q_funnel(spark, sf):
+        # ordered-step funnel with strict-after milestone semantics:
+        # earliest signup, then earliest view AFTER it, then click,
+        # then purchase; per-step reach counts + conversion rates
+        from skewer_spark.operators.funnel import funnel_counts
+        ev = _read(spark, sf, "events")
+        return funnel_counts(
+            ev.select("user_id", "ts", "event_type"),
+            ["signup", "view", "click", "purchase"],
+        )
+
+    def q_range_join(spark, sf):
+        # interval-containment join via time bucketing (equi-join on
+        # (key, bucket) — never a nested-loop range join): intervals =
+        # every 29th event's 6-hour window, events land in the
+        # intervals of their own user
+        from skewer_spark.operators.temporal import range_join
+        ev = _read(spark, sf, "events")
+        iv = ev.filter(F.col("event_id") % 29 == 0).select(
+            "user_id",
+            F.col("ts").alias("start_ts"),
+            (F.col("ts") + F.expr("INTERVAL 6 HOURS")).alias("end_ts"),
+            F.col("event_id").alias("iv_id"),
+        )
+        out = range_join(
+            ev.select("event_id", "user_id", "ts"), iv,
+            key="user_id", event_ts="ts", bucket_seconds=3600,
+        )
+        return out.select("event_id", "iv_id")
+
+    def q_seq_ngrams(spark, sf):
+        # behavioral role-trigram mining over per-user event sequences
+        from skewer_spark.operators.transcripts import sequence_ngrams
+        ev = _read(spark, sf, "events")
+        turns = ev.select(
+            F.col("user_id").cast("string").alias("conv_id"),
+            F.col("event_id").cast("int").alias("turn_idx"),
+            F.col("event_type").alias("role"),
+        )
+        return sequence_ngrams(turns, n=3)
+
+    def q_context_windows(spark, sf):
+        # sliding 3-turn training windows (stride 1) over payload text
+        from skewer_spark.operators.transcripts import context_windows
+        ev = _read(spark, sf, "events")
+        eid = F.col("event_id")
+        payload = F.concat(
+            F.col("event_type"), F.lit(" msg "), eid.cast("string")
+        )
+        turns = ev.select(
+            F.col("user_id").cast("string").alias("conv_id"),
+            eid.cast("int").alias("turn_idx"),
+            payload.alias("text"),
+        )
+        return context_windows(turns, k=3, sep="|")
+
     # ORDER MATTERS: the driver's correctness harness checks the FIRST
     # 50 entries only.  Every operator family must sit inside that
     # window, so near-duplicate variants (6 of the 8 encode variants —
@@ -1248,7 +1315,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_priority_decode": q_priority_decode,
         "q_parse_rfc3164": q_parse_rfc3164,
         "q_parse_rfc5424": q_parse_rfc5424,
-        "q_parse_errors": q_parse_errors,
         "q_filter_fourway": q_filter_fourway,
         "q_route_topic": q_route_topic,
         "q_sink_counts": q_sink_counts,
@@ -1258,22 +1324,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_boilerplate": q_boilerplate,
         "q_soft_dedup": q_soft_dedup,
         "q_tfidf_terms": q_tfidf_terms,
-        "q_bigram_ppl": q_bigram_ppl,
         "q_dsir_weights": q_dsir_weights,
         "q_pack_sequences": q_pack_sequences,
         "q_budget_select": q_budget_select,
-        "q_mixture_weights": q_mixture_weights,
         "q_apply_mixture": q_apply_mixture,
         "q_shard_shuffle": q_shard_shuffle,
         "q_parse_protobuf": q_parse_protobuf,
-        "q_parse_collectd": q_parse_collectd,
         "q_parse_acct": q_parse_acct,
         "q_gelf_chunks": q_gelf_chunks,
         "q_parse_ltsv": q_parse_ltsv,
         "q_dedup_exact": q_dedup_exact,
         "q_minhash_lsh": q_minhash_lsh,
         "q_kmeans": q_kmeans,
-        "q_sample_per_group": q_sample_per_group,
         "q_simhash_pairs": q_simhash_pairs,
         "q_semdedup": q_semdedup,
         "q_ivf_topk": q_ivf_topk,
@@ -1293,12 +1355,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_asof_enrich": q_asof_enrich,
         "q_session_agg": q_session_agg,
         "q_domain_quantile": q_domain_quantile,
+        "q_bm25_search": q_bm25_search,
+        "q_funnel": q_funnel,
+        "q_range_join": q_range_join,
+        "q_seq_ngrams": q_seq_ngrams,
+        "q_context_windows": q_context_windows,
         # -- 51+: near-duplicate variants (oracle-paired, locally checked;
         # all tail families below were driver-green in r02; q_lang_id /
         # q_doc_fingerprint demoted r3 — lang gate rides q_curation and
         # fingerprint machinery rides q_dedup_fingerprint; q_audio_decode
         # demoted r3 [same mapInPandas codec family as q_image_decode];
-        # q_tpch_q1 demoted r3 [generic SQL smoke, not a SURVEY operator]) --
+        # q_tpch_q1 demoted r3 [generic SQL smoke, not a SURVEY operator];
+        # q_parse_errors / q_mixture_weights / q_sample_per_group /
+        # q_bigram_ppl / q_parse_collectd demoted r3 to make room for the
+        # five NEW families (bm25 / funnel / range_join / seq_ngrams /
+        # context_windows) — each demotee was driver-green in r02 and/or
+        # is subsumed in-window (error flags ride the parse queries,
+        # q_apply_mixture materializes the same weights, per-group
+        # selection rides q_domain_quantile, n-gram LM scoring rides
+        # q_dsir_weights, binary decode family rides q_parse_acct +
+        # q_parse_protobuf + q_gelf_chunks) --
+        "q_parse_errors": q_parse_errors,
+        "q_mixture_weights": q_mixture_weights,
+        "q_sample_per_group": q_sample_per_group,
+        "q_bigram_ppl": q_bigram_ppl,
+        "q_parse_collectd": q_parse_collectd,
         "q_audio_decode": q_audio_decode,
         "q_tpch_q1": q_tpch_q1,
         "q_conv_stats": q_conv_stats,
@@ -2928,5 +3009,125 @@ def oracle_sql() -> dict[str, str]:
             SELECT s.doc_id, s.domain, s.score, thr.thr,
                    s.score >= thr.thr AS keep
             FROM s JOIN thr USING (domain)
+        """,
+        # BM25 (Lucene non-negative idf); tokenizer contract shared
+        # with operators/search.py: lowercase, split on non-alnum runs,
+        # drop empties.  Arithmetic mirrors the Spark expression
+        # order exactly (idf * (tf*2.2) / denom, denom = tf +
+        # 1.2*(0.25 + 0.75*dl/avgdl)) so doubles agree bit-for-bit up
+        # to summation order; the 6-dp round + (score, doc_id) order
+        # pins the rank-10 cut.
+        "q_bm25_search": """
+            WITH d AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text),
+                                                    '[^a-z0-9]+'),
+                                 x -> x <> '') AS toks
+              FROM documents
+            ), stats AS (
+              SELECT count(*)::BIGINT AS n_docs, avg(len(toks)) AS avgdl
+              FROM d
+            ), tok AS (
+              SELECT doc_id, unnest(toks) AS term, len(toks) AS dl FROM d
+            ), post AS (
+              SELECT term, doc_id, count(*)::BIGINT AS tf, first(dl) AS dl
+              FROM tok WHERE term IN ('join', 'spark', 'window')
+              GROUP BY term, doc_id
+            ), dfreq AS (
+              SELECT term, count(*)::BIGINT AS df FROM post GROUP BY term
+            )
+            SELECT p.doc_id,
+                   count(*)::BIGINT AS n_terms_hit,
+                   round(sum(
+                     ln(1.0 + (s.n_docs - f.df + 0.5) / (f.df + 0.5))
+                     * (p.tf * 2.2)
+                     / (p.tf + 1.2 * (0.25 + 0.75 * p.dl / s.avgdl))
+                   ), 6) AS score
+            FROM post p JOIN dfreq f USING (term) CROSS JOIN stats s
+            GROUP BY p.doc_id
+            ORDER BY score DESC, p.doc_id
+            LIMIT 10
+        """,
+        # strict-after funnel milestones: each step's timestamp is the
+        # earliest event of that type STRICTLY AFTER the previous
+        # milestone (same-ts events do not advance the funnel)
+        "q_funnel": """
+            WITH m1 AS (
+              SELECT user_id, min(ts) AS t FROM events
+              WHERE event_type = 'signup' GROUP BY user_id
+            ), m2 AS (
+              SELECT e.user_id, min(e.ts) AS t FROM events e
+              JOIN m1 ON e.user_id = m1.user_id
+              WHERE e.event_type = 'view' AND e.ts > m1.t
+              GROUP BY e.user_id
+            ), m3 AS (
+              SELECT e.user_id, min(e.ts) AS t FROM events e
+              JOIN m2 ON e.user_id = m2.user_id
+              WHERE e.event_type = 'click' AND e.ts > m2.t
+              GROUP BY e.user_id
+            ), m4 AS (
+              SELECT e.user_id, min(e.ts) AS t FROM events e
+              JOIN m3 ON e.user_id = m3.user_id
+              WHERE e.event_type = 'purchase' AND e.ts > m3.t
+              GROUP BY e.user_id
+            ), c AS (
+              SELECT (SELECT count(*) FROM m1)::BIGINT AS c1,
+                     (SELECT count(*) FROM m2)::BIGINT AS c2,
+                     (SELECT count(*) FROM m3)::BIGINT AS c3,
+                     (SELECT count(*) FROM m4)::BIGINT AS c4
+            )
+            SELECT 1::INT AS step, 'signup' AS step_name,
+                   c1 AS n_reached, 1.0::DOUBLE AS conversion FROM c
+            UNION ALL
+            SELECT 2::INT, 'view', c2,
+                   round(c2::DOUBLE / nullif(c1, 0), 6) FROM c
+            UNION ALL
+            SELECT 3::INT, 'click', c3,
+                   round(c3::DOUBLE / nullif(c2, 0), 6) FROM c
+            UNION ALL
+            SELECT 4::INT, 'purchase', c4,
+                   round(c4::DOUBLE / nullif(c3, 0), 6) FROM c
+        """,
+        # interval containment (half-open [start, end)) — the oracle
+        # states the naive range join; the Spark side must reproduce it
+        # through the bucketed equi-join
+        "q_range_join": """
+            WITH iv AS (
+              SELECT user_id, ts AS start_ts,
+                     ts + INTERVAL 6 HOUR AS end_ts,
+                     event_id AS iv_id
+              FROM events WHERE event_id % 29 = 0
+            )
+            SELECT e.event_id, iv.iv_id
+            FROM events e JOIN iv ON e.user_id = iv.user_id
+             AND e.ts >= iv.start_ts AND e.ts < iv.end_ts
+        """,
+        "q_seq_ngrams": """
+            WITH t AS (
+              SELECT event_type AS r0,
+                     lead(event_type, 1) OVER w AS r1,
+                     lead(event_type, 2) OVER w AS r2
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+            )
+            SELECT r0 || '>' || r1 || '>' || r2 AS pattern,
+                   count(*)::BIGINT AS n_occurrences
+            FROM t WHERE r2 IS NOT NULL GROUP BY 1
+        """,
+        "q_context_windows": """
+            WITH t AS (
+              SELECT user_id::VARCHAR AS conv_id, event_id::INT AS turn_idx,
+                     event_type || ' msg ' || event_id::VARCHAR AS text
+              FROM events
+            ), w AS (
+              SELECT conv_id, turn_idx,
+                     count(*) OVER win AS n,
+                     array_to_string(list(text) OVER win, '|')
+                       AS window_text
+              FROM t
+              WINDOW win AS (PARTITION BY conv_id ORDER BY turn_idx
+                             ROWS BETWEEN CURRENT ROW AND 2 FOLLOWING)
+            )
+            SELECT conv_id, turn_idx, window_text FROM w WHERE n = 3
         """,
     }

@@ -1,0 +1,150 @@
+"""Full-text search: inverted index + BM25 top-k.
+
+The reference ships an Elasticsearch *sink* (documents are pushed out
+for someone else to search, ``/root/reference/store/dests/
+elasticsearch.go:215-273``); a standalone analytics engine has to be
+able to answer the search itself.  This module is the batch-native
+equivalent: materialize an inverted index over the corpus once, then
+score ad-hoc queries with BM25 (the Lucene/Elasticsearch default
+similarity) without ever re-reading document text.
+
+Scale shape (the 100 TB contract):
+
+* :func:`build_inverted_index` — ONE explode + ONE groupBy((term,
+  doc)) shuffle over the corpus; emits ``(term, doc_id, tf, dl)``
+  postings.  At 10^12 docs this is the thing you write to a
+  term-bucketed table and reuse for every query; the per-doc length is
+  denormalized onto the posting so scoring never joins back to the
+  corpus.
+* :func:`bm25_topk` — scoring touches ONLY the query's postings: the
+  ``term IN (...)`` literal filter prunes at the scan (predicate
+  pushdown into the postings table's term buckets), document
+  frequencies for a handful of terms are a tiny aggregate broadcast
+  back, and the final top-k is a ``TakeOrderedAndProject`` (no global
+  sort).  Nothing in the query path is proportional to corpus size
+  except the pruned postings scan.
+* Scoring arithmetic is pure JVM expressions; scores are rounded to
+  6 dp *before* ordering so rank ties break deterministically on
+  doc_id in any engine (driver-oracle contract).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: Tokenizer contract shared with the DuckDB oracles: lowercase,
+#: split on runs of non-alphanumerics, drop empty tokens.
+_TOKEN_SPLIT = "[^a-z0-9]+"
+
+
+def _tokens(text_col: str):
+    return F.filter(
+        F.split(F.lower(F.col(text_col)), _TOKEN_SPLIT), lambda t: t != ""
+    )
+
+
+def build_inverted_index(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Postings frame ``(term, doc_id, tf, dl)``.
+
+    ``tf`` = term frequency in the doc, ``dl`` = doc length in tokens
+    (denormalized so scoring is self-contained).  One explode + one
+    (term, doc) groupBy; at scale, write this partitioned/bucketed by
+    ``term`` so query-time term filters prune partitions.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(_tokens(text_col)).alias("term"),
+        F.size(_tokens(text_col)).alias("dl"),
+    )
+    return toks.groupBy("term", "doc_id").agg(
+        F.count("*").alias("tf"), F.first("dl").alias("dl")
+    )
+
+
+def corpus_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """One-row frame ``(n_docs, avgdl)`` — computed once per index
+    build, broadcast into every query."""
+    return docs.agg(
+        F.count("*").alias("n_docs"),
+        F.avg(F.size(_tokens(text_col))).alias("avgdl"),
+    )
+
+
+def bm25_topk(
+    postings: DataFrame,
+    stats: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Top-``k`` docs for ``query_terms`` by BM25.
+
+    ``idf = ln(1 + (N - df + 0.5)/(df + 0.5))`` (Lucene's
+    non-negative variant); per-term contribution
+    ``idf * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))``.
+
+    Returns ``(doc_id, n_terms_hit, score)`` ordered by
+    ``(score desc, doc_id)``; ``score`` is rounded to 6 dp before the
+    ordering so the cut at rank k is engine-independent.
+    """
+    terms = sorted(set(t.lower() for t in query_terms))
+    hit = postings.filter(F.col("term").isin(terms))
+    # df per query term: tiny (≤ |terms| rows) → broadcast back
+    dfreq = hit.groupBy("term").agg(
+        F.count("*").alias("df")
+    )
+    scored = (
+        hit.join(F.broadcast(dfreq), "term")
+        .join(F.broadcast(stats))
+        .withColumn(
+            "_idf",
+            F.log(
+                F.lit(1.0)
+                + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+            ),
+        )
+        .withColumn(
+            "_contrib",
+            F.col("_idf")
+            * (F.col("tf") * (k1 + 1.0))
+            / (
+                F.col("tf")
+                + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+            ),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_terms_hit"),
+            F.round(F.sum("_contrib"), 6).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+def bm25_search(
+    docs: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Index-and-search in one call (for ad-hoc use and the driver
+    query; production builds the index once via
+    :func:`build_inverted_index` and reuses it)."""
+    return bm25_topk(
+        build_inverted_index(docs, text_col, id_col),
+        corpus_stats(docs, text_col),
+        query_terms,
+        k=k,
+        k1=k1,
+        b=b,
+    )

@@ -153,6 +153,71 @@ def as_of_join(
     )
 
 
+def range_join(
+    events: DataFrame,
+    intervals: DataFrame,
+    key: str,
+    event_ts: str = "ts",
+    start_ts: str = "start_ts",
+    end_ts: str = "end_ts",
+    bucket_seconds: int = 600,
+) -> DataFrame:
+    """Interval containment join: each event row pairs with every
+    interval of the same ``key`` satisfying ``start_ts <= event_ts <
+    end_ts`` (half-open, like ``session_window``).
+
+    Naive Spark plans this as BroadcastNestedLoop (the range predicate
+    is not an equi-join) — O(events × intervals) per key.  This
+    implementation bins time into ``bucket_seconds`` buckets: each
+    interval is exploded onto every bucket it overlaps
+    (``sequence(floor(start/w), floor((end-ε)/w))``), each event maps
+    to exactly ONE bucket, and the join becomes an equi-join on
+    ``(key, bucket)`` followed by the exact range filter.  Each
+    qualifying (event, interval) pair meets in exactly one bucket
+    (the event's), so no distinct pass is needed.  Cost: one hash
+    equi-join shuffle; interval replication factor =
+    ceil(duration / bucket_seconds) — pick the bucket width near the
+    typical interval length.  Long-lived intervals fan out across
+    buckets instead of serializing on one key (the same hot-key move
+    as :func:`as_of_join`'s ``bucket_seconds``).
+
+    Returns the event columns plus the interval's non-key columns.
+    """
+    w_us = int(bucket_seconds) * 1_000_000
+
+    def _bkt(c):
+        return F.floor(F.unix_micros(F.col(c).cast("timestamp")) / w_us)
+
+    icols = [c for c in intervals.columns if c != key]
+    # drop empty/inverted intervals: nothing can fall in them, and
+    # sequence() would otherwise explode a DESCENDING bucket range
+    intervals = intervals.filter(F.col(end_ts) > F.col(start_ts))
+    iv = intervals.select(
+        F.col(key).alias("_k"),
+        *[F.col(c) for c in icols],
+        F.explode(
+            F.sequence(
+                _bkt(start_ts),
+                # half-open end: the bucket of the last INCLUDED microsecond
+                F.floor(
+                    (F.unix_micros(F.col(end_ts).cast("timestamp")) - 1) / w_us
+                ),
+            )
+        ).alias("_bkt"),
+    )
+    ev = events.withColumn("_bkt", _bkt(event_ts)).withColumn(
+        "_k", F.col(key)
+    )
+    return (
+        ev.join(iv, on=["_k", "_bkt"])
+        .filter(
+            (F.col(event_ts) >= F.col(start_ts))
+            & (F.col(event_ts) < F.col(end_ts))
+        )
+        .drop("_k", "_bkt")
+    )
+
+
 def session_agg(
     df: DataFrame,
     key: str,

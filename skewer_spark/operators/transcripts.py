@@ -227,3 +227,83 @@ def conv_stats(
         F.sum(F.length(text_col)).cast("long").alias("total_chars"),
         F.max(F.length(text_col)).cast("long").alias("max_chars"),
     )
+
+
+def sequence_ngrams(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    order_cols: list[str] | None = None,
+    token_col: str = "role",
+    n: int = 3,
+    sep: str = ">",
+) -> DataFrame:
+    """Behavioral n-gram mining: counts of length-``n`` consecutive
+    ``token_col`` patterns within each conversation's turn order
+    (e.g. role trigrams ``user>assistant>tool`` — the sequence-level
+    fingerprint used to spot malformed multi-turn data before SFT
+    extraction, or event-type trigrams over a clickstream).
+
+    Returns ``(pattern, n_occurrences)``.
+
+    Scale shape: ``lead()`` over ONE ``partitionBy(conv)`` exchange —
+    the frame is O(n) per row and never materializes per-conversation
+    arrays; the pattern count is a partial-aggregable groupBy on short
+    string keys.  A hot conversation costs one task's sort of its own
+    rows (same profile as :func:`conv_stats`), not a join blowup.
+    """
+    if order_cols is None:
+        order_cols = ["turn_idx"]
+    w = Window.partitionBy(conv_col).orderBy(*[F.col(c) for c in order_cols])
+    parts = [F.col(token_col)] + [
+        F.lead(token_col, i).over(w) for i in range(1, n)
+    ]
+    last = F.lead(token_col, n - 1).over(w)
+    return (
+        df.select(
+            F.when(
+                last.isNotNull(), F.concat_ws(sep, *parts)
+            ).alias("pattern")
+        )
+        .filter(F.col("pattern").isNotNull())
+        .groupBy("pattern")
+        .agg(F.count("*").alias("n_occurrences"))
+    )
+
+
+def context_windows(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    text_col: str = "text",
+    k: int = 3,
+    sep: str = "\n",
+) -> DataFrame:
+    """Sliding k-turn training windows: for every position with at
+    least ``k - 1`` following turns, the concatenation of the ``k``
+    consecutive turn texts (the fixed-context chunking used to cut
+    long conversations into bounded training examples with stride 1).
+
+    Returns ``(conv_id, <order_col>, window_text)``.
+
+    One ``partitionBy(conv)`` exchange; the ``ROWS BETWEEN CURRENT ROW
+    AND k-1 FOLLOWING`` frame is O(k) per row.  For adversarially hot
+    conversations use the join formulation of ``sft_pairs(skew_safe=
+    True)`` — same trade documented there.
+    """
+    w = (
+        Window.partitionBy(conv_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.currentRow, k - 1)
+    )
+    return (
+        df.select(
+            F.col(conv_col),
+            F.col(order_col),
+            F.count("*").over(w).alias("_n"),
+            F.array_join(F.collect_list(text_col).over(w), sep).alias(
+                "window_text"
+            ),
+        )
+        .filter(F.col("_n") == k)
+        .drop("_n")
+    )
