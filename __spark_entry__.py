@@ -1231,6 +1231,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return per_domain_quantile_select(src, q=0.75)
 
+    def q_rate_anomaly(spark, sf):
+        # robust windowed rate anomaly (Iglewicz–Hoaglin modified
+        # z-score, MAD → meanAD fallback, gap hours zero-filled so
+        # outages score as hard as spikes)
+        from skewer_spark.operators.anomaly import rate_anomalies
+        ev = _read(spark, sf, "events")
+        out = rate_anomalies(ev.select("event_type", "ts"), window="1 hour")
+        return out.select(
+            "event_type",
+            F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "n_events", "med", "mad", "z_score", "is_anomaly",
+        )
+
     def q_bm25_search(spark, sf):
         # full-text BM25 top-10 over the documents corpus (inverted
         # index + Lucene-idf scoring; scores rounded to 6 dp BEFORE the
@@ -1333,7 +1348,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_parse_acct": q_parse_acct,
         "q_gelf_chunks": q_gelf_chunks,
         "q_parse_ltsv": q_parse_ltsv,
-        "q_dedup_exact": q_dedup_exact,
         "q_minhash_lsh": q_minhash_lsh,
         "q_kmeans": q_kmeans,
         "q_simhash_pairs": q_simhash_pairs,
@@ -1360,6 +1374,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_range_join": q_range_join,
         "q_seq_ngrams": q_seq_ngrams,
         "q_context_windows": q_context_windows,
+        "q_rate_anomaly": q_rate_anomaly,
         # -- 51+: near-duplicate variants (oracle-paired, locally checked;
         # all tail families below were driver-green in r02; q_lang_id /
         # q_doc_fingerprint demoted r3 — lang gate rides q_curation and
@@ -1374,7 +1389,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # q_apply_mixture materializes the same weights, per-group
         # selection rides q_domain_quantile, n-gram LM scoring rides
         # q_dsir_weights, binary decode family rides q_parse_acct +
-        # q_parse_protobuf + q_gelf_chunks) --
+        # q_parse_protobuf + q_gelf_chunks); q_dedup_exact demoted for
+        # q_rate_anomaly (md5-groupBy dedup machinery rides
+        # q_soft_dedup + q_minhash_lsh + q_dedup_substr in-window) --
+        "q_dedup_exact": q_dedup_exact,
         "q_parse_errors": q_parse_errors,
         "q_mixture_weights": q_mixture_weights,
         "q_sample_per_group": q_sample_per_group,
@@ -3009,6 +3027,51 @@ def oracle_sql() -> dict[str, str]:
             SELECT s.doc_id, s.domain, s.score, thr.thr,
                    s.score >= thr.thr AS keep
             FROM s JOIN thr USING (domain)
+        """,
+        # robust windowed rate anomaly: gap-filled per-key hourly
+        # counts, median/MAD (quantile_cont ≡ Spark F.percentile,
+        # bit-for-bit on small-integer interpolation), modified
+        # z-score arithmetic mirrored operand-for-operand; is_anomaly
+        # compares the ROUNDED score so the flag is engine-independent
+        "q_rate_anomaly": """
+            WITH c AS (
+              SELECT event_type AS k, date_trunc('hour', ts) AS w,
+                     count(*)::BIGINT AS n
+              FROM events GROUP BY 1, 2
+            ), span AS (
+              SELECT k, min(w) AS lo, max(w) AS hi FROM c GROUP BY k
+            ), allw AS (
+              SELECT k, unnest(generate_series(lo, hi, INTERVAL 1 HOUR))
+                       AS w
+              FROM span
+            ), d AS (
+              SELECT a.k, a.w, coalesce(c.n, 0)::BIGINT AS n
+              FROM allw a LEFT JOIN c ON a.k = c.k AND a.w = c.w
+            ), m1 AS (
+              SELECT k, quantile_cont(n, 0.5)::DOUBLE AS med
+              FROM d GROUP BY k
+            ), e AS (
+              SELECT d.k, d.w, d.n, m1.med, abs(d.n - m1.med) AS ad
+              FROM d JOIN m1 ON d.k = m1.k
+            ), m2 AS (
+              SELECT k, quantile_cont(ad, 0.5)::DOUBLE AS mad,
+                     avg(ad) AS mean_ad
+              FROM e GROUP BY k
+            ), z AS (
+              SELECT e.k, e.w, e.n, e.med, m2.mad,
+                     round(CASE
+                       WHEN m2.mad > 0
+                         THEN 0.6745 * (e.n - e.med) / m2.mad
+                       WHEN m2.mean_ad > 0
+                         THEN (e.n - e.med) / (1.253314 * m2.mean_ad)
+                       ELSE 0.0 END, 6) AS z_score
+              FROM e JOIN m2 ON e.k = m2.k
+            )
+            SELECT k AS event_type,
+                   strftime(w, '%Y-%m-%d %H:%M:%S') AS window_start,
+                   n AS n_events, med, mad, z_score,
+                   abs(z_score) > 3.5 AS is_anomaly
+            FROM z
         """,
         # BM25 (Lucene non-negative idf); tokenizer contract shared
         # with operators/search.py: lowercase, split on non-alnum runs,
