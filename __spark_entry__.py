@@ -1231,6 +1231,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return per_domain_quantile_select(src, q=0.75)
 
+    def q_pagerank(spark, sf):
+        # damped PageRank (3 iterations, uniform dangling
+        # redistribution) over a deterministic bipartite-ish link
+        # graph derived from events: every event links its user to a
+        # synthetic hub u<event_id%97>; every 3rd event links back
+        from skewer_spark.operators.graph import pagerank
+        ev = _read(spark, sf, "events")
+        hub = F.concat(
+            F.lit("u"), F.pmod(F.col("event_id"), F.lit(97)).cast("string")
+        )
+        uid = F.col("user_id").cast("string")
+        fwd = ev.select(uid.alias("src"), hub.alias("dst"))
+        back = ev.filter(F.col("event_id") % 3 == 0).select(
+            hub.alias("src"), uid.alias("dst")
+        )
+        return pagerank(fwd.union(back), iters=3)
+
     def q_rate_anomaly(spark, sf):
         # robust windowed rate anomaly (Iglewicz–Hoaglin modified
         # z-score, MAD → meanAD fallback, gap hours zero-filled so
@@ -1336,7 +1353,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_windowed_agg": q_windowed_agg,
         "q_encode_rfc5424": q_encode_rfc5424,
         "q_dedup_clusters_star": q_dedup_clusters_star,
-        "q_boilerplate": q_boilerplate,
         "q_soft_dedup": q_soft_dedup,
         "q_tfidf_terms": q_tfidf_terms,
         "q_dsir_weights": q_dsir_weights,
@@ -1375,6 +1391,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_seq_ngrams": q_seq_ngrams,
         "q_context_windows": q_context_windows,
         "q_rate_anomaly": q_rate_anomaly,
+        "q_pagerank": q_pagerank,
         # -- 51+: near-duplicate variants (oracle-paired, locally checked;
         # all tail families below were driver-green in r02; q_lang_id /
         # q_doc_fingerprint demoted r3 — lang gate rides q_curation and
@@ -1391,7 +1408,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # q_dsir_weights, binary decode family rides q_parse_acct +
         # q_parse_protobuf + q_gelf_chunks); q_dedup_exact demoted for
         # q_rate_anomaly (md5-groupBy dedup machinery rides
-        # q_soft_dedup + q_minhash_lsh + q_dedup_substr in-window) --
+        # q_soft_dedup + q_minhash_lsh + q_dedup_substr in-window);
+        # q_boilerplate demoted for q_pagerank (the exploded-span
+        # anti-join/rebuild machinery rides q_dedup_substr in-window) --
+        "q_boilerplate": q_boilerplate,
         "q_dedup_exact": q_dedup_exact,
         "q_parse_errors": q_parse_errors,
         "q_mixture_weights": q_mixture_weights,
@@ -1947,6 +1967,57 @@ def oracle_sql() -> dict[str, str]:
                    least(doc.doc_id, coalesce(c.min_reach, doc.doc_id))::BIGINT
                      AS cluster_id
             FROM documents doc LEFT JOIN comp c ON c.s = doc.doc_id
+    """
+
+    # damped PageRank, 3 iterations unrolled (no recursive aggregates
+    # in a recursive CTE): each round mirrors operators/graph.pagerank
+    # operand-for-operand — contrib sum, dangling mass, then
+    # (1.0 - 0.85)/N + 0.85 * (s_in + dm/N) — so doubles agree up to
+    # summation order; only the final rank rounds to 6 dp.
+    _pr_rounds = []
+    _prev = "r0"
+    for _i in (1, 2, 3):
+        _pr_rounds.append(f"""
+            c{_i} AS (
+              SELECT e.t AS id, sum({_prev}.rank / od.od) AS s_in
+              FROM e JOIN od USING (s) JOIN {_prev} ON e.s = {_prev}.id
+              GROUP BY e.t
+            ), d{_i} AS (
+              SELECT coalesce(sum(r.rank), 0.0) AS dm
+              FROM {_prev} r LEFT JOIN od ON r.id = od.s
+              WHERE od.s IS NULL
+            ), r{_i} AS (
+              SELECT nodes.id,
+                     (1.0 - 0.85) / nn.n
+                       + 0.85 * (coalesce(c.s_in, 0.0) + d.dm / nn.n)
+                       AS rank
+              FROM nodes CROSS JOIN nn CROSS JOIN d{_i} d
+              LEFT JOIN c{_i} c ON nodes.id = c.id
+            )""")
+        _prev = f"r{_i}"
+    pagerank_sql = f"""
+            WITH e0 AS (
+              SELECT user_id::VARCHAR AS s,
+                     'u' || (event_id % 97)::VARCHAR AS t
+              FROM events
+              UNION ALL
+              SELECT 'u' || (event_id % 97)::VARCHAR AS s,
+                     user_id::VARCHAR AS t
+              FROM events WHERE event_id % 3 = 0
+            ), e AS (
+              SELECT DISTINCT s, t FROM e0
+              WHERE s IS NOT NULL AND t IS NOT NULL
+            ), nodes AS (
+              SELECT DISTINCT id
+              FROM (SELECT s AS id FROM e UNION ALL SELECT t FROM e)
+            ), nn AS (
+              SELECT count(*)::BIGINT AS n FROM nodes
+            ), od AS (
+              SELECT s, count(*)::BIGINT AS od FROM e GROUP BY s
+            ), r0 AS (
+              SELECT id, 1.0 / nn.n AS rank FROM nodes CROSS JOIN nn
+            ),{",".join(_pr_rounds)}
+            SELECT id AS node, round(rank, 6) AS rank FROM {_prev}
     """
 
     return {
@@ -3028,6 +3099,7 @@ def oracle_sql() -> dict[str, str]:
                    s.score >= thr.thr AS keep
             FROM s JOIN thr USING (domain)
         """,
+        "q_pagerank": pagerank_sql,
         # robust windowed rate anomaly: gap-filled per-key hourly
         # counts, median/MAD (quantile_cont ≡ Spark F.percentile,
         # bit-for-bit on small-integer interpolation), modified
