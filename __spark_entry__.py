@@ -1231,6 +1231,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return per_domain_quantile_select(src, q=0.75)
 
+    def q_weighted_sample(spark, sf):
+        # deterministic Efraimidis–Spirakis weighted sample: top-50
+        # docs by u^(1/n_chars) with md5 uniforms (resume-safe, no RNG)
+        from skewer_spark.operators.select import weighted_sample
+        docs = _read(spark, sf, "documents")
+        out = weighted_sample(
+            docs.select("doc_id", F.col("n_chars").alias("weight")),
+            n=50, id_col="doc_id",
+        )
+        return out.select("doc_id", "sample_key")
+
     def q_pagerank(spark, sf):
         # damped PageRank (3 iterations, uniform dangling
         # redistribution) over a deterministic bipartite-ish link
@@ -1413,6 +1424,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # anti-join/rebuild machinery rides q_dedup_substr in-window) --
         "q_boilerplate": q_boilerplate,
         "q_dedup_exact": q_dedup_exact,
+        "q_weighted_sample": q_weighted_sample,
         "q_parse_errors": q_parse_errors,
         "q_mixture_weights": q_mixture_weights,
         "q_sample_per_group": q_sample_per_group,
@@ -3100,6 +3112,23 @@ def oracle_sql() -> dict[str, str]:
             FROM s JOIN thr USING (domain)
         """,
         "q_pagerank": pagerank_sql,
+        # Efraimidis–Spirakis weighted sample with md5 uniforms; the
+        # 6-dp round on u^(1/w) BEFORE the (key desc, id-string) cut
+        # pins the rank-50 boundary across engines (pow may differ by
+        # 1 ulp between libm implementations)
+        "q_weighted_sample": """
+            WITH k AS (
+              SELECT doc_id,
+                     round(pow(
+                       ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT
+                         / 4294967296.0,
+                       1.0 / n_chars::DOUBLE), 6) AS sample_key
+              FROM documents WHERE n_chars::DOUBLE > 0
+            )
+            SELECT doc_id, sample_key FROM k
+            ORDER BY sample_key DESC, doc_id::VARCHAR
+            LIMIT 50
+        """,
         # robust windowed rate anomaly: gap-filled per-key hourly
         # counts, median/MAD (quantile_cont ≡ Spark F.percentile,
         # bit-for-bit on small-integer interpolation), modified

@@ -348,3 +348,55 @@ def per_domain_quantile_select(
         "thr",
         (F.col("score") >= F.col("thr")).alias("keep"),
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    n: int,
+    weight_col: str = "weight",
+    id_col: str = "doc_id",
+    per_group: str | None = None,
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement
+    (Efraimidis & Spirakis 2006): draw ``n`` rows with inclusion
+    probability proportional to ``weight_col``, reproducibly.
+
+    Each row gets the uniform ``u = uint32(md5(id)) / 2^32`` (the same
+    stateless draw as ``curate.soft_dedup_weights`` — no RNG state, so
+    resumes/retries see identical samples) and the A-ES key
+    ``r = u^(1/w)``; the sample is the top ``n`` rows by
+    ``(round(r, 6) DESC, id)`` — rounded BEFORE the rank cut with an
+    id tie-break so the boundary is engine-independent (the BM25
+    contract).  Zero/negative weights are excluded outright.
+
+    With ``per_group`` set, the top-n is per group (stratified weighted
+    sampling) via a rank window partitioned by the group.
+
+    Scale shape: the key is a narrow pure expression riding the scan;
+    the global cut is a ``TakeOrderedAndProject`` (no global sort) and
+    the grouped cut is one window exchange partitioned by the group —
+    both partial (heap-k per partition) rather than full sorts.
+    """
+    u = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10)
+        .cast("double")
+        / F.lit(4294967296.0)
+    )
+    w = F.col(weight_col).cast("double")
+    keyed = df.filter(w > 0).withColumn(
+        "sample_key", F.round(F.pow(u, F.lit(1.0) / w), 6)
+    )
+    if per_group is None:
+        return keyed.orderBy(
+            F.desc("sample_key"), F.col(id_col).cast("string")
+        ).limit(int(n))
+    rank = F.row_number().over(
+        Window.partitionBy(per_group).orderBy(
+            F.desc("sample_key"), F.col(id_col).cast("string")
+        )
+    )
+    return (
+        keyed.withColumn("_rk", rank)
+        .filter(F.col("_rk") <= int(n))
+        .drop("_rk")
+    )

@@ -1132,3 +1132,56 @@ def test_per_domain_quantile_select(spark):
     assert kept == [4, 13, 14]
     thr = {r.domain: r.thr for r in out.select("domain", "thr").distinct().collect()}
     assert thr == {"a": 3.25, "b": 103.0}
+
+
+def test_weighted_sample_matches_reference(spark):
+    """Efraimidis-Spirakis with deterministic md5 uniforms: the sample
+    equals an independent Python recomputation exactly."""
+    import hashlib
+
+    from skewer_spark.operators.select import weighted_sample
+
+    rows = [(i, float(1 + (i * 7) % 13)) for i in range(60)]
+    rows += [(100, 0.0), (101, -2.0)]  # excluded outright
+    df = spark.createDataFrame(rows, "doc_id int, weight double")
+
+    def key(i, w):
+        u = int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) / 2**32
+        return round(u ** (1.0 / w), 6)
+
+    want = sorted(
+        ((key(i, w), i) for i, w in rows if w > 0),
+        key=lambda t: (-t[0], str(t[1])),
+    )[:10]
+    got = weighted_sample(df, 10, id_col="doc_id").collect()
+    assert [(r.sample_key, r.doc_id) for r in got] == want
+    assert all(r.doc_id not in (100, 101) for r in got)
+
+
+def test_weighted_sample_per_group(spark):
+    from skewer_spark.operators.select import weighted_sample
+
+    df = spark.createDataFrame(
+        [(i, "g" + str(i % 3), 1.0 + i % 5) for i in range(30)],
+        "doc_id int, grp string, weight double",
+    )
+    out = weighted_sample(df, 4, id_col="doc_id", per_group="grp")
+    sizes = {
+        r.grp: r.n for r in out.groupBy("grp").count()
+        .withColumnRenamed("count", "n").collect()
+    }
+    assert sizes == {"g0": 4, "g1": 4, "g2": 4}
+    # per-group winners = global recomputation restricted to the group
+    import hashlib
+
+    def key(i):
+        u = int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) / 2**32
+        return round(u ** (1.0 / (1.0 + i % 5)), 6)
+
+    for g in ("g0", "g1", "g2"):
+        ids = [i for i in range(30) if "g" + str(i % 3) == g]
+        want = sorted(ids, key=lambda i: (-key(i), str(i)))[:4]
+        got = sorted(
+            r.doc_id for r in out.collect() if r.grp == g
+        )
+        assert got == sorted(want)

@@ -222,3 +222,53 @@ def test_classifier_weight_join_is_broadcast(spark):
     )
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+def test_bm25_topk_is_take_ordered(spark):
+    """BM25's rank-k cut must plan as TakeOrderedAndProject (no global
+    sort) and broadcast the tiny df/stats frames — the query path must
+    not scale with corpus size beyond the pruned postings scan."""
+    from skewer_spark.operators.search import bm25_search
+
+    plan = _plan(bm25_search(_docs(spark), ["alpha", "doc"], k=5))
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_funnel_milestones_single_exchange(spark):
+    """All n milestone minima must share ONE partitionBy(user)
+    exchange — never n self-joins."""
+    from skewer_spark.operators.funnel import funnel_milestones
+
+    ev = spark.createDataFrame(
+        [("u1", 1.0, "a"), ("u1", 2.0, "b")],
+        "user_id string, ts double, event_type string",
+    )
+    plan = _plan(
+        funnel_milestones(ev, ["a", "b", "c"], ts_col="ts"), "simple"
+    )
+    assert plan.count("Exchange hashpartitioning") <= 2  # window + final agg
+    assert "Join" not in plan
+
+
+def test_rate_anomaly_reuses_counts_exchange(spark):
+    """The raw stream's counts exchange is computed once and REUSED by
+    the self-referencing stat branches (canonicalized exchange reuse
+    happens at runtime, so assert on the executed adaptive plan); the
+    stat frames join back as broadcasts."""
+    from skewer_spark.operators.anomaly import rate_anomalies
+
+    ev = spark.createDataFrame(
+        [
+            ("a", "2024-01-01 00:00:00"),
+            ("a", "2024-01-01 02:00:00"),
+            ("b", "2024-01-01 00:30:00"),
+        ],
+        "event_type string, ts string",
+    ).select("event_type", F.col("ts").cast("timestamp"))
+    df = rate_anomalies(ev)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in plan
+    assert "BroadcastHashJoin" in plan
