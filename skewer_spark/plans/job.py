@@ -104,6 +104,7 @@ def write_outputs(
     out_dir: str,
     sub: str = "",
     write_routed: bool = True,
+    secret: bytes | None = None,
 ) -> tuple[int, int]:
     """Materialize one slice.
 
@@ -143,6 +144,17 @@ def write_outputs(
     labeled = with_sink_labels(src, include_dropped=True).withColumn(
         "encoded", encoded_by_sink()
     )
+    if secret is not None:
+        # encryption at rest (store/store.go:617-635 secretbox analog):
+        # the stored payload is sealed nonce||tag||ct keyed per-uid —
+        # deterministic, so bucket reruns stay byte-identical (resume
+        # idempotence).  Metrics/aggregates never touch `encoded`, so
+        # the rest of this function is unchanged.
+        from skewer_spark.functions.crypto import seal_col
+
+        labeled = labeled.withColumn(
+            "encoded", seal_col("encoded", "uid", secret)
+        )
     cols = [c for c in SINK_COLUMNS if c in labeled.columns]
     labeled.select(*cols, "sink").write.partitionBy("sink").mode(
         "overwrite"
@@ -248,12 +260,13 @@ def _write_pandas_parquet(pdf, path: str, schema=None) -> None:
 
 
 def process_bucket(
-    spark: SparkSession, staged: str, out_dir: str, bucket: int
+    spark: SparkSession, staged: str, out_dir: str, bucket: int,
+    secret: bytes | None = None,
 ) -> tuple[int, int]:
     src = spark.read.parquet(os.path.join(staged, f"bucket={bucket}"))
     routed = build_routed(src)
     return write_outputs(spark, routed, out_dir, f"bucket={bucket}",
-                         write_routed=True)
+                         write_routed=True, secret=secret)
 
 
 def run_pipeline(
@@ -275,13 +288,20 @@ def run_pipeline(
         )
     staged = stage_input(spark, input_path, out_dir, n_buckets)
     done = ckpt.committed_buckets(spark, out_dir) if resume else set()
+    # encryption at rest rides SKEWER_BOX_SECRET (64 hex chars) — the
+    # spark-submit deploy path turns it on without an API change, like
+    # the reference's session-secret handshake (store/store.go:617-635)
+    from skewer_spark.functions.crypto import secret_from_env
+
+    secret = secret_from_env()
 
     processed = 0
     for b in range(n_buckets):
         if b in done:
             continue
         with ckpt.Stopwatch() as sw:
-            n_rows, n_pass = process_bucket(spark, staged, out_dir, b)
+            n_rows, n_pass = process_bucket(spark, staged, out_dir, b,
+                                            secret=secret)
         ckpt.commit_bucket(spark, out_dir, run_id, b, n_rows, n_pass, sw.ms)
         processed += 1
         if fail_after is not None and processed >= fail_after:
@@ -358,10 +378,19 @@ def read_routed(spark: SparkSession, out_dir: str) -> DataFrame:
     return spark.read.option("basePath", path).parquet(path)
 
 
-def read_sink(spark: SparkSession, out_dir: str, name: str) -> DataFrame:
-    """Read one destination's rows (partition-pruned on sink=)."""
+def read_sink(
+    spark: SparkSession, out_dir: str, name: str,
+    secret: bytes | None = None,
+) -> DataFrame:
+    """Read one destination's rows (partition-pruned on sink=);
+    ``secret`` opens payloads sealed at rest (fail-loud on tamper)."""
     path = os.path.join(out_dir, "sinks")
-    return (
+    df = (
         spark.read.option("basePath", path).parquet(path)
         .filter(F.col("sink") == name)
     )
+    if secret is not None:
+        from skewer_spark.functions.crypto import open_col
+
+        df = df.withColumn("encoded", open_col("encoded", secret))
+    return df
