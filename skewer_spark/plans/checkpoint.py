@@ -100,6 +100,49 @@ def snapshot_path(out_dir: str) -> str:
     return os.path.join(out_dir, "_snapshots")
 
 
+# one row per (snapshot, bucket): WHICH committed buckets a snapshot
+# covers — the Iceberg manifest-list analog (a snapshot points at the
+# concrete data-file set; time travel never needs timestamps or clock
+# ordering).  n_buckets rows per snapshot: tiny even at 10^5 buckets.
+MEMBERS_SCHEMA = T.StructType([
+    T.StructField("snapshot_id", T.StringType(), False),
+    T.StructField("seq", T.IntegerType(), False),
+    T.StructField("bucket", T.IntegerType(), False),
+    T.StructField("run_id", T.StringType(), False),
+    T.StructField("n_rows", T.LongType(), False),
+])
+
+
+def members_path(out_dir: str) -> str:
+    return os.path.join(out_dir, "_snapshot_members")
+
+
+def read_snapshot_members(spark: SparkSession, out_dir: str) -> DataFrame:
+    return spark.read.schema(MEMBERS_SCHEMA).parquet(members_path(out_dir))
+
+
+def buckets_asof(
+    spark: SparkSession, out_dir: str, snapshot_id: str
+) -> list[int]:
+    """Buckets visible at ``snapshot_id`` — exactly the set its member
+    list recorded at commit time (crashed-run buckets that were never
+    covered by a snapshot stay invisible, matching Iceberg's
+    uncommitted-data semantics)."""
+    if not any(
+        r.snapshot_id == snapshot_id
+        for r in _read_snapshots_or_empty(spark, out_dir)
+    ):
+        raise ValueError(f"unknown snapshot {snapshot_id!r} in {out_dir!r}")
+    rows = (
+        read_snapshot_members(spark, out_dir)
+        .filter(F.col("snapshot_id") == snapshot_id)
+        .select("bucket")
+        .collect()
+    )
+    # an empty-store snapshot legitimately has zero members
+    return sorted(r.bucket for r in rows)
+
+
 def snapshotted_run_ids(spark: SparkSession, out_dir: str) -> set[str]:
     """run_ids that already own a snapshot in this out_dir."""
     snaps = _read_snapshots_or_empty(spark, out_dir)
@@ -118,7 +161,10 @@ def _read_snapshots_or_empty(spark: SparkSession, out_dir: str) -> list:
     return read_snapshots(spark, out_dir).collect()
 
 
-def commit_snapshot(spark: SparkSession, out_dir: str, run_id: str) -> str:
+def commit_snapshot(
+    spark: SparkSession, out_dir: str, run_id: str,
+    operation: str | None = None,
+) -> str:
     """Append one snapshot-summary row derived from the manifest.
 
     ``parent_snapshot_id`` is the previous snapshot (linear history); a
@@ -128,7 +174,12 @@ def commit_snapshot(spark: SparkSession, out_dir: str, run_id: str) -> str:
     accounted in that snapshot's ``added_*``, so a second snapshot
     under the same run_id would double-attribute them (a resume of a
     *crashed* attempt reuses the run_id legally — the crash never
-    snapshotted).  Returns the new snapshot_id."""
+    snapshotted).  Also writes the snapshot's MEMBER list (every
+    manifest bucket visible at commit time — the Iceberg manifest-list
+    analog that makes time-travel reads exact).  ``operation``
+    overrides the append/noop auto-label (compaction passes
+    ``"replace"``, Iceberg's rewrite operation).  Returns the new
+    snapshot_id."""
     import pyspark.sql.functions as F
 
     prev = _read_snapshots_or_empty(spark, out_dir)
@@ -146,6 +197,7 @@ def commit_snapshot(spark: SparkSession, out_dir: str, run_id: str) -> str:
     snapshot_id = f"s{seq:06d}-{run_id}"
 
     man = read_manifest(spark, out_dir)
+    members = man.select("bucket", "run_id", "n_rows").collect()
     stats = man.groupBy().agg(
         F.sum("n_rows").alias("tot"),
         F.sum(F.when(F.col("run_id") == run_id, F.col("n_rows"))
@@ -160,12 +212,23 @@ def commit_snapshot(spark: SparkSession, out_dir: str, run_id: str) -> str:
     row = [(
         snapshot_id, seq, run_id,
         head.snapshot_id if head is not None else None,
-        "append" if stats.n_mine else "noop",
+        operation or ("append" if stats.n_mine else "noop"),
         int(stats.n_mine or 0), int(stats.n_total or 0),
         int(stats.added or 0), int(stats.added_pass or 0),
         int(stats.tot or 0), int(stats.wall or 0),
         int(time.time() * 1000),
     )]
+    # member list FIRST, snapshot row last: the snapshot row is the
+    # commit point (buckets_asof checks it), so a crash between the two
+    # writes leaves only an orphaned member list, never a snapshot
+    # whose member query comes back empty
+    if members:
+        mrows = [
+            (snapshot_id, seq, int(m.bucket), m.run_id, int(m.n_rows))
+            for m in members
+        ]
+        spark.createDataFrame(mrows, MEMBERS_SCHEMA).coalesce(1) \
+            .write.mode("append").parquet(members_path(out_dir))
     spark.createDataFrame(row, SNAPSHOT_SCHEMA).coalesce(1) \
         .write.mode("append").parquet(snapshot_path(out_dir))
     return snapshot_id

@@ -394,3 +394,78 @@ def read_sink(
 
         df = df.withColumn("encoded", open_col("encoded", secret))
     return df
+
+
+def read_sink_asof(
+    spark: SparkSession,
+    out_dir: str,
+    name: str,
+    snapshot_id: str,
+    secret: bytes | None = None,
+) -> DataFrame:
+    """Time-travel read: one destination's rows AS OF a snapshot.
+
+    Visibility comes from the snapshot's member list (the Iceberg
+    manifest-list analog written at commit time), never from clocks:
+    buckets committed after the snapshot — including a crashed run's
+    buckets that no snapshot ever covered — are invisible.  The filter
+    is on the ``bucket`` partition column, so the scan prunes to the
+    member buckets' directories (at 10^5 buckets the literal ``isin``
+    stays a few-KB predicate; beyond that, join against
+    ``read_snapshot_members`` instead)."""
+    visible = ckpt.buckets_asof(spark, out_dir, snapshot_id)
+    df = read_sink(spark, out_dir, name, secret=secret)
+    if "bucket" not in df.columns:
+        raise ValueError(
+            "time-travel needs the bucketed store layout "
+            "(run_pipeline); this out_dir has no bucket= partitions"
+        )
+    return df.filter(F.col("bucket").isin(visible))
+
+
+def compact_sinks(
+    spark: SparkSession,
+    out_dir: str,
+    run_id: str,
+    files_per_partition: int = 1,
+) -> str:
+    """Small-file compaction — the Iceberg ``rewrite_data_files``
+    maintenance analog.  Per-bucket waves write one parquet file per
+    task, so a 10^5-bucket × 4-sink store accumulates O(buckets ×
+    sinks × tasks) small files; scans then pay per-file open cost.
+    This rewrites each ``bucket=/sink=`` leaf down to
+    ``files_per_partition`` files with IDENTICAL rows (no re-encode,
+    no re-encrypt — bytes move, content doesn't), then commits a
+    ``replace`` snapshot so lineage records the rewrite.
+
+    The directory swap is atomic-enough on a local/HDFS filesystem
+    (rename); on an object store this step is exactly what the Iceberg
+    metadata swap replaces — documented, not hidden.
+    """
+    import shutil
+
+    path = os.path.join(out_dir, "sinks")
+    df = spark.read.option("basePath", path).parquet(path)
+    part_cols = [c for c in ("bucket", "sink") if c in df.columns]
+    if "sink" not in part_cols:
+        raise ValueError(f"{path} is not a sink store")
+    tmp = os.path.join(out_dir, "_sinks_compacting")
+    n_leaves = max(1, df.select(*part_cols).distinct().count())
+    # hash-repartition on the partition columns puts each leaf's rows in
+    # ONE task → one output file per leaf; files_per_partition > 1 adds
+    # a deterministic uid salt so big leaves split into exactly that
+    # many files
+    keys = [F.col(c) for c in part_cols]
+    if files_per_partition > 1:
+        keys.append(F.pmod(F.xxhash64("uid"), F.lit(files_per_partition)))
+    (
+        df.repartition(n_leaves * files_per_partition, *keys)
+        .write.mode("overwrite")
+        .partitionBy(*part_cols)
+        .parquet(tmp)
+    )
+    old = os.path.join(out_dir, "_sinks_precompact")
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    return ckpt.commit_snapshot(spark, out_dir, run_id, operation="replace")

@@ -1,0 +1,131 @@
+"""Snapshot time-travel reads + small-file compaction (the Iceberg
+manifest-list / rewrite_data_files analogs over the bucket store;
+north rule: "lineage and metrics emitted per Iceberg snapshot").
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from skewer_spark.plans import checkpoint as ckpt
+from skewer_spark.plans import job
+from skewer_spark.synth import transcripts_df
+
+
+@pytest.fixture(scope="module")
+def store(spark, tmp_path_factory):
+    """A store with two snapshots: runA commits 2 of 4 buckets then
+    crashes (never auto-snapshots); an operator checkpoints that
+    partial state as s1; runB resumes, finishes, and snapshots s2."""
+    tmp = tmp_path_factory.mktemp("tt")
+    inp = str(tmp / "in")
+    out = str(tmp / "out")
+    transcripts_df(spark, 20, 20).write.parquet(inp)
+
+    with pytest.raises(RuntimeError):
+        job.run_pipeline(spark, inp, out, n_buckets=4, fail_after=2,
+                         run_id="runA")
+    # snapshot the partial state under its own id (operator-driven
+    # checkpoint of a half-loaded table — legal: runA never snapshotted)
+    s1 = ckpt.commit_snapshot(spark, out, "runA")
+    job.run_pipeline(spark, inp, out, n_buckets=4, run_id="runB")
+    snaps = {r.run_id: r for r in ckpt.read_snapshots(spark, out).collect()}
+    return {"inp": inp, "out": out, "s1": s1,
+            "s2": snaps["runB"].snapshot_id}
+
+
+def test_asof_sees_only_member_buckets(spark, store):
+    out = store["out"]
+    b1 = ckpt.buckets_asof(spark, out, store["s1"])
+    b2 = ckpt.buckets_asof(spark, out, store["s2"])
+    assert len(b1) == 2 and len(b2) == 4 and set(b1) < set(b2)
+
+    full = job.read_sink(spark, out, "sink_firehose")
+    asof1 = job.read_sink_asof(spark, out, "sink_firehose", store["s1"])
+    asof2 = job.read_sink_asof(spark, out, "sink_firehose", store["s2"])
+    n_full, n1, n2 = full.count(), asof1.count(), asof2.count()
+    assert n1 < n2 == n_full
+    # as-of rows are exactly the full rows from the visible buckets
+    expect1 = full.filter(F.col("bucket").isin(b1)).count()
+    assert n1 == expect1
+
+
+def test_asof_unknown_snapshot_raises(spark, store):
+    with pytest.raises(ValueError, match="unknown snapshot"):
+        job.read_sink_asof(spark, store["out"], "sink_firehose", "s-nope")
+
+
+def test_snapshot_members_lineage(spark, store):
+    """Member lists chain snapshot → bucket → run_id: s1 covers only
+    runA's buckets; s2 covers runA's AND runB's."""
+    m = ckpt.read_snapshot_members(spark, store["out"]).collect()
+    by_snap: dict = {}
+    for r in m:
+        by_snap.setdefault(r.snapshot_id, set()).add((r.bucket, r.run_id))
+    runs1 = {run for _, run in by_snap[store["s1"]]}
+    runs2 = {run for _, run in by_snap[store["s2"]]}
+    assert runs1 == {"runA"} and runs2 == {"runA", "runB"}
+
+
+def test_compaction_preserves_rows_and_records_replace(spark, store):
+    out = store["out"]
+
+    def fingerprint():
+        df = spark.read.option("basePath", f"{out}/sinks").parquet(
+            f"{out}/sinks"
+        )
+        return (
+            df.count(),
+            df.agg(
+                F.bit_xor(
+                    F.xxhash64("uid", "sink", "encoded", "bucket")
+                ).alias("h")
+            ).collect()[0].h,
+        )
+
+    # fragment the store first (the tiny fixture writes one file per
+    # leaf already): rewrite with a 4-way salt so each bucket=/sink=
+    # leaf holds ~4 small files — the state a 10^5-task production run
+    # leaves behind
+    frag = os.path.join(out, "_sinks_frag")
+    src = spark.read.option("basePath", f"{out}/sinks").parquet(
+        f"{out}/sinks"
+    )
+    (
+        src.repartition(80, "bucket", "sink",
+                        F.pmod(F.xxhash64("uid"), F.lit(4)))
+        .write.mode("overwrite").partitionBy("bucket", "sink").parquet(frag)
+    )
+    import shutil
+
+    shutil.rmtree(os.path.join(out, "sinks"))
+    os.rename(frag, os.path.join(out, "sinks"))
+
+    before = fingerprint()
+    n_files_before = len(
+        glob.glob(os.path.join(out, "sinks", "**", "*.parquet"),
+                  recursive=True)
+    )
+    assert n_files_before > 20  # fragmentation took
+    sid = job.compact_sinks(spark, out, run_id="compact1")
+    after = fingerprint()
+    n_files_after = len(
+        glob.glob(os.path.join(out, "sinks", "**", "*.parquet"),
+                  recursive=True)
+    )
+    assert after == before  # byte-level content identical
+    assert n_files_after < n_files_before  # actually compacted
+    snap = (
+        ckpt.read_snapshots(spark, out)
+        .filter(F.col("snapshot_id") == sid)
+        .collect()[0]
+    )
+    assert snap.operation == "replace"
+    # time travel still works post-compaction (member buckets survive
+    # as partition values in the rewritten layout)
+    asof1 = job.read_sink_asof(spark, out, "sink_firehose", store["s1"])
+    assert asof1.count() > 0
