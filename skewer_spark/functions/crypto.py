@@ -10,10 +10,12 @@ documented deviations (both forced by the sandbox's stdlib-only
 constraint, neither changing the security class):
 
 * **ChaCha20 instead of XSalsa20** — same ARX family (ChaCha is
-  Salsa20's successor, RFC 8439 is the public spec); implemented here
-  as a fully VECTORIZED numpy block function so a 10^6-row Arrow batch
-  encrypts in a handful of numpy passes, never a per-row Python cipher
-  loop.
+  Salsa20's successor, RFC 8439 is the public spec).  Cipher core has
+  two byte-identical paths: OpenSSL's native ChaCha20 via the
+  ``cryptography`` package when importable (one C call per message),
+  else a fully VECTORIZED numpy block function so a 10^6-row Arrow
+  batch still encrypts in a handful of numpy passes, never a per-row
+  Python cipher loop.
 * **HMAC-SHA256 (truncated to 16 bytes) instead of Poly1305** —
   encrypt-then-MAC with an independent subkey; hashlib/hmac are
   C-backed stdlib.  Poly1305's 130-bit field math does not vectorize
@@ -49,6 +51,16 @@ import os
 
 import numpy as np
 import pandas as pd
+
+try:  # C fast path — OpenSSL ChaCha20 via `cryptography` when present
+    from cryptography.hazmat.primitives.ciphers import Cipher as _CCipher
+    from cryptography.hazmat.primitives.ciphers.algorithms import (
+        ChaCha20 as _CChaCha20,
+    )
+
+    _HAVE_CRYPTOGRAPHY = True
+except Exception:  # pragma: no cover - depends on container contents
+    _HAVE_CRYPTOGRAPHY = False
 
 NONCE_LEN = 12
 TAG_LEN = 16
@@ -129,21 +141,40 @@ def _chacha20_blocks(
 
 def chacha20_xor_batch(
     payloads: list[bytes], key: bytes, nonces: list[bytes],
-    initial_counter: int = 0,
+    initial_counter: int = 0, force_numpy: bool = False,
 ) -> list[bytes]:
-    """XOR each payload with its ChaCha20 keystream — one vectorized
-    block-function pass for the whole batch.
+    """XOR each payload with its ChaCha20 keystream.
 
-    Per-message state (counter restarts at ``initial_counter``, nonce
-    differs) maps to per-BLOCK rows: message i with ``ceil(len_i/64)``
-    blocks contributes that many rows, each carrying message i's nonce
-    and its in-message counter.  The only per-row Python is byte-slice
-    assembly at the end.
+    Two byte-identical paths (RFC 8439 either way, pinned to the public
+    test vectors and to each other by tests):
+
+    * **OpenSSL** (when the ``cryptography`` package is importable) —
+      one C cipher call per message; ``cryptography``'s 16-byte "nonce"
+      is exactly our state layout, ``le32(counter) || nonce12``
+      (RFC 8439 §2.3 block words 12..15), so the wire format is
+      unchanged.  Native SIMD ChaCha: the fastest this gets.
+    * **numpy fallback** — one vectorized block-function pass for the
+      whole batch: per-message state (counter restarts at
+      ``initial_counter``, nonce differs) maps to per-BLOCK rows, and
+      the 20 rounds run over all rows at once.  The only per-row Python
+      is byte-slice assembly at the end.
+
+    ``force_numpy`` exists for the cross-path equality test.
     """
     if len(payloads) != len(nonces):
         raise ValueError("payloads/nonces length mismatch")
     if not payloads:
         return []
+    if _HAVE_CRYPTOGRAPHY and not force_numpy:
+        ctr = int(initial_counter).to_bytes(4, "little")
+        out = []
+        for p, nn in zip(payloads, nonces):
+            if not p:
+                out.append(b"")
+                continue
+            enc = _CCipher(_CChaCha20(key, ctr + nn), mode=None).encryptor()
+            out.append(enc.update(p))
+        return out
     key_words = np.frombuffer(key, dtype="<u4")
     lens = np.fromiter((len(p) for p in payloads), dtype=np.int64,
                        count=len(payloads))

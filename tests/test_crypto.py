@@ -51,6 +51,21 @@ def test_chacha20_cipher_vector_rfc8439():
     )
 
 
+def test_openssl_and_numpy_paths_agree():
+    """The OpenSSL fast path and the numpy fallback must be
+    byte-identical on every length class (empty, sub-block, exact
+    block, multi-block) and at a nonzero initial counter."""
+    key = bytes(range(64, 96))
+    msgs = [b"", b"z", b"y" * 64, b"x" * 65, b"w" * 1000, b"v" * 4096]
+    nonces = [bytes([200 + i]) * 12 for i in range(len(msgs))]
+    for ctr in (0, 1, 7):
+        fast = C.chacha20_xor_batch(msgs, key, nonces, initial_counter=ctr)
+        slow = C.chacha20_xor_batch(
+            msgs, key, nonces, initial_counter=ctr, force_numpy=True
+        )
+        assert fast == slow
+
+
 def test_batched_equals_single_message():
     """One vectorized pass over a mixed batch == per-message calls."""
     key = bytes(range(32, 64))
