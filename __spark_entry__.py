@@ -356,7 +356,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("turn_idx").cast("long").alias("event_id"),
             encode_protobuf().alias("pb"),
         )
-        d = enc.select("event_id", parse_protobuf("pb").alias("d"))
+        # allow_jvm=False: the JVM path escapes non-ASCII differently in
+        # properties_json — a classpath change must not flip the bytes
+        # this oracle-hashed query emits
+        d = enc.select(
+            "event_id", parse_protobuf("pb", allow_jvm=False).alias("d")
+        )
         return d.select(
             "event_id",
             F.col("d.priority").cast("long").alias("priority"),
@@ -807,6 +812,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from skewer_spark.operators.select import shard_and_shuffle
         docs = _read(spark, sf, "documents")
         return shard_and_shuffle(docs, n_shards=8)
+
+    def q_split_assign(spark, sf):
+        # content-keyed train/val/test split: a doc's split is a pure
+        # function of md5(salt||id) — stable under resharding and
+        # corpus growth (no row_number cuts, no RNG)
+        from skewer_spark.operators.select import split_assign
+        docs = _read(spark, sf, "documents")
+        return split_assign(docs)
 
     def q_sample_per_group(spark, sf):
         # deterministic stratified sample: n docs per language, ordered
@@ -1457,6 +1470,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_parse_gelf": q_parse_gelf,
         "q_parse_w3c": q_parse_w3c,
         "q_ngram_jaccard": q_ngram_jaccard,
+        "q_split_assign": q_split_assign,
     }
 
 
@@ -2270,13 +2284,16 @@ def oracle_sql() -> dict[str, str]:
             ), n AS (
               SELECT count(*) AS nd FROM documents
             ), scored AS (
+              -- round BEFORE the rank cut, like the Spark side: 1-ulp
+              -- libm ln() differences must not flip near-ties across
+              -- the rank<=3 boundary
               SELECT tf.doc_id, tf.term,
-                     (tf.tf::DOUBLE / dl.len) * ln(n.nd::DOUBLE / dfr.dfreq)
-                       AS score
+                     round((tf.tf::DOUBLE / dl.len)
+                           * ln(n.nd::DOUBLE / dfr.dfreq), 6) AS score
               FROM tf JOIN dl USING (doc_id) JOIN dfr USING (term)
               CROSS JOIN n
             )
-            SELECT doc_id, term, round(score, 6) AS tfidf, rank::INT AS rank
+            SELECT doc_id, term, score AS tfidf, rank::INT AS rank
             FROM (
               SELECT *, row_number() OVER (
                 PARTITION BY doc_id ORDER BY score DESC, term) AS rank
@@ -2457,6 +2474,20 @@ def oracle_sql() -> dict[str, str]:
                      PARTITION BY key % 8 ORDER BY key, doc_id
                    )::BIGINT AS shard_pos
             FROM k
+        """,
+        "q_split_assign": """
+            -- boundaries are the Python-side int(frac_cum * 2^32)
+            -- literals: both engines compare identical integers
+            SELECT doc_id,
+                   CASE WHEN u < 4209067950 THEN 'train'
+                        WHEN u < 4252017623 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM (
+              SELECT doc_id,
+                     ('0x' || substr(md5('split-v1|' || doc_id::VARCHAR),
+                                     1, 8))::BIGINT AS u
+              FROM documents
+            )
         """,
         "q_boilerplate": """
             WITH base AS (
@@ -3276,7 +3307,9 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT r0 || '>' || r1 || '>' || r2 AS pattern,
                    count(*)::BIGINT AS n_occurrences
-            FROM t WHERE r2 IS NOT NULL GROUP BY 1
+            FROM t
+            WHERE r0 IS NOT NULL AND r1 IS NOT NULL AND r2 IS NOT NULL
+            GROUP BY 1
         """,
         "q_context_windows": """
             WITH t AS (

@@ -24,16 +24,19 @@ constraint, neither changing the security class):
 Wire format (sealed box): ``nonce(12) || tag(16) || ciphertext`` —
 same prefix-nonce layout as the reference, RFC 8439 nonce width.
 
-**Nonce determinism**: the nonce derives from the message uid
-(``sha256(key_id || uid)[:12]``), not from a RNG.  Rationale: bucket
+**Nonce determinism**: the nonce derives from the message uid plus,
+where one uid seals several plaintexts, a caller-supplied salt
+(``sha256(key_id || uid [|| 0x1f || salt])[:12]`` — the sink store
+salts with the sink name, since fan-out gives one uid a DIFFERENT
+encoding per sink), not from a RNG.  Rationale: bucket
 reruns must be byte-identical for resume idempotence (a re-encrypted
 bucket after a crash would otherwise fail the effectively-once
-equality the manifest contract gives); uids are unique per message, so
-no (key, nonce) pair is ever reused across DIFFERENT plaintexts — the
-only repeat is the same uid re-encrypting the same payload to the same
-ciphertext (convergent encryption at uid granularity; what it leaks is
-payload equality across reruns, which the store's own uid dedup
-already reveals).  The reference's random nonces are the right call
+equality the manifest contract gives); (uid, salt) is unique per
+stored plaintext, so no (key, nonce) pair is ever reused across
+DIFFERENT plaintexts — the only repeat is the same row re-encrypting
+the same payload to the same ciphertext (convergent encryption at
+(uid, salt) granularity; what it leaks is payload equality across
+reruns, which the store's own uid dedup already reveals).  The reference's random nonces are the right call
 for its mutable queue; pass ``nonce_mode="random"`` to match it when
 idempotence is not required.
 
@@ -280,21 +283,35 @@ def open_batch(boxes: list, secret: bytes) -> list:
 # ---------------------------------------------------------------------------
 
 
-def seal_col(payload_col: str, uid_col: str, secret: bytes):
+def seal_col(
+    payload_col: str, uid_col: str, secret: bytes, salt_col: str | None = None
+):
     """Column expression sealing ``payload_col`` (binary) with nonces
-    derived from ``uid_col``."""
+    derived from ``uid_col``.
+
+    ``salt_col`` MUST be passed whenever the same uid can seal more
+    than one distinct plaintext in the store — e.g. the per-sink
+    fan-out, where one message row becomes several sink rows with
+    sink-specific encodings.  Without it those rows would share a
+    (key, nonce) pair across DIFFERENT plaintexts (keystream reuse:
+    XOR of two ciphertexts = XOR of the plaintexts).  The salt joins
+    the nonce basis (``uid || 0x1f || salt``), keeping determinism per
+    (uid, salt) so bucket reruns stay byte-identical."""
     from pyspark.sql import functions as F
     from pyspark.sql.functions import pandas_udf
 
     sec = bytes(secret)
 
     @pandas_udf("binary")
-    def _seal(payload: pd.Series, uid: pd.Series) -> pd.Series:
+    def _seal(payload: pd.Series, basis: pd.Series) -> pd.Series:
         return pd.Series(
-            seal_batch(list(payload), list(uid), sec), dtype=object
+            seal_batch(list(payload), list(basis), sec), dtype=object
         )
 
-    return _seal(F.col(payload_col).cast("binary"), F.col(uid_col))
+    basis = F.col(uid_col).cast("string")
+    if salt_col is not None:
+        basis = F.concat_ws("\x1f", basis, F.col(salt_col).cast("string"))
+    return _seal(F.col(payload_col).cast("binary"), basis)
 
 
 def open_col(box_col: str, secret: bytes):

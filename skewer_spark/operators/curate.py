@@ -149,15 +149,23 @@ def tfidf_top_terms(
         .crossJoin(F.broadcast(n_docs))
         .withColumn(
             "_score",
-            (F.col("_tf") / F.col("_len"))
-            * F.log(F.col("_N") / F.col("_df")),
+            # rounded to 6 dp BEFORE the rank cut (same contract as
+            # bm25_topk / weighted_sample): Spark's and the oracle's
+            # libm ln() can differ by 1 ulp, and an unrounded order-by
+            # would let two near-tied terms swap across the rank<=k
+            # boundary between engines
+            F.round(
+                (F.col("_tf") / F.col("_len"))
+                * F.log(F.col("_N") / F.col("_df")),
+                6,
+            ),
         )
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(
             id_col,
             "term",
-            F.round("_score", 6).alias("tfidf"),
+            F.col("_score").alias("tfidf"),
             F.col("rank").cast("int").alias("rank"),
         )
     )
@@ -204,8 +212,12 @@ def bigram_logprob_scores(
         ).alias("b"),
     ).select(id_col, "b.w1", "b.w2")
     bg_counts = big.groupBy("w1", "w2").agg(F.count("*").alias("_cb"))
-    un_counts = big.select(F.col("w1").alias("w")).union(
-        big.select("w2")
+    # vocabulary from the already-compact (w1, w2, count) frame, not a
+    # second corpus-sized distinct over the exploded bigram stream —
+    # every w1/w2 of `big` appears as a bg_counts key, so the set is
+    # identical and the aggregate touches O(vocab²) rows at most
+    un_counts = bg_counts.select(F.col("w1").alias("w")).union(
+        bg_counts.select("w2")
     )
     # unigram counts must match "count of tokens", not "count of bigram
     # endpoints": c(w1) as a bigram LEFT context = occurrences of w as

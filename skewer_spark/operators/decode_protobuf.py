@@ -364,17 +364,27 @@ def parse_protobuf_jvm(col: Column | str = "payload") -> Column:
     ).cast(PB_SYSLOG_SCHEMA)
 
 
-def parse_protobuf(col: Column | str = "payload", spark=None) -> Column:
+def parse_protobuf(
+    col: Column | str = "payload", spark=None, allow_jvm: bool = True
+) -> Column:
     """Decode a binary protobuf SyslogMessage column into a struct
     (one message per frame, as ``decoders/protobuf.go``).
 
     Uses the JVM spark-protobuf fast path when the jar is on the
     classpath (no Python worker in the row path), else the first-
-    principles Arrow-batched Python wire reader."""
-    if spark is None:
-        from pyspark.sql import SparkSession
+    principles Arrow-batched Python wire reader.
 
-        spark = SparkSession.getActiveSession()
-    if spark is not None and protobuf_jar_available(spark):
-        return parse_protobuf_jvm(col)
+    ``allow_jvm=False`` pins the Python reader: the two paths agree on
+    values but NOT on JSON string escaping of non-ASCII property values
+    (Spark's ``to_json`` emits raw UTF-8 where Python's ``json.dumps``
+    emits ``\\uXXXX``), so anything hash-compared against a fixed
+    oracle (the driver's q_parse_protobuf) must not switch paths with
+    the deployment's classpath."""
+    if allow_jvm:
+        if spark is None:
+            from pyspark.sql import SparkSession
+
+            spark = SparkSession.getActiveSession()
+        if spark is not None and protobuf_jar_available(spark):
+            return parse_protobuf_jvm(col)
     return _decode_pb_udf(F.col(col) if isinstance(col, str) else col)

@@ -257,11 +257,17 @@ def sequence_ngrams(
     parts = [F.col(token_col)] + [
         F.lead(token_col, i).over(w) for i in range(1, n)
     ]
-    last = F.lead(token_col, n - 1).over(w)
+    # EVERY part must be non-null, not just the last lead: concat_ws
+    # silently skips nulls, so ['user', NULL, 'tool'] would otherwise
+    # count as the pattern 'user>tool' — corrupting counts and diverging
+    # from the SQL oracle, where any NULL part nulls the whole || chain
+    all_present = parts[0].isNotNull()
+    for p in parts[1:]:
+        all_present = all_present & p.isNotNull()
     return (
         df.select(
             F.when(
-                last.isNotNull(), F.concat_ws(sep, *parts)
+                all_present, F.concat_ws(sep, *parts)
             ).alias("pattern")
         )
         .filter(F.col("pattern").isNotNull())

@@ -133,6 +133,12 @@ def buckets_asof(
         for r in _read_snapshots_or_empty(spark, out_dir)
     ):
         raise ValueError(f"unknown snapshot {snapshot_id!r} in {out_dir!r}")
+    # commit_snapshot writes the members file only when the member list
+    # is non-empty, so a store whose history is all empty/noop snapshots
+    # has no members dir at all — that is "zero visible buckets", not an
+    # error (mirrors _read_snapshots_or_empty's missing-path case)
+    if not os.path.isdir(members_path(out_dir)):
+        return []
     rows = (
         read_snapshot_members(spark, out_dir)
         .filter(F.col("snapshot_id") == snapshot_id)
@@ -196,26 +202,35 @@ def commit_snapshot(
     seq = (head.seq + 1) if head is not None else 1
     snapshot_id = f"s{seq:06d}-{run_id}"
 
-    man = read_manifest(spark, out_dir)
-    members = man.select("bucket", "run_id", "n_rows").collect()
-    stats = man.groupBy().agg(
-        F.sum("n_rows").alias("tot"),
-        F.sum(F.when(F.col("run_id") == run_id, F.col("n_rows"))
-              .otherwise(F.lit(0))).alias("added"),
-        F.sum(F.when(F.col("run_id") == run_id, F.col("n_pass"))
-              .otherwise(F.lit(0))).alias("added_pass"),
-        F.sum(F.when(F.col("run_id") == run_id, F.col("wall_ms"))
-              .otherwise(F.lit(0))).alias("wall"),
-        F.count("*").alias("n_total"),
-        F.sum((F.col("run_id") == run_id).cast("int")).alias("n_mine"),
-    ).collect()[0]
+    # an empty store (no manifest yet) legitimately snapshots as a
+    # zero-member noop — the Iceberg analog of snapshotting a table
+    # before its first append; missing-path only, a corrupted manifest
+    # still raises
+    if os.path.isdir(manifest_path(out_dir)):
+        man = read_manifest(spark, out_dir)
+        members = man.select("bucket", "run_id", "n_rows").collect()
+        stats = man.groupBy().agg(
+            F.sum("n_rows").alias("tot"),
+            F.sum(F.when(F.col("run_id") == run_id, F.col("n_rows"))
+                  .otherwise(F.lit(0))).alias("added"),
+            F.sum(F.when(F.col("run_id") == run_id, F.col("n_pass"))
+                  .otherwise(F.lit(0))).alias("added_pass"),
+            F.sum(F.when(F.col("run_id") == run_id, F.col("wall_ms"))
+                  .otherwise(F.lit(0))).alias("wall"),
+            F.count("*").alias("n_total"),
+            F.sum((F.col("run_id") == run_id).cast("int")).alias("n_mine"),
+        ).collect()[0]
+        n_mine, n_total = int(stats.n_mine or 0), int(stats.n_total or 0)
+        added, added_pass = int(stats.added or 0), int(stats.added_pass or 0)
+        tot, wall = int(stats.tot or 0), int(stats.wall or 0)
+    else:
+        members = []
+        n_mine = n_total = added = added_pass = tot = wall = 0
     row = [(
         snapshot_id, seq, run_id,
         head.snapshot_id if head is not None else None,
-        operation or ("append" if stats.n_mine else "noop"),
-        int(stats.n_mine or 0), int(stats.n_total or 0),
-        int(stats.added or 0), int(stats.added_pass or 0),
-        int(stats.tot or 0), int(stats.wall or 0),
+        operation or ("append" if n_mine else "noop"),
+        n_mine, n_total, added, added_pass, tot, wall,
         int(time.time() * 1000),
     )]
     # member list FIRST, snapshot row last: the snapshot row is the

@@ -146,14 +146,18 @@ def write_outputs(
     )
     if secret is not None:
         # encryption at rest (store/store.go:617-635 secretbox analog):
-        # the stored payload is sealed nonce||tag||ct keyed per-uid —
-        # deterministic, so bucket reruns stay byte-identical (resume
-        # idempotence).  Metrics/aggregates never touch `encoded`, so
-        # the rest of this function is unchanged.
+        # the stored payload is sealed nonce||tag||ct keyed per
+        # (uid, sink) — the sink salt matters: fan-out gives the SAME
+        # uid a different encoding per sink, and an unsalted per-uid
+        # nonce would reuse one keystream across those plaintexts
+        # (two-time pad).  Deterministic per row, so bucket reruns stay
+        # byte-identical (resume idempotence).  Metrics/aggregates
+        # never touch `encoded`, so the rest of this function is
+        # unchanged.
         from skewer_spark.functions.crypto import seal_col
 
         labeled = labeled.withColumn(
-            "encoded", seal_col("encoded", "uid", secret)
+            "encoded", seal_col("encoded", "uid", secret, salt_col="sink")
         )
     cols = [c for c in SINK_COLUMNS if c in labeled.columns]
     labeled.select(*cols, "sink").write.partitionBy("sink").mode(
@@ -444,6 +448,22 @@ def compact_sinks(
     """
     import shutil
 
+    # fail fast, BEFORE the rewrite and the destructive swap: a reused
+    # run_id would only be rejected by commit_snapshot at the very end —
+    # after the backup was already deleted — leaving an unrecorded
+    # rewrite with no lineage row and nothing to roll back to
+    if run_id in ckpt.snapshotted_run_ids(spark, out_dir):
+        raise ValueError(
+            f"run_id {run_id!r} already snapshotted in {out_dir!r}; "
+            "use a fresh run_id per compaction"
+        )
+    old = os.path.join(out_dir, "_sinks_precompact")
+    if os.path.exists(old):
+        raise RuntimeError(
+            f"leftover {old} from a crashed compaction — a crash between "
+            "the two renames leaves the pre-compaction data there; "
+            "restore it to sinks/ (or remove it) before compacting"
+        )
     path = os.path.join(out_dir, "sinks")
     df = spark.read.option("basePath", path).parquet(path)
     part_cols = [c for c in ("bucket", "sink") if c in df.columns]
@@ -464,7 +484,6 @@ def compact_sinks(
         .partitionBy(*part_cols)
         .parquet(tmp)
     )
-    old = os.path.join(out_dir, "_sinks_precompact")
     os.rename(path, old)
     os.rename(tmp, path)
     shutil.rmtree(old)

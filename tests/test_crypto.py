@@ -171,6 +171,31 @@ def test_seal_open_columns(spark):
     assert all(r.ok and r.differs and r.len_ok for r in rows)
 
 
+def test_sink_salt_prevents_keystream_reuse(spark):
+    """Fan-out gives one uid a DIFFERENT plaintext per sink; the sink
+    salt must give each a distinct nonce, or two stored ciphertexts
+    XOR to the XOR of their plaintexts (two-time pad)."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [("u1", "sink_alerts", b"payload A"), ("u1", "sink_tools", b"payload B")],
+        "uid string, sink string, encoded binary",
+    )
+    boxed = df.withColumn(
+        "boxed", C.seal_col("encoded", "uid", SECRET, salt_col="sink")
+    ).collect()
+    n1, n2 = (bytes(r.boxed[: C.NONCE_LEN]) for r in boxed)
+    assert n1 != n2  # distinct nonces despite the shared uid
+    assert C.open_batch([bytes(r.boxed) for r in boxed], SECRET) == [
+        b"payload A", b"payload B",
+    ]
+    # still deterministic per (uid, sink): rerun is byte-identical
+    again = df.withColumn(
+        "boxed", C.seal_col("encoded", "uid", SECRET, salt_col="sink")
+    ).collect()
+    assert [bytes(r.boxed) for r in again] == [bytes(r.boxed) for r in boxed]
+
+
 def test_encrypted_sink_round_trip(spark, tmp_path):
     """write_outputs(secret=...) seals the sink payloads at rest; the
     parquet on disk holds no plaintext; read_sink(secret=...) restores

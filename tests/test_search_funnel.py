@@ -301,6 +301,22 @@ def test_sequence_ngrams_counts(spark):
     }
 
 
+def test_sequence_ngrams_null_token_kills_pattern(spark):
+    """A NULL middle token must not collapse ['user', NULL, 'tool']
+    into the pattern 'user>tool' (concat_ws silently skips nulls); any
+    window containing a null token is excluded, matching the SQL
+    oracle's null-propagating || chain."""
+    df = spark.createDataFrame(
+        [("c", 0, "user"), ("c", 1, None), ("c", 2, "tool"),
+         ("c", 3, "assistant")],
+        "conv_id string, turn_idx int, role string",
+    )
+    out = {r.pattern: r.n_occurrences
+           for r in sequence_ngrams(df, n=2).collect()}
+    # only the one fully-non-null window survives
+    assert out == {"tool>assistant": 1}
+
+
 def test_sequence_ngrams_bigrams(spark):
     out = {
         r.pattern: r.n_occurrences

@@ -129,3 +129,39 @@ def test_compaction_preserves_rows_and_records_replace(spark, store):
     # as partition values in the rewritten layout)
     asof1 = job.read_sink_asof(spark, out, "sink_firehose", store["s1"])
     assert asof1.count() > 0
+
+
+def test_compaction_fails_fast_on_bad_preconditions(spark, store):
+    """Precondition failures must surface BEFORE the rewrite/swap: a
+    reused run_id or a crashed prior attempt's leftover backup would
+    otherwise be detected only after the old data was deleted."""
+    out = store["out"]
+    # reused run_id (runB already owns a snapshot) — rejected up front,
+    # store untouched
+    before = sorted(
+        glob.glob(os.path.join(out, "sinks", "**", "*.parquet"),
+                  recursive=True)
+    )
+    with pytest.raises(ValueError, match="already snapshotted"):
+        job.compact_sinks(spark, out, run_id="runB")
+    assert sorted(
+        glob.glob(os.path.join(out, "sinks", "**", "*.parquet"),
+                  recursive=True)
+    ) == before
+    # leftover _sinks_precompact from a crashed swap — refuse to run
+    leftover = os.path.join(out, "_sinks_precompact")
+    os.makedirs(leftover)
+    try:
+        with pytest.raises(RuntimeError, match="crashed compaction"):
+            job.compact_sinks(spark, out, run_id="compact2")
+    finally:
+        os.rmdir(leftover)
+
+
+def test_asof_on_empty_store_returns_no_buckets(spark, tmp_path):
+    """A snapshot over an empty manifest has zero members and no
+    members file on disk; buckets_asof must answer [] (not crash on
+    the missing path)."""
+    out = str(tmp_path / "empty_store")
+    sid = ckpt.commit_snapshot(spark, out, "empty-run")
+    assert ckpt.buckets_asof(spark, out, sid) == []
