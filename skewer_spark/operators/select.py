@@ -400,3 +400,58 @@ def weighted_sample(
         .filter(F.col("_rk") <= int(n))
         .drop("_rk")
     )
+
+
+def split_assign(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    fractions: dict[str, float] | None = None,
+    salt: str = "split-v1",
+) -> DataFrame:
+    """Content-keyed train/val/test split assignment.
+
+    A document's split is a pure function of ``md5(salt || '|' || id)``
+    — never of its position, shard, or a RNG stream — so the
+    assignment is stable under resharding, corpus growth, and job
+    retries (adding documents NEVER moves an existing one across
+    splits, unlike ``row_number``-based percentage cuts which reshuffle
+    every boundary on each insert).  This is the standard web-corpus
+    holdout contract: eval leakage is controlled by the key, and the
+    same ``(salt, id)`` yields the same split on any engine.
+
+    Mechanics: ``u = uint32`` of the first 8 hex chars of the digest;
+    the cut points are the Python-side integers ``int(cum_frac * 2^32)``
+    baked in as literals, so both Spark and any oracle compare the same
+    integers (no float boundary drift).  Salt rotation = a fresh
+    independent assignment (the md5 uniform family trick used across
+    ``weighted_sample`` / ``apply_mixture``).
+
+    Scale shape: one narrow expression riding the scan — no shuffle,
+    no state; the split column pushes down into partition pruning when
+    the output is written partitioned by it.
+    """
+    fractions = fractions or {"train": 0.98, "val": 0.01, "test": 0.01}
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1, got {total}")
+    u = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt + "|"), F.col(id_col).cast("string"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    names = list(fractions)
+    cum = 0.0
+    expr: Column | None = None
+    branches = []
+    for name in names[:-1]:
+        cum += fractions[name]
+        branches.append((int(cum * 2**32), name))
+    for bound, name in branches:
+        cond = u < F.lit(bound)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    split = expr.otherwise(names[-1]) if expr is not None else F.lit(names[-1])
+    return df.select(F.col(id_col), split.alias("split"))

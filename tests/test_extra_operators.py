@@ -1185,3 +1185,47 @@ def test_weighted_sample_per_group(spark):
             r.doc_id for r in out.collect() if r.grp == g
         )
         assert got == sorted(want)
+
+
+# ---------------------------------------------------------------------------
+# split_assign (content-keyed train/val/test holdout)
+# ---------------------------------------------------------------------------
+
+def test_split_assign_stable_and_content_keyed(spark):
+    from skewer_spark.operators.select import split_assign
+    docs = spark.createDataFrame(
+        [(f"d{i}",) for i in range(400)], "doc_id string"
+    )
+    out = {r.doc_id: r.split for r in split_assign(docs).collect()}
+    assert set(out.values()) <= {"train", "val", "test"}
+    # content-keyed: a doc's split is independent of the rest of the
+    # corpus — the same ids in a larger frame keep their assignment
+    bigger = spark.createDataFrame(
+        [(f"d{i}",) for i in range(1000)], "doc_id string"
+    )
+    out2 = {r.doc_id: r.split for r in split_assign(bigger).collect()}
+    assert all(out2[k] == v for k, v in out.items())
+    # default 98/1/1: train dominates
+    n_train = sum(1 for v in out2.values() if v == "train")
+    assert n_train >= 950
+
+
+def test_split_assign_fractions_and_salt(spark):
+    from skewer_spark.operators.select import split_assign
+    docs = spark.createDataFrame(
+        [(f"d{i}",) for i in range(600)], "doc_id string"
+    )
+    out = split_assign(
+        docs, fractions={"a": 0.5, "b": 0.5}
+    ).groupBy("split").count().collect()
+    counts = {r.split: r["count"] for r in out}
+    assert set(counts) == {"a", "b"}
+    assert abs(counts["a"] - 300) < 60  # md5-uniform halves
+    # salt rotation = a fresh independent assignment
+    s1 = {r.doc_id: r.split for r in split_assign(
+        docs, fractions={"a": 0.5, "b": 0.5}).collect()}
+    s2 = {r.doc_id: r.split for r in split_assign(
+        docs, fractions={"a": 0.5, "b": 0.5}, salt="v2").collect()}
+    assert any(s1[k] != s2[k] for k in s1)
+    with pytest.raises(ValueError):
+        split_assign(docs, fractions={"a": 0.5, "b": 0.2})
