@@ -768,6 +768,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs = _read(spark, sf, "documents")
         return bigram_logprob_scores(docs)
 
+    def q_bpe_merges(spark, sf):
+        # distributed BPE tokenizer TRAINING (Sennrich et al. 2016):
+        # one corpus pass builds the word-frequency table, then each
+        # merge round is one partial-aggregable pair-count shuffle with
+        # a TakeOrdered argmax — the corpus is never touched again
+        from skewer_spark.operators.tokenizer import (
+            bpe_train, merges_frame, word_frequency,
+        )
+        docs = _read(spark, sf, "documents")
+        merges, final = bpe_train(word_frequency(docs), num_merges=4)
+        final.unpersist()
+        return merges_frame(spark, merges)
+
     def q_dsir_weights(spark, sf):
         # DSIR data selection: hashed-n-gram importance log-ratio of an
         # 'en'-target bag model vs the rest of the corpus
@@ -1387,7 +1400,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_parse_protobuf": q_parse_protobuf,
         "q_parse_acct": q_parse_acct,
         "q_gelf_chunks": q_gelf_chunks,
-        "q_parse_ltsv": q_parse_ltsv,
+        "q_bpe_merges": q_bpe_merges,
         "q_minhash_lsh": q_minhash_lsh,
         "q_kmeans": q_kmeans,
         "q_simhash_pairs": q_simhash_pairs,
@@ -1471,6 +1484,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_parse_w3c": q_parse_w3c,
         "q_ngram_jaccard": q_ngram_jaccard,
         "q_split_assign": q_split_assign,
+        # q_parse_ltsv demoted r3 for q_bpe_merges (driver-green in r02;
+        # the parse family keeps rfc3164/rfc5424/json/influx/protobuf/
+        # acct/gelf_chunks in-window)
+        "q_parse_ltsv": q_parse_ltsv,
     }
 
 
@@ -2021,6 +2038,46 @@ def oracle_sql() -> dict[str, str]:
               LEFT JOIN c{_i} c ON nodes.id = c.id
             )""")
         _prev = f"r{_i}"
+    # BPE training unrolled: each step = adjacent-pair count + argmax
+    # (count DESC, lhs, rhs) + literal replace-merge — the exact loop
+    # bpe_train runs, expressed as chained CTEs (the pagerank pattern)
+    _bpe_steps = []
+    for _s in range(1, 5):
+        _bpe_steps.append(f"""
+            p{_s} AS (
+              SELECT syms[g] AS lhs, syms[g+1] AS rhs,
+                     SUM(cnt)::BIGINT AS pc
+              FROM (SELECT string_split(trim(sym), '  ') AS syms, cnt
+                    FROM w{_s - 1}) t,
+                   UNNEST(generate_series(1, len(syms) - 1)) AS u(g)
+              GROUP BY 1, 2
+            ), b{_s} AS (
+              SELECT {_s}::INT AS step, lhs, rhs, pc FROM p{_s}
+              ORDER BY pc DESC, lhs, rhs LIMIT 1
+            ), w{_s} AS (
+              SELECT replace(sym, ' '||lhs||'  '||rhs||' ',
+                             ' '||lhs||rhs||' ') AS sym, cnt
+              FROM w{_s - 1} CROSS JOIN b{_s}
+            )""")
+    _bpe_heads = " UNION ALL ".join(
+        f"SELECT step, lhs, rhs, pc AS pair_count FROM b{_s}"
+        for _s in range(1, 5)
+    )
+    bpe_merges_sql = f"""
+            WITH w0 AS (
+              -- double-space symbol separators: the ' l  r ' merge
+              -- pattern leaves one boundary space for the adjacent
+              -- match, giving canonical greedy-left BPE on runs
+              SELECT '  ' || regexp_replace(word, '(.)', '\\1  ', 'g')
+                       AS sym,
+                     COUNT(*)::BIGINT AS cnt
+              FROM (SELECT unnest(string_split_regex(text, '\\s+'))
+                       AS word FROM documents)
+              WHERE word <> '' GROUP BY word
+            ),{",".join(_bpe_steps)}
+            {_bpe_heads}
+    """
+
     pagerank_sql = f"""
             WITH e0 AS (
               SELECT user_id::VARCHAR AS s,
@@ -3143,6 +3200,7 @@ def oracle_sql() -> dict[str, str]:
             FROM s JOIN thr USING (domain)
         """,
         "q_pagerank": pagerank_sql,
+        "q_bpe_merges": bpe_merges_sql,
         # Efraimidis–Spirakis weighted sample with md5 uniforms; the
         # 6-dp round on u^(1/w) BEFORE the (key desc, id-string) cut
         # pins the rank-50 boundary across engines (pow may differ by
