@@ -781,6 +781,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         final.unpersist()
         return merges_frame(spark, merges)
 
+    def q_sketch_distinct(spark, sf):
+        # mergeable-exact distinct counting: the input is split into 7
+        # arbitrary slices (NOT key-partitioned), per-slice bitmap
+        # sketches are built independently, then merged — proving the
+        # snapshot-metrics contract (fold a new slice into stored
+        # sketches without rescanning history) gives the exact count
+        from skewer_spark.operators.sketches import (
+            bitmap_merge, bitmap_partials,
+        )
+        ev = _read(spark, sf, "events")
+        sliced = ev.withColumn("slice", F.pmod("event_id", F.lit(7)))
+        parts = bitmap_partials(
+            sliced, "user_id", ["event_type", "slice"]
+        ).drop("slice")
+        return bitmap_merge(parts, ["event_type"])
+
     def q_dsir_weights(spark, sf):
         # DSIR data selection: hashed-n-gram importance log-ratio of an
         # 'en'-target bag model vs the rest of the corpus
@@ -1399,7 +1415,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_shard_shuffle": q_shard_shuffle,
         "q_parse_protobuf": q_parse_protobuf,
         "q_parse_acct": q_parse_acct,
-        "q_gelf_chunks": q_gelf_chunks,
+        "q_sketch_distinct": q_sketch_distinct,
         "q_bpe_merges": q_bpe_merges,
         "q_minhash_lsh": q_minhash_lsh,
         "q_kmeans": q_kmeans,
@@ -1484,10 +1500,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_parse_w3c": q_parse_w3c,
         "q_ngram_jaccard": q_ngram_jaccard,
         "q_split_assign": q_split_assign,
-        # q_parse_ltsv demoted r3 for q_bpe_merges (driver-green in r02;
+        # q_parse_ltsv demoted r3 for q_bpe_merges and q_gelf_chunks
+        # demoted r3 for q_sketch_distinct (both driver-green in r02;
         # the parse family keeps rfc3164/rfc5424/json/influx/protobuf/
-        # acct/gelf_chunks in-window)
+        # acct in-window)
         "q_parse_ltsv": q_parse_ltsv,
+        "q_gelf_chunks": q_gelf_chunks,
     }
 
 
@@ -3201,6 +3219,12 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_pagerank": pagerank_sql,
         "q_bpe_merges": bpe_merges_sql,
+        "q_sketch_distinct": """
+            -- bitmap sketches are exact: merged-slice count == the
+            -- plain COUNT(DISTINCT) regardless of how slices cut keys
+            SELECT event_type, COUNT(DISTINCT user_id)::BIGINT AS n_distinct
+            FROM events GROUP BY event_type
+        """,
         # Efraimidis–Spirakis weighted sample with md5 uniforms; the
         # 6-dp round on u^(1/w) BEFORE the (key desc, id-string) cut
         # pins the rank-50 boundary across engines (pow may differ by

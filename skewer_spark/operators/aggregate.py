@@ -52,6 +52,11 @@ def metric_grouping_sets(routed: DataFrame) -> DataFrame:
             # expands the input 3x before the shuffle — far too heavy
             # for a metrics side-channel
             F.approx_count_distinct("conv_id").alias("n_convs"),
+            # mergeable sketch state (operators/sketches.py): stored
+            # with the slice's partials so whole-table distincts come
+            # from unioning sketches, valid under ANY slicing (time
+            # slices too, where summing per-slice counts double-counts)
+            F.hll_sketch_agg("conv_id", F.lit(12)).alias("convs_hll"),
             F.grouping_id().alias("gid"),
         )
     )

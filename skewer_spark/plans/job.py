@@ -203,9 +203,9 @@ def write_outputs(
     perr = perr_src[["parser_name", "n_messages"]].rename(
         columns={"n_messages": "n_errors"}
     ).reset_index(drop=True)
-    inc = gs[gs["gid"] == 11][["role", "n_messages", "n_convs"]].reset_index(
-        drop=True
-    )
+    inc = gs[gs["gid"] == 11][
+        ["role", "n_messages", "n_convs", "convs_hll"]
+    ].reset_index(drop=True)
     for name, pdf_out in (
         ("filter_counts", fc),
         ("parse_error_counts", perr),
@@ -230,7 +230,8 @@ def _agg_arrow_schemas():
         ),
         "parse_error_counts": pa.schema([("parser_name", s), ("n_errors", i)]),
         "incoming_counts": pa.schema(
-            [("role", s), ("n_messages", i), ("n_convs", i)]
+            [("role", s), ("n_messages", i), ("n_convs", i),
+             ("convs_hll", pa.binary())]
         ),
     }
 
@@ -338,8 +339,15 @@ def finalize_aggregates(spark: SparkSession, out_dir: str) -> None:
         if name == "parse_error_counts":
             agg = [F.sum("n_errors").alias("n_errors")]
         elif name == "incoming_counts":
+            # n_convs: summed per-bucket approx distincts — exact-sum
+            # ONLY because buckets partition conv_id (bucket_col).
+            # n_convs_merged: HLL sketch union — the slicing-agnostic
+            # number (time-sliced resume keeps it right when summing
+            # would double-count convs spanning slices).
             agg = [F.sum("n_messages").alias("n_messages"),
-                   F.sum("n_convs").alias("n_convs")]
+                   F.sum("n_convs").alias("n_convs"),
+                   F.hll_sketch_estimate(F.hll_union_agg("convs_hll"))
+                    .cast("bigint").alias("n_convs_merged")]
         else:
             agg = [F.sum("n_messages").alias("n_messages")]
         (

@@ -1,0 +1,152 @@
+"""Mergeable distinct-count sketches: exactness + merge semantics."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+
+def _events(spark, n=2000, n_users=137):
+    return spark.range(n).select(
+        F.col("id").alias("event_id"),
+        F.pmod(F.xxhash64(F.col("id")), F.lit(n_users)).alias("user_id"),
+        F.concat(F.lit("t"), F.pmod("id", F.lit(3)).cast("string")).alias(
+            "event_type"
+        ),
+    )
+
+
+def test_bitmap_distinct_is_exact(spark):
+    from skewer_spark.operators.sketches import bitmap_distinct
+
+    ev = _events(spark)
+    got = {
+        r.event_type: r.n_distinct
+        for r in bitmap_distinct(ev, "user_id", ["event_type"]).collect()
+    }
+    want = {
+        r.event_type: r.n
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_bitmap_merge_across_arbitrary_slices(spark):
+    # slices cut ACROSS users (by event id), so per-slice counts sum to
+    # far more than the true distinct count — the merge must be exact
+    from skewer_spark.operators.sketches import (
+        bitmap_merge, bitmap_partials,
+    )
+
+    ev = _events(spark)
+    sliced = ev.withColumn("slice", F.pmod("event_id", F.lit(9)))
+    parts = bitmap_partials(sliced, "user_id", ["event_type", "slice"])
+    merged = {
+        r.event_type: r.n_distinct
+        for r in bitmap_merge(parts.drop("slice"), ["event_type"]).collect()
+    }
+    want = {
+        r.event_type: r.n
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert merged == want
+    # and summing per-slice distincts really would over-count
+    oversum = (
+        bitmap_merge(parts, ["event_type", "slice"])
+        .groupBy("event_type")
+        .agg(F.sum("n_distinct").alias("s"))
+        .collect()
+    )
+    assert all(r.s > want[r.event_type] for r in oversum)
+
+
+def test_bitmap_negative_and_boundary_keys(spark):
+    from skewer_spark.operators.sketches import bitmap_distinct
+
+    df = spark.createDataFrame(
+        [(v,) for v in [-5, -5, 0, 1, 32768, 32769, 2**40, -(2**40)]],
+        "k long",
+    ).withColumn("g", F.lit("all"))
+    got = bitmap_distinct(df, "k", ["g"]).collect()[0].n_distinct
+    assert got == 7
+
+
+def _hll_merged_vs_single(spark, ev, n_slices):
+    from skewer_spark.operators.sketches import hll_merge, hll_partials
+
+    single = {
+        r.event_type: r.n_distinct
+        for r in hll_merge(
+            hll_partials(ev, "user_id", ["event_type"]), ["event_type"]
+        ).collect()
+    }
+    sliced = ev.withColumn("slice", F.pmod("event_id", F.lit(n_slices)))
+    merged = {
+        r.event_type: r.n_distinct
+        for r in hll_merge(
+            hll_partials(sliced, "user_id", ["event_type", "slice"]).drop(
+                "slice"
+            ),
+            ["event_type"],
+        ).collect()
+    }
+    exact = {
+        r.event_type: r.n
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    return single, merged, exact
+
+
+def test_hll_union_exact_at_low_cardinality(spark):
+    # sparse/coupon mode: both build paths are exact → all three agree
+    single, merged, exact = _hll_merged_vs_single(
+        spark, _events(spark, n=2000, n_users=60), 11
+    )
+    assert merged == single == exact
+
+
+def test_hll_union_within_error_bound_and_deterministic(spark):
+    # at ~330 distinct per group the two build paths are NOT guaranteed
+    # bit-identical (sparse→dense promotion differs), but both must sit
+    # within the lgK=12 error bound, and re-merging the same partials
+    # must reproduce the estimate exactly
+    single, merged, exact = _hll_merged_vs_single(
+        spark, _events(spark, n=5000, n_users=997), 11
+    )
+    for k in exact:
+        assert abs(merged[k] - exact[k]) / exact[k] < 0.05
+        assert abs(single[k] - exact[k]) / exact[k] < 0.05
+        assert abs(merged[k] - single[k]) / exact[k] < 0.02
+    _, merged2, _ = _hll_merged_vs_single(
+        spark, _events(spark, n=5000, n_users=997), 11
+    )
+    assert merged2 == merged
+
+
+def test_pipeline_metrics_carry_mergeable_sketches(spark, tmp_path):
+    # incoming_counts partials store per-bucket HLL state; finalize
+    # unions them into n_convs_merged == the bucket-sum n_convs ==
+    # the true distinct count on this fixture
+    from skewer_spark.plans.job import run_pipeline
+    from skewer_spark.synth import write_transcripts
+
+    tdir = str(tmp_path / "t")
+    odir = str(tmp_path / "o")
+    write_transcripts(spark, tdir, n_convs=20, turns_per_conv=10)
+    run_pipeline(spark, tdir, odir, n_buckets=3)
+    inc = spark.read.parquet(f"{odir}/agg_final/incoming_counts").collect()
+    assert inc and all(r.n_convs_merged == r.n_convs for r in inc)
+    exact = {
+        r.role: r.n
+        for r in spark.read.parquet(tdir)
+        .groupBy("role")
+        .agg(F.countDistinct("conv_id").alias("n"))
+        .collect()
+    }
+    for r in inc:
+        assert r.n_convs_merged == exact[r.role]
