@@ -781,6 +781,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         final.unpersist()
         return merges_frame(spark, merges)
 
+    def q_zorder(spark, sf):
+        # Morton (Z-order) layout key over (n_chars, doc_id): the
+        # multi-column file-pruning sort key (Delta OPTIMIZE ZORDER /
+        # Iceberg sort-order analog); pure shift/add arithmetic
+        from skewer_spark.operators.layout import zorder_key
+        docs = _read(spark, sf, "documents")
+        return zorder_key(
+            docs.select("doc_id", "n_chars"), ["n_chars", "doc_id"], bits=8
+        ).select("doc_id", "zkey")
+
     def q_sketch_distinct(spark, sf):
         # mergeable-exact distinct counting: the input is split into 7
         # arbitrary slices (NOT key-partitioned), per-slice bitmap
@@ -1506,6 +1516,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # acct in-window)
         "q_parse_ltsv": q_parse_ltsv,
         "q_gelf_chunks": q_gelf_chunks,
+        "q_zorder": q_zorder,
     }
 
 
@@ -3219,6 +3230,30 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_pagerank": pagerank_sql,
         "q_bpe_merges": bpe_merges_sql,
+        "q_zorder": """
+            -- Morton interleave after min/max width-bucket
+            -- normalization; scale factors are computed as
+            -- (grid / (max - min)) FIRST then multiplied, matching the
+            -- Spark driver-literal order bit-for-bit (IEEE doubles)
+            WITH s AS (
+              SELECT min(n_chars)::DOUBLE AS mn1, max(n_chars)::DOUBLE AS mx1,
+                     min(doc_id)::DOUBLE  AS mn2, max(doc_id)::DOUBLE  AS mx2
+              FROM documents
+            ), b AS (
+              SELECT doc_id,
+                least(floor((n_chars::DOUBLE - mn1)
+                            * (256.0 / (mx1 - mn1)))::BIGINT, 255) AS b0,
+                least(floor((doc_id::DOUBLE - mn2)
+                            * (256.0 / (mx2 - mn2)))::BIGINT, 255) AS b1
+              FROM documents CROSS JOIN s
+            )
+            SELECT doc_id,
+                   (list_sum(list_transform(range(0, 8),
+                      i -> ((b0 >> i) & 1) << (2 * i)))
+                  + list_sum(list_transform(range(0, 8),
+                      i -> ((b1 >> i) & 1) << (2 * i + 1))))::BIGINT AS zkey
+            FROM b
+        """,
         "q_sketch_distinct": """
             -- bitmap sketches are exact: merged-slice count == the
             -- plain COUNT(DISTINCT) regardless of how slices cut keys

@@ -1,0 +1,122 @@
+"""Z-order (Morton-curve) data layout for multi-column scan pruning.
+
+Parquet/Iceberg scans prune on per-file min/max statistics.  Sorting a
+table by ONE column makes that column's stats tight and every other
+column's stats useless; interleaving the bits of several columns
+(the Morton / Z space-filling curve — Delta ``OPTIMIZE ZORDER BY`` and
+Iceberg's ``sort_order`` z-transform do exactly this) keeps each file
+covering a small HYPER-RECTANGLE of the key space, so selective filters
+on ANY participating column skip most files.  At 100 TB this is the
+difference between a point-ish query opening a handful of files and
+opening all of them: the layout cost is paid once at write time.
+
+Mechanics, all pure JVM arithmetic (flat add/shift expression tree —
+whole-stage codegen, no UDF, no HOF):
+
+* ``interleave_bits`` — the Morton core: bit ``j`` of column ``c``
+  lands at position ``j * k + c`` of the z-value.  Positions are
+  disjoint, so the combine is a plain sum — the same formula any SQL
+  oracle can state.
+* ``zorder_key`` — normalizes real columns onto the ``[0, 2^bits)``
+  grid with driver-side min/max literals (one tiny aggregate, the
+  kmeans/IVF broadcast-literal pattern), then interleaves.  For
+  heavily skewed columns swap the linear min/max literals for sampled
+  ``approx_percentile`` boundaries (what Delta does) — the interleave
+  core is unchanged.
+* ``zorder_repartition`` — ``repartitionByRange(zkey)`` +
+  ``sortWithinPartitions(zkey)``: each output file owns one contiguous
+  z-range = one tile of the key space, and range partitioning samples
+  boundaries so tiles stay balanced even when the z-space is unevenly
+  populated.
+
+The locality win is pinned by test: a 64×64 grid written as 16 files,
+box-filtered on the NON-sorted dimension, touches all 16 files of a
+linearly-sorted layout but only a corner's worth of z-ordered ones.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["interleave_bits", "zorder_key", "zorder_repartition"]
+
+
+def interleave_bits(cols: list[Column | str], bits: int = 16) -> Column:
+    """Morton-interleave ``k`` integer columns already in [0, 2^bits).
+
+    ``k * bits`` must fit a signed int64 (≤ 62).  Inputs outside the
+    grid would collide silently, so callers normalize first
+    (``zorder_key``); this core stays branch-free.
+    """
+    k = len(cols)
+    if k < 2:
+        raise ValueError("interleave needs >= 2 columns")
+    if k * bits > 62:
+        raise ValueError(f"{k} cols x {bits} bits overflows int64")
+    cols = [
+        (F.col(c) if isinstance(c, str) else c).cast("bigint") for c in cols
+    ]
+    z = F.lit(0).cast("bigint")
+    for ci, col in enumerate(cols):
+        for i in range(bits):
+            z = z + F.shiftleft(
+                F.shiftright(col, i).bitwiseAND(F.lit(1)), i * k + ci
+            )
+    return z
+
+
+def zorder_key(
+    df: DataFrame,
+    cols: list[str],
+    bits: int = 16,
+    out_col: str = "zkey",
+) -> DataFrame:
+    """Add a Morton key over ``cols``, min/max-normalized to the grid.
+
+    One tiny aggregate collects per-column min/max (driver literals —
+    the data rows never shuffle for this); each column is then
+    linearly bucketed into [0, 2^bits) and interleaved.  A constant or
+    all-null column contributes 0 to every key (harmless: its bits are
+    constant anyway).
+    """
+    stats = df.agg(
+        *[F.min(F.col(c).cast("double")).alias(f"mn_{c}") for c in cols],
+        *[F.max(F.col(c).cast("double")).alias(f"mx_{c}") for c in cols],
+    ).collect()[0]
+    n = 1 << bits
+    tmp_names = []
+    out = df
+    for c in cols:
+        mn, mx = stats[f"mn_{c}"], stats[f"mx_{c}"]
+        name = f"_zb_{c}"
+        tmp_names.append(name)
+        if mn is None or mx is None or mx <= mn:
+            part = F.lit(0).cast("bigint")
+        else:
+            scaled = (F.col(c).cast("double") - F.lit(mn)) * F.lit(
+                n / (mx - mn)
+            )
+            # max value scales to exactly n -> clamp into the top cell;
+            # nulls sort as cell 0
+            part = F.coalesce(
+                F.least(F.floor(scaled).cast("bigint"), F.lit(n - 1)),
+                F.lit(0),
+            )
+        out = out.withColumn(name, part)
+    z = interleave_bits(tmp_names, bits=bits)
+    return out.withColumn(out_col, z).drop(*tmp_names)
+
+
+def zorder_repartition(
+    df: DataFrame,
+    cols: list[str],
+    n_files: int,
+    bits: int = 16,
+) -> DataFrame:
+    """Range-partition + sort by the Morton key: ``n_files`` output
+    tasks, each owning one contiguous z-range (one key-space tile)."""
+    keyed = zorder_key(df, cols, bits=bits)
+    return keyed.repartitionByRange(n_files, "zkey").sortWithinPartitions(
+        "zkey"
+    )

@@ -435,6 +435,59 @@ def read_sink_asof(
     return df.filter(F.col("bucket").isin(visible))
 
 
+def read_sink_diff(
+    spark: SparkSession,
+    out_dir: str,
+    name: str,
+    from_snapshot_id: str,
+    to_snapshot_id: str,
+    secret: bytes | None = None,
+) -> DataFrame:
+    """Incremental read: one destination's rows appended BETWEEN two
+    snapshots — the Iceberg incremental-scan analog, and the cheap way
+    to feed downstream consumers (index refresh, metric backfill,
+    export) without rescanning 10^12 rows of history.
+
+    ``from`` must be an ancestor of ``to`` on the lineage chain
+    (``parent_snapshot_id`` walk) — diffing across divergent or
+    reversed histories is a caller bug and raises rather than returning
+    a silently-wrong row set.  The diff itself is pure bucket-set
+    membership (buckets are append-granular, like Iceberg data files),
+    so the scan prunes to exactly the new buckets' directories;
+    ``replace`` snapshots in between (compaction) rewrite bytes but
+    never membership, so they do not pollute the diff.
+    """
+    chain = {
+        r.snapshot_id: r.parent_snapshot_id
+        for r in ckpt._read_snapshots_or_empty(spark, out_dir)
+    }
+    if to_snapshot_id not in chain:
+        raise ValueError(f"unknown snapshot {to_snapshot_id!r}")
+    cur, seen = to_snapshot_id, set()
+    while cur is not None and cur not in seen:
+        if cur == from_snapshot_id:
+            break
+        seen.add(cur)
+        cur = chain.get(cur)
+    else:
+        raise ValueError(
+            f"{from_snapshot_id!r} is not an ancestor of "
+            f"{to_snapshot_id!r}; incremental reads need a linear "
+            "lineage between the two snapshots"
+        )
+    new_buckets = sorted(
+        set(ckpt.buckets_asof(spark, out_dir, to_snapshot_id))
+        - set(ckpt.buckets_asof(spark, out_dir, from_snapshot_id))
+    )
+    df = read_sink(spark, out_dir, name, secret=secret)
+    if "bucket" not in df.columns:
+        raise ValueError(
+            "incremental reads need the bucketed store layout "
+            "(run_pipeline); this out_dir has no bucket= partitions"
+        )
+    return df.filter(F.col("bucket").isin(new_buckets))
+
+
 def compact_sinks(
     spark: SparkSession,
     out_dir: str,

@@ -165,3 +165,30 @@ def test_asof_on_empty_store_returns_no_buckets(spark, tmp_path):
     out = str(tmp_path / "empty_store")
     sid = ckpt.commit_snapshot(spark, out, "empty-run")
     assert ckpt.buckets_asof(spark, out, sid) == []
+
+
+def test_incremental_diff_between_snapshots(spark, store):
+    out = store["out"]
+    b1 = set(ckpt.buckets_asof(spark, out, store["s1"]))
+    b2 = set(ckpt.buckets_asof(spark, out, store["s2"]))
+    diff = job.read_sink_diff(
+        spark, out, "sink_firehose", store["s1"], store["s2"]
+    )
+    assert {r.bucket for r in diff.select("bucket").distinct().collect()} \
+        == b2 - b1
+    # asof(from) + diff == asof(to), row-exactly
+    n_from = job.read_sink_asof(spark, out, "sink_firehose", store["s1"]).count()
+    n_to = job.read_sink_asof(spark, out, "sink_firehose", store["s2"]).count()
+    assert n_from + diff.count() == n_to
+    # self-diff is empty; reversed direction is a lineage error
+    assert job.read_sink_diff(
+        spark, out, "sink_firehose", store["s1"], store["s1"]
+    ).count() == 0
+    with pytest.raises(ValueError, match="not an ancestor"):
+        job.read_sink_diff(
+            spark, out, "sink_firehose", store["s2"], store["s1"]
+        )
+    with pytest.raises(ValueError, match="unknown snapshot"):
+        job.read_sink_diff(
+            spark, out, "sink_firehose", store["s1"], "s-nope"
+        )
