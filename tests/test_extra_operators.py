@@ -1229,3 +1229,71 @@ def test_split_assign_fractions_and_salt(spark):
     assert any(s1[k] != s2[k] for k in s1)
     with pytest.raises(ValueError):
         split_assign(docs, fractions={"a": 0.5, "b": 0.2})
+
+
+def test_streaming_watermark_late_data(spark, tmp_path):
+    """Two incremental runs against one checkpoint: a row later than the
+    watermark must NOT reopen an already-emitted window (no duplicate
+    window rows, count unchanged), and a duplicate (conv_id, turn_idx)
+    within the watermark must be dropped before the sinks."""
+    from datetime import datetime
+
+    from skewer_spark.streaming.pipeline import run_streaming
+
+    inp = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    schema = ("conv_id string, turn_idx int, role string, text string, "
+              "tool string, ts timestamp")
+
+    def rows_df(rows):
+        return spark.createDataFrame(
+            [(c, i, "user", t, "none", ts) for (c, i, t, ts) in rows], schema
+        )
+
+    d = lambda h, m=30: datetime(2026, 1, 1, h, m)  # noqa: E731
+    wave1 = [("c1", 0, "plain zero", d(0)), ("c1", 1, "plain one", d(1)),
+             ("c1", 2, "plain two", d(2)), ("c1", 3, "plain three", d(3))]
+    rows_df(wave1).write.parquet(inp)
+    q1, q2 = run_streaming(spark, inp, out, watermark="1 hour")
+    q1.awaitTermination(120); q2.awaitTermination(120)
+
+    wc_path = f"{out}/agg/windowed_counts"
+    first = spark.read.parquet(wc_path).collect()
+    # watermark after wave 1 = 02:30 -> hours 0 and 1 are closed
+    assert {r.window_start.hour for r in first} == {0, 1}
+
+    # wave 2: one too-late row (00:15 < watermark), one duplicate of a
+    # wave-1 row inside the watermark, one genuinely new row at 05:30
+    wave2 = [("c1", 0, "late dupe-hour row", datetime(2026, 1, 1, 0, 15)),
+             ("c1", 3, "plain three", d(3)),      # duplicate key
+             ("c1", 9, "plain nine", d(5))]
+    rows_df(wave2).write.mode("append").parquet(inp)
+    q1, q2 = run_streaming(spark, inp, out, watermark="1 hour")
+    q1.awaitTermination(120); q2.awaitTermination(120)
+
+    wc = spark.read.parquet(wc_path).collect()
+    by_hour = {}
+    for r in wc:
+        by_hour.setdefault(r.window_start.hour, []).append(r.n_messages)
+    # hour 0 emitted exactly once, count 1: the 00:15 row was dropped as
+    # late, not re-opened into a duplicate window row
+    assert by_hour[0] == [1]
+    # watermark is now 04:30 -> hours 2 and 3 closed; hour 5 withheld
+    assert set(by_hour) == {0, 1, 2, 3}
+    assert by_hour[3] == [1]  # the duplicate (c1,3) never re-counted
+
+    sinks = spark.read.option("basePath", f"{out}/sinks").parquet(
+        f"{out}/sinks"
+    )
+    per_key = (
+        sinks.filter(F.col("sink") != "sink__dropped")
+        .groupBy("conv_id", "turn_idx")
+        .agg(F.countDistinct("sink").alias("nsinks"),
+             F.count("*").alias("n"))
+        .collect()
+    )
+    # within-watermark duplicate dropped: every key appears once per
+    # routed destination, never more
+    assert all(r.n == r.nsinks for r in per_key)
+    keys = {(r.conv_id, r.turn_idx) for r in per_key}
+    assert ("c1", 9) in keys
