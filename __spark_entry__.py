@@ -791,6 +791,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             docs.select("doc_id", "n_chars"), ["n_chars", "doc_id"], bits=8
         ).select("doc_id", "zkey")
 
+    def q_bucketed_join(spark, sf):
+        # bucketed-table layout (Hive bucketing / Iceberg bucket
+        # transform analog): both join sides are written hash-clustered
+        # on the key, so the sort-merge join runs with ZERO exchanges —
+        # the write-once layout that removes the per-join corpus
+        # re-key at 100 TB.  The result itself is checked against a
+        # plain-join oracle; the no-shuffle plan property is pinned in
+        # tests/test_layout.py.
+        import hashlib
+        import os
+        import tempfile
+
+        from skewer_spark.operators.layout import write_bucketed
+
+        ev = _read(spark, sf, "events").select(
+            "event_id", "user_id", "event_type"
+        )
+        tot = ev.groupBy("user_id").agg(F.sum("event_id").alias("user_mass"))
+        base = os.path.join(
+            tempfile.gettempdir(),
+            "skewer_bucketed",
+            hashlib.md5(sf.encode()).hexdigest()[:10],
+        )
+        write_bucketed(ev, "q_bkt_events", ["user_id"], 8, path=base + "/ev")
+        write_bucketed(tot, "q_bkt_totals", ["user_id"], 8, path=base + "/tot")
+        j = (
+            spark.table("q_bkt_events")
+            .hint("merge")
+            .join(spark.table("q_bkt_totals"), "user_id")
+        )
+        return j.groupBy("event_type").agg(
+            F.count("*").alias("n"),
+            F.sum("user_mass").alias("mass"),
+        )
+
     def q_sketch_distinct(spark, sf):
         # mergeable-exact distinct counting: the input is split into 7
         # arbitrary slices (NOT key-partitioned), per-slice bitmap
@@ -1517,6 +1552,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_parse_ltsv": q_parse_ltsv,
         "q_gelf_chunks": q_gelf_chunks,
         "q_zorder": q_zorder,
+        "q_bucketed_join": q_bucketed_join,
     }
 
 
@@ -3253,6 +3289,19 @@ def oracle_sql() -> dict[str, str]:
                   + list_sum(list_transform(range(0, 8),
                       i -> ((b1 >> i) & 1) << (2 * i + 1))))::BIGINT AS zkey
             FROM b
+        """,
+        "q_bucketed_join": """
+            -- the bucketed layout must not change the JOIN's answer:
+            -- plain join + aggregate (the plan property — zero
+            -- exchanges — is pinned by tests/test_layout.py)
+            WITH tot AS (
+              SELECT user_id, SUM(event_id)::BIGINT AS user_mass
+              FROM events GROUP BY user_id
+            )
+            SELECT e.event_type, COUNT(*)::BIGINT AS n,
+                   SUM(t.user_mass)::BIGINT AS mass
+            FROM events e JOIN tot t USING (user_id)
+            GROUP BY e.event_type
         """,
         "q_sketch_distinct": """
             -- bitmap sketches are exact: merged-slice count == the

@@ -39,7 +39,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["interleave_bits", "zorder_key", "zorder_repartition"]
+__all__ = [
+    "interleave_bits",
+    "zorder_key",
+    "zorder_repartition",
+    "write_bucketed",
+]
 
 
 def interleave_bits(cols: list[Column | str], bits: int = 16) -> Column:
@@ -120,3 +125,62 @@ def zorder_repartition(
     return keyed.repartitionByRange(n_files, "zkey").sortWithinPartitions(
         "zkey"
     )
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    n_buckets: int,
+    sort_cols: list[str] | None = None,
+    path: str | None = None,
+    mode: str = "overwrite",
+) -> str:
+    """Write ``df`` as a hash-BUCKETED table (Hive bucketing / Iceberg
+    bucket-partition-transform analog): the shuffle-elimination layout.
+
+    Z-order (above) buys scan pruning; bucketing buys JOIN and
+    AGGREGATE pruning.  A table bucketed by ``conv_id`` satisfies the
+    hash-clustering requirement of every downstream
+    ``join``/``groupBy`` on ``conv_id`` AT THE SCAN, so two co-bucketed
+    tables sort-merge-join with ZERO exchange on either side and a
+    ``groupBy(conv_id)`` aggregates with no shuffle at all — at 100 TB
+    the single biggest cost in a repeated-join pipeline (re-keying the
+    corpus once per join) is paid once, at write time.  Equality
+    filters on the bucket column additionally prune to 1/n_buckets of
+    the files (``SelectedBucketsCount`` in the scan node).
+
+    Mechanics:
+
+    * the frame is pre-``repartition(n_buckets, bucket_cols)``-ed:
+      Spark's writer assigns bucket ids with the same
+      ``pmod(murmur3, n)`` family as hash partitioning, so each task
+      then holds exactly ONE bucket and writes exactly ONE file —
+      without this, every task writes a sliver of every bucket
+      (n_tasks × n_buckets small files), and multi-file buckets void
+      the ``sortBy`` ordering guarantee that lets the join skip its
+      per-partition Sort.
+    * ``sort_cols`` (default: the bucket columns) makes each bucket
+      file internally sorted, so a sort-merge join reads it as-is.
+    * ``path`` makes the table external (data at ``path``, metadata in
+      the catalog) — on a real cluster this is the warehouse/Iceberg
+      location; in tests a tmpdir.
+
+    Pick ``n_buckets`` so one bucket ≈ 128–512 MB at the target scale
+    (10^12 turns ≈ 100 TB → ~2^18 buckets); both join sides must use
+    the SAME bucket count and key for the exchange-free plan.
+    """
+    if sort_cols is None:
+        sort_cols = list(bucket_cols)
+    out = df.repartition(n_buckets, *[F.col(c) for c in bucket_cols])
+    w = (
+        out.write.format("parquet")
+        .mode(mode)
+        .bucketBy(n_buckets, bucket_cols[0], *bucket_cols[1:])
+    )
+    if sort_cols:
+        w = w.sortBy(sort_cols[0], *sort_cols[1:])
+    if path:
+        w = w.option("path", path)
+    w.saveAsTable(table)
+    return table

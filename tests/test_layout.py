@@ -111,3 +111,88 @@ def test_zorder_pruning_beats_linear_sort(spark, tmp_path):
         == spark.read.parquet(ldir).filter(box).count()
         == 64
     )
+
+
+# ---------------------------------------------------------------------------
+# bucketed-table layout: the shuffle-elimination contract
+# ---------------------------------------------------------------------------
+
+def _plan(df) -> str:
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def _bucketed_fixture(spark, tmp_path):
+    from skewer_spark.operators.layout import write_bucketed
+
+    left = spark.createDataFrame(
+        [(i % 37, i, f"conv{i % 37}") for i in range(400)],
+        "k int, v long, tag string",
+    )
+    right = spark.createDataFrame(
+        [(k, k * 10) for k in range(37)], "k int, w long"
+    )
+    write_bucketed(left, "bkt_left", ["k"], 4, path=str(tmp_path / "l"))
+    write_bucketed(right, "bkt_right", ["k"], 4, path=str(tmp_path / "r"))
+    return left, right
+
+
+def test_cobucketed_join_has_no_exchange(spark, tmp_path):
+    left, right = _bucketed_fixture(spark, tmp_path)
+    j = spark.table("bkt_left").hint("merge").join(spark.table("bkt_right"), "k")
+    plan = _plan(j)
+    # both scans already satisfy the join's hash clustering: no shuffle
+    # on EITHER side, and the per-bucket sortBy removes the Sort too
+    assert "SortMergeJoin" in plan
+    assert "Exchange hashpartitioning" not in plan
+    # result parity with the plain (shuffled) join
+    got = sorted((r.k, r.v, r.w) for r in j.select("k", "v", "w").collect())
+    want = sorted(
+        (r.k, r.v, r.w)
+        for r in left.join(right, "k").select("k", "v", "w").collect()
+    )
+    assert got == want
+
+
+def test_bucketed_groupby_has_no_exchange(spark, tmp_path):
+    _bucketed_fixture(spark, tmp_path)
+    agg = spark.table("bkt_left").groupBy("k").agg(F.sum("v").alias("s"))
+    plan = _plan(agg)
+    assert "Exchange" not in plan
+    assert "HashAggregate" in plan
+
+
+def test_bucket_pruning_on_equality_filter(spark, tmp_path):
+    _bucketed_fixture(spark, tmp_path)
+    # DisableUnnecessaryBucketedScan would demote a filter-only query's
+    # bucketed scan; pin it on for the pruning assertion
+    old = spark.conf.get("spark.sql.sources.bucketing.autoBucketedScan.enabled")
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    try:
+        q = spark.table("bkt_left").filter(F.col("k") == 7)
+        plan = _plan(q)
+        assert "SelectedBucketsCount: 1 out of 4" in plan
+        assert q.count() == sum(1 for i in range(400) if i % 37 == 7)
+    finally:
+        spark.conf.set(
+            "spark.sql.sources.bucketing.autoBucketedScan.enabled", old
+        )
+
+
+def test_write_bucketed_one_file_per_bucket(spark, tmp_path):
+    import glob
+
+    _bucketed_fixture(spark, tmp_path)
+    files = [
+        f
+        for f in glob.glob(str(tmp_path / "l" / "*"))
+        if f.endswith(".parquet")
+    ]
+    # the pre-repartition makes each task own exactly one bucket: 4
+    # buckets -> exactly 4 data files (not n_tasks x n_buckets slivers)
+    assert len(files) == 4
