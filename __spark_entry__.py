@@ -781,6 +781,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         final.unpersist()
         return merges_frame(spark, merges)
 
+    def q_bpe_apply(spark, sf):
+        # large-vocab BPE APPLY path: Arrow-batched pandas encoder with
+        # a per-worker word memo (Zipfian hit rate), training-order
+        # merge semantics identical to the JVM expression path (parity
+        # pinned by test); fixed 4-merge list so the oracle can mirror
+        # the double-space replace chain exactly
+        from skewer_spark.operators.tokenizer import apply_bpe_pandas
+        docs = _read(spark, sf, "documents")
+        merges = [
+            {"step": 1, "lhs": "t", "rhs": "h", "pair_count": 0},
+            {"step": 2, "lhs": "th", "rhs": "e", "pair_count": 0},
+            {"step": 3, "lhs": "i", "rhs": "n", "pair_count": 0},
+            {"step": 4, "lhs": "a", "rhs": "n", "pair_count": 0},
+        ]
+        toks = apply_bpe_pandas(docs.select("doc_id", "text"), merges)
+        return toks.select(
+            "doc_id",
+            F.size("tokens").cast("bigint").alias("n_tokens"),
+            F.concat_ws("|", F.slice("tokens", 1, 12)).alias("head_tokens"),
+        )
+
     def q_zorder(spark, sf):
         # Morton (Z-order) layout key over (n_chars, doc_id): the
         # multi-column file-pruning sort key (Delta OPTIMIZE ZORDER /
@@ -841,6 +862,52 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             sliced, "user_id", ["event_type", "slice"]
         ).drop("slice")
         return bitmap_merge(parts, ["event_type"])
+
+    def q_cms_heavy(spark, sf):
+        # SUM-mergeable count-min sketch: 5 arbitrary slices build
+        # independent d×w counter tables, merged by plain SUM, then the
+        # exact top-10 users by event count are point-queried against
+        # the merged sketch (estimate >= exact always; md5-bucket
+        # arithmetic makes the whole sketch engine-replicable)
+        from skewer_spark.operators.sketches import (
+            cms_estimate, cms_merge, cms_partials,
+        )
+        ev = _read(spark, sf, "events")
+        sliced = ev.withColumn("slice", F.pmod("event_id", F.lit(5)))
+        sketch = cms_merge(
+            cms_partials(sliced, "user_id", ["slice"]).drop("slice")
+        )
+        top = (
+            ev.groupBy("user_id")
+            .agg(F.count("*").cast("bigint").alias("exact_n"))
+            .orderBy(F.desc("exact_n"), F.asc("user_id"))
+            .limit(10)
+        )
+        return (
+            top.join(cms_estimate(sketch, top, "user_id"), "user_id")
+            .select(
+                F.col("user_id").cast("bigint").alias("user_id"),
+                "exact_n",
+                F.col("cms_count").cast("bigint").alias("cms_n"),
+            )
+        )
+
+    def q_hybrid_search(spark, sf):
+        # hybrid retrieval: BM25 lexical top-20 over documents fused
+        # with dense cosine top-20 over the aligned embeddings table by
+        # reciprocal-rank fusion (1/(60+rank), ranks from the rounded
+        # per-modality scores) — the standard lexical+dense combiner
+        from skewer_spark.operators.search import bm25_search, rrf_fuse
+        docs = _read(spark, sf, "documents")
+        emb = _read(spark, sf, "embeddings")
+        lex = bm25_search(
+            docs.select("doc_id", "text"), ["spark", "join", "window"], k=20
+        ).select("doc_id", "score")
+        qvec = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+        dense = brute_force_topk(emb, list(qvec), k=20).select(
+            F.col("vec_id").alias("doc_id"), F.col("cos_sim").alias("score")
+        )
+        return rrf_fuse([lex, dense], k=10)
 
     def q_dsir_weights(spark, sf):
         # DSIR data selection: hashed-n-gram importance log-ratio of an
@@ -1442,7 +1509,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- first 50: one driver-checked representative per family --
         "q_window_rank": q_window_rank,
         "q_enrich_broadcast": q_enrich_broadcast,
-        "q_priority_decode": q_priority_decode,
+        "q_cms_heavy": q_cms_heavy,
         "q_parse_rfc3164": q_parse_rfc3164,
         "q_parse_rfc5424": q_parse_rfc5424,
         "q_filter_fourway": q_filter_fourway,
@@ -1459,7 +1526,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_apply_mixture": q_apply_mixture,
         "q_shard_shuffle": q_shard_shuffle,
         "q_parse_protobuf": q_parse_protobuf,
-        "q_parse_acct": q_parse_acct,
+        "q_hybrid_search": q_hybrid_search,
         "q_sketch_distinct": q_sketch_distinct,
         "q_bpe_merges": q_bpe_merges,
         "q_minhash_lsh": q_minhash_lsh,
@@ -1508,7 +1575,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # q_rate_anomaly (md5-groupBy dedup machinery rides
         # q_soft_dedup + q_minhash_lsh + q_dedup_substr in-window);
         # q_boilerplate demoted for q_pagerank (the exploded-span
-        # anti-join/rebuild machinery rides q_dedup_substr in-window) --
+        # anti-join/rebuild machinery rides q_dedup_substr in-window);
+        # q_priority_decode demoted for q_cms_heavy (priority arithmetic
+        # rides the parse queries, dictionary enrich rides
+        # q_enrich_broadcast) and q_parse_acct demoted for
+        # q_hybrid_search (binary decode family keeps q_parse_protobuf
+        # in-window; both demotees were driver-green in r02) --
+        "q_priority_decode": q_priority_decode,
+        "q_parse_acct": q_parse_acct,
+        "q_bpe_apply": q_bpe_apply,
         "q_boilerplate": q_boilerplate,
         "q_dedup_exact": q_dedup_exact,
         "q_weighted_sample": q_weighted_sample,
@@ -3227,6 +3302,121 @@ def oracle_sql() -> dict[str, str]:
             SELECT conv_id, turn_idx, n_context::INT AS n_context,
                    prompt, text AS response
             FROM wi WHERE role = 'purchase'
+        """,
+        # CMS mirrored cell-for-cell: same md5 row personas, same mod-
+        # width buckets; the oracle builds the sketch single-pass, the
+        # Spark side builds per-slice partials and SUM-merges — equality
+        # IS the mergeability proof
+        "q_cms_heavy": """
+            WITH rows_ AS (SELECT unnest([0, 1, 2, 3]) AS row_id),
+            cells AS (
+              SELECT r.row_id,
+                     (('0x' || substr(md5('cms' || r.row_id || '|' ||
+                                          e.user_id::VARCHAR), 1, 8))::BIGINT
+                      % 1024)::INT AS bucket,
+                     count(*)::BIGINT AS cnt
+              FROM events e CROSS JOIN rows_ r
+              GROUP BY 1, 2
+            ), top AS (
+              SELECT user_id, count(*)::BIGINT AS exact_n FROM events
+              GROUP BY user_id ORDER BY exact_n DESC, user_id LIMIT 10
+            ), est AS (
+              SELECT t.user_id,
+                     min(coalesce(c.cnt, 0)) AS cms_n
+              FROM top t CROSS JOIN rows_ r
+              LEFT JOIN cells c ON c.row_id = r.row_id
+                AND c.bucket = (('0x' || substr(md5('cms' || r.row_id ||
+                  '|' || t.user_id::VARCHAR), 1, 8))::BIGINT % 1024)::INT
+              GROUP BY t.user_id
+            )
+            SELECT t.user_id::BIGINT AS user_id, t.exact_n,
+                   e.cms_n::BIGINT AS cms_n
+            FROM top t JOIN est e USING (user_id)
+        """,
+        # hybrid = the bm25 top-20 CTE + the ann top-20 CTE + RRF
+        # (1/(60+rank)); at most two addends per doc so the float sum is
+        # order-independent
+        "q_hybrid_search": """
+            WITH d AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text),
+                                                    '[^a-z0-9]+'),
+                                 x -> x <> '') AS toks
+              FROM documents
+            ), stats AS (
+              SELECT count(*)::BIGINT AS n_docs, avg(len(toks)) AS avgdl
+              FROM d
+            ), tok AS (
+              SELECT doc_id, unnest(toks) AS term, len(toks) AS dl FROM d
+            ), post AS (
+              SELECT term, doc_id, count(*)::BIGINT AS tf, first(dl) AS dl
+              FROM tok WHERE term IN ('join', 'spark', 'window')
+              GROUP BY term, doc_id
+            ), dfreq AS (
+              SELECT term, count(*)::BIGINT AS df FROM post GROUP BY term
+            ), bm AS (
+              SELECT p.doc_id,
+                     round(sum(
+                       ln(1.0 + (s.n_docs - f.df + 0.5) / (f.df + 0.5))
+                       * (p.tf * 2.2)
+                       / (p.tf + 1.2 * (0.25 + 0.75 * p.dl / s.avgdl))
+                     ), 6) AS score
+              FROM post p JOIN dfreq f USING (term) CROSS JOIN stats s
+              GROUP BY p.doc_id ORDER BY score DESC, p.doc_id LIMIT 20
+            ), q AS (
+              SELECT embedding::DOUBLE[] AS qe FROM embeddings
+              WHERE vec_id = 0
+            ), ann AS (
+              SELECT e.vec_id AS doc_id,
+                round(
+                  list_dot_product(e.embedding::DOUBLE[], q.qe) /
+                  (sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                         e.embedding::DOUBLE[])) *
+                   sqrt(list_dot_product(q.qe, q.qe))), 6) AS score
+              FROM embeddings e, q
+              ORDER BY score DESC, doc_id LIMIT 20
+            ), ranked AS (
+              SELECT doc_id,
+                     row_number() OVER (ORDER BY score DESC, doc_id) AS rnk
+              FROM bm
+              UNION ALL
+              SELECT doc_id,
+                     row_number() OVER (ORDER BY score DESC, doc_id) AS rnk
+              FROM ann
+            )
+            SELECT doc_id, count(*)::BIGINT AS n_lists,
+                   round(sum(1.0 / (60.0 + rnk)), 6) AS rrf_score
+            FROM ranked GROUP BY doc_id
+            ORDER BY rrf_score DESC, doc_id LIMIT 10
+        """,
+        # the oracle replays the JVM double-space replace-chain encoding
+        # (apply_bpe's documented algebra) against the PANDAS encoder —
+        # cross-implementation parity is the point of the check
+        "q_bpe_apply": """
+            WITH w AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(text, '\\s+'),
+                                 x -> x <> '') AS words
+              FROM documents
+            ), enc AS (
+              SELECT doc_id,
+                flatten(list_transform(words, w ->
+                  list_filter(
+                    string_split(
+                      trim(
+                        replace(replace(replace(replace(
+                          '  ' || regexp_replace(w, '(.)', '\\1  ', 'g'),
+                          ' t  h ', ' th '),
+                          ' th  e ', ' the '),
+                          ' i  n ', ' in '),
+                          ' a  n ', ' an ')
+                      ), '  '),
+                    t -> t <> ''))) AS tokens
+              FROM w
+            )
+            SELECT doc_id, len(tokens)::BIGINT AS n_tokens,
+                   array_to_string(tokens[1:12], '|') AS head_tokens
+            FROM enc
         """,
         "q_conv_stats": """
             WITH t AS (

@@ -148,3 +148,54 @@ def bm25_search(
         k1=k1,
         b=b,
     )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    id_col: str = "doc_id",
+    score_col: str = "score",
+    k: int = 10,
+    k_const: int = 60,
+) -> DataFrame:
+    """Reciprocal-rank fusion of candidate lists (Cormack et al.,
+    SIGIR'09) — the standard way to combine lexical (BM25) and dense
+    (embedding ANN) retrieval into one hybrid ranking.
+
+    Each input frame is an ALREADY-TRUNCATED top-k' candidate list
+    shaped ``(id_col, score_col)``; ranks are re-derived here with
+    ``row_number`` over ``(score desc, id)`` so the fusion is
+    engine-exact as long as upstream scores are rounded (both
+    ``bm25_topk`` and ``brute_force_topk`` round to 6 dp).  Fused score
+    = Σ over lists of ``1/(k_const + rank)``, rounded to 6 dp before
+    the final ``(rrf desc, id)`` cut.
+
+    Scale shape: the unpartitioned rank window runs over k'-row
+    candidate frames (tens to thousands of rows), never the corpus —
+    the expensive work already happened inside the per-modality
+    retrievers, which are bucketed/pruned (see ``bm25_topk`` /
+    ``ivf_topk``).  Returns ``(id_col, n_lists, rrf_score)``.
+    """
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc(score_col), F.asc(id_col))
+    parts = [
+        r.select(id_col, score_col).withColumn(
+            "_rank", F.row_number().over(w)
+        )
+        for r in rankings
+    ]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    return (
+        u.groupBy(id_col)
+        .agg(
+            F.count("*").cast("bigint").alias("n_lists"),
+            F.round(
+                F.sum(F.lit(1.0) / (F.lit(float(k_const)) + F.col("_rank"))),
+                6,
+            ).alias("rrf_score"),
+        )
+        .orderBy(F.desc("rrf_score"), F.asc(id_col))
+        .limit(k)
+    )

@@ -45,6 +45,10 @@ __all__ = [
     "bitmap_partials",
     "bitmap_merge",
     "bitmap_distinct",
+    "cms_coords",
+    "cms_partials",
+    "cms_merge",
+    "cms_estimate",
 ]
 
 _DEFAULT_LGK = 12
@@ -120,3 +124,114 @@ def bitmap_distinct(
     ``bitmap_merge`` later gives the identical count (pinned by test).
     """
     return bitmap_merge(bitmap_partials(df, key, group_cols), group_cols)
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch: SUM-mergeable frequency estimates
+# ---------------------------------------------------------------------------
+#
+# HLL/bitmap answer "how many DISTINCT keys"; the CMS answers "how OFTEN
+# is key k" without keeping per-key counters.  Same slice model as the
+# sketches above: each ingest slice builds its own d×w counter table in
+# one pass, and because the table cells are plain counts the merge is a
+# plain SUM over (row_id, bucket) — the strongest mergeability there is
+# (associative, commutative, works under ANY slicing, exactly equal to
+# the single-pass sketch, pinned by test).  estimate(k) = min over the d
+# rows of cell(row, h_row(k)); always >= the true count, within
+# eps = e/width with prob 1 - (1/e)^depth (Cormode & Muthukrishnan '05).
+#
+# Hashes are md5 slices (the repo-wide contract: bit-replicable in any
+# SQL engine), so the DuckDB oracle reproduces the sketch — and its
+# estimates — exactly.  Scale shape: the build is ONE explode(depth) +
+# a partial-aggregable groupBy whose combiner state is bounded at
+# depth·width cells per task regardless of input rows; estimates join
+# candidate keys against the <= depth·width-row sketch (broadcast).
+
+_CMS_DEPTH = 4
+_CMS_WIDTH = 1024
+
+
+def cms_coords(key: Column, depth: int = _CMS_DEPTH, width: int = _CMS_WIDTH) -> Column:
+    """``array<struct<row_id,bucket>>`` — the CMS cells one key hits.
+
+    Row i's hash is the first 32 bits of ``md5('cms{i}|' || key)`` mod
+    ``width`` (independent md5 personas per row, same trick as the
+    MinHash signature slicing).
+    """
+    return F.array(
+        *[
+            F.struct(
+                F.lit(i).cast("int").alias("row_id"),
+                (
+                    F.conv(
+                        F.substring(
+                            F.md5(F.concat(F.lit(f"cms{i}|"), key)), 1, 8
+                        ),
+                        16,
+                        10,
+                    ).cast("long")
+                    % width
+                )
+                .cast("int")
+                .alias("bucket"),
+            )
+            for i in range(depth)
+        ]
+    )
+
+
+def cms_partials(
+    df: DataFrame,
+    key: str | Column,
+    slice_cols: list[str] | None = None,
+    depth: int = _CMS_DEPTH,
+    width: int = _CMS_WIDTH,
+) -> DataFrame:
+    """One slice → its CMS counter cells ``(slice…, row_id, bucket, cnt)``.
+
+    Only occupied cells are materialized (missing cell == 0), so a slice
+    costs at most ``depth·width`` rows however large its input.
+    """
+    key = F.col(key) if isinstance(key, str) else key
+    sc = list(slice_cols or [])
+    ex = df.select(
+        *sc, F.explode(cms_coords(key.cast("string"), depth, width)).alias("e")
+    )
+    return ex.groupBy(*sc, "e.row_id", "e.bucket").agg(
+        F.count("*").alias("cnt")
+    )
+
+
+def cms_merge(partials: DataFrame) -> DataFrame:
+    """Fold stored per-slice cells into one sketch: SUM per cell."""
+    return partials.groupBy("row_id", "bucket").agg(
+        F.sum("cnt").alias("cnt")
+    )
+
+
+def cms_estimate(
+    cms: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    depth: int = _CMS_DEPTH,
+    width: int = _CMS_WIDTH,
+) -> DataFrame:
+    """Point-query candidate keys against a (merged) sketch.
+
+    Returns ``(key_col, cms_count)`` with ``cms_count`` = min over the
+    ``depth`` rows of the key's counter (0 where the cell is absent —
+    an absent cell proves count 0).  The sketch side is at most
+    ``depth·width`` rows → broadcast; the candidate frame never
+    shuffles wide.
+    """
+    coords = keys.select(
+        key_col,
+        F.explode(
+            cms_coords(F.col(key_col).cast("string"), depth, width)
+        ).alias("e"),
+    ).select(key_col, "e.row_id", "e.bucket")
+    return (
+        coords.join(F.broadcast(cms), ["row_id", "bucket"], "left")
+        .groupBy(key_col)
+        .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("cms_count"))
+    )

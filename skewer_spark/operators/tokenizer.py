@@ -190,3 +190,75 @@ def apply_bpe(
     return df.withColumn(
         "tokens", F.flatten(F.transform(words, encode_word))
     ).withColumnRenamed("tokens", out_col)
+
+
+def apply_bpe_pandas(
+    df: DataFrame,
+    merges: list[dict],
+    text_col: str = "text",
+    out_col: str = "tokens",
+) -> DataFrame:
+    """Large-vocabulary BPE apply — the documented swap-in for
+    :func:`apply_bpe` past ``max_expr_merges``.
+
+    Arrow-batched pandas UDF with a per-worker word→tokens cache: word
+    frequencies are Zipfian, so after the first few batches almost
+    every word is a dict hit and the encoder runs at memo speed.
+    Semantics are IDENTICAL to the expression path (pinned by test):
+    merges apply in TRAINING ORDER, each as one greedy left-to-right
+    non-overlapping pass — not the min-rank-first loop some encoders
+    use, which can diverge on adversarial (non-trained) merge lists.
+    A per-word adjacent-pair set skips merges whose pair cannot occur,
+    so one uncached word costs O(vocab dict probes + len·applied), not
+    O(vocab · len).
+
+    Scale shape: narrow map, no shuffle; the merge list rides the
+    closure (a 32k-merge vocab is ~1 MB — broadcast-by-pickle is fine;
+    beyond that, ship a file via ``SparkFiles``).
+    """
+    ordered = [(m["lhs"], m["rhs"]) for m in sorted(merges, key=lambda m: m["step"])]
+
+    import re
+
+    import pandas as pd  # noqa: F401  (worker-side import)
+    from pyspark.sql.functions import pandas_udf
+
+    # Java \s (the expression path's split class), NOT Python str.split's
+    # unicode whitespace — the two diverge on NBSP/vertical-tab text
+    _ws = re.compile(r"[ \t\n\x0B\f\r]+")
+    cache: dict[str, list[str]] = {}
+
+    def _encode_word(w: str) -> list[str]:
+        hit = cache.get(w)
+        if hit is not None:
+            return hit
+        syms = list(w)
+        pairs = set(zip(syms, syms[1:]))
+        for l, r in ordered:
+            if (l, r) not in pairs:
+                continue
+            out, i, n = [], 0, len(syms)
+            while i < n:
+                if i + 1 < n and syms[i] == l and syms[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+            pairs = set(zip(syms, syms[1:]))
+        cache[w] = syms
+        return syms
+
+    @pandas_udf("array<string>")
+    def _enc(s):
+        return s.map(
+            lambda txt: [
+                tok
+                for w in _ws.split(txt or "")
+                if w
+                for tok in _encode_word(w)
+            ]
+        )
+
+    return df.withColumn(out_col, _enc(F.col(text_col)))

@@ -343,3 +343,50 @@ def test_context_windows_stride_one(spark):
 def test_context_windows_k1_is_identity(spark):
     out = context_windows(_turns_df(spark), k=1, sep="|")
     assert out.count() == len(_TURNS)
+
+
+# ---------------------------------------------------------------------------
+# reciprocal-rank fusion
+# ---------------------------------------------------------------------------
+
+def test_rrf_fuse_matches_reference(spark):
+    from skewer_spark.operators.search import rrf_fuse
+
+    lex = [("d1", 9.5), ("d2", 7.25), ("d3", 5.0), ("d4", 5.0)]
+    dense = [("d3", 0.99), ("d5", 0.8), ("d1", 0.6)]
+    f1 = spark.createDataFrame(lex, "doc_id string, score double")
+    f2 = spark.createDataFrame(dense, "doc_id string, score double")
+
+    # independent reference: rank by (score desc, id asc), 1/(60+rank)
+    def ranks(lst):
+        return {
+            d: i + 1
+            for i, (d, _s) in enumerate(
+                sorted(lst, key=lambda t: (-t[1], t[0]))
+            )
+        }
+
+    r1, r2 = ranks(lex), ranks(dense)
+    want = {}
+    for d in set(r1) | set(r2):
+        want[d] = round(
+            (1.0 / (60 + r1[d]) if d in r1 else 0.0)
+            + (1.0 / (60 + r2[d]) if d in r2 else 0.0),
+            6,
+        )
+
+    got = {r.doc_id: r.rrf_score for r in rrf_fuse([f1, f2]).collect()}
+    assert got == want
+    n_lists = {r.doc_id: r.n_lists for r in rrf_fuse([f1, f2]).collect()}
+    assert n_lists == {"d1": 2, "d2": 1, "d3": 2, "d4": 1, "d5": 1}
+
+
+def test_rrf_fuse_k_cut_is_deterministic(spark):
+    from skewer_spark.operators.search import rrf_fuse
+
+    # ten docs with identical single-list scores: rank ties broken by id,
+    # the k-cut must keep the lexicographically smallest ids at each rank
+    rows = [(f"d{i:02d}", 1.0) for i in range(10)]
+    f = spark.createDataFrame(rows, "doc_id string, score double")
+    got = [r.doc_id for r in rrf_fuse([f], k=3).collect()]
+    assert got == ["d00", "d01", "d02"]

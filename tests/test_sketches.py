@@ -150,3 +150,67 @@ def test_pipeline_metrics_carry_mergeable_sketches(spark, tmp_path):
     }
     for r in inc:
         assert r.n_convs_merged == exact[r.role]
+
+
+# ---------------------------------------------------------------------------
+# count-min sketch
+# ---------------------------------------------------------------------------
+
+def test_cms_merge_equals_single_pass(spark):
+    # SUM-mergeability: arbitrary slices, merged cells == one-pass cells
+    from skewer_spark.operators.sketches import cms_merge, cms_partials
+
+    ev = _events(spark)
+    one = {
+        (r.row_id, r.bucket): r.cnt
+        for r in cms_partials(ev, "user_id").collect()
+    }
+    sliced = ev.withColumn("slice", F.pmod("event_id", F.lit(9)))
+    merged = {
+        (r.row_id, r.bucket): r.cnt
+        for r in cms_merge(
+            cms_partials(sliced, "user_id", ["slice"]).drop("slice")
+        ).collect()
+    }
+    assert merged == one
+
+
+def test_cms_estimate_upper_bounds_exact(spark):
+    from skewer_spark.operators.sketches import (
+        cms_estimate, cms_merge, cms_partials,
+    )
+
+    ev = _events(spark)
+    sketch = cms_merge(cms_partials(ev, "user_id"))
+    exact = {
+        r.user_id: r.n
+        for r in ev.groupBy("user_id").agg(F.count("*").alias("n")).collect()
+    }
+    keys = ev.select("user_id").distinct()
+    est = {
+        r.user_id: r.cms_count
+        for r in cms_estimate(sketch, keys, "user_id").collect()
+    }
+    assert set(est) == set(exact)
+    # CMS never under-counts; at 137 keys in a 4x1024 table collisions
+    # are rare, so the estimate is almost always exact
+    assert all(est[k] >= exact[k] for k in exact)
+    n_exact = sum(1 for k in exact if est[k] == exact[k])
+    assert n_exact >= len(exact) * 0.95
+
+
+def test_cms_absent_key_estimates_zero_or_collision(spark):
+    from skewer_spark.operators.sketches import (
+        cms_estimate, cms_merge, cms_partials,
+    )
+
+    ev = _events(spark)
+    sketch = cms_merge(cms_partials(ev, "user_id"))
+    ghosts = spark.range(900000, 900004).select(
+        F.col("id").alias("user_id")
+    )
+    est = cms_estimate(sketch, ghosts, "user_id").collect()
+    assert len(est) == 4
+    # min-over-rows with coalesce(0): a key the sketch never saw reads
+    # 0 unless ALL 4 of its cells collide with live keys
+    assert all(r.cms_count >= 0 for r in est)

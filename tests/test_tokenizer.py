@@ -171,3 +171,46 @@ def test_bpe_argmax_is_take_ordered(spark):
         .toString()
     )
     assert "TakeOrderedAndProject" in plan
+
+
+def test_apply_bpe_pandas_matches_expression_path(spark):
+    # the large-vocab pandas encoder and the JVM replace-chain must
+    # segment identically on TRAINED merges (training-order semantics)
+    from skewer_spark.operators.tokenizer import (
+        apply_bpe, apply_bpe_pandas, bpe_train, word_frequency,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            ("low lower newest widest lowest",),
+            ("the thin then than that aaaa aaab",),
+            ("in an and band thane",),
+            ("",),
+            ("  padded   runs\tand\ntabs  ",),
+        ],
+        "text string",
+    )
+    merges, final = bpe_train(word_frequency(docs), num_merges=8)
+    final.unpersist()
+    assert merges  # the fixture must actually train something
+
+    jvm = {
+        r.text: list(r.tokens)
+        for r in apply_bpe(docs, merges).collect()
+    }
+    pdu = {
+        r.text: list(r.tokens)
+        for r in apply_bpe_pandas(docs, merges).collect()
+    }
+    assert jvm == pdu
+
+
+def test_apply_bpe_pandas_run_semantics(spark):
+    # canonical greedy-left on runs: merge (a,a) segments aaaa -> (aa)(aa)
+    # and aaa -> (aa)(a), matching the double-space expression algebra
+    from skewer_spark.operators.tokenizer import apply_bpe_pandas
+
+    docs = spark.createDataFrame([("aaaa aaa aaaaa",)], "text string")
+    merges = [{"step": 1, "lhs": "a", "rhs": "a", "pair_count": 0}]
+    [row] = apply_bpe_pandas(docs, merges).collect()
+    assert list(row.tokens) == ["aa", "aa", "aa", "a", "aa", "aa", "a"]
