@@ -923,6 +923,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs = _read(spark, sf, "documents")
         return pack_sequences(docs, seq_len=512)
 
+    def q_doc_chunks(spark, sf):
+        # RAG-style per-document sliding-window chunking: 64-token
+        # windows, 16-token overlap (stride 48); every chunk after the
+        # first contributes >=1 new token, final chunk may be short —
+        # zero shuffles, one posexplode
+        from skewer_spark.operators.pack import chunk_documents
+        docs = _read(spark, sf, "documents")
+        return chunk_documents(
+            docs.select("doc_id", "text"), chunk_tokens=64, overlap=16
+        )
+
     def q_budget_select(spark, sf):
         # greedy token-budget corpus selection: keep whole docs in
         # (quality DESC, doc_id) order while the running token total
@@ -1554,7 +1565,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_funnel": q_funnel,
         "q_range_join": q_range_join,
         "q_seq_ngrams": q_seq_ngrams,
-        "q_context_windows": q_context_windows,
+        "q_doc_chunks": q_doc_chunks,
         "q_rate_anomaly": q_rate_anomaly,
         "q_pagerank": q_pagerank,
         # -- 51+: near-duplicate variants (oracle-paired, locally checked;
@@ -1580,10 +1591,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rides the parse queries, dictionary enrich rides
         # q_enrich_broadcast) and q_parse_acct demoted for
         # q_hybrid_search (binary decode family keeps q_parse_protobuf
-        # in-window; both demotees were driver-green in r02) --
+        # in-window; both demotees were driver-green in r02);
+        # q_context_windows demoted for q_doc_chunks (the bounded-frame
+        # turn-window machinery rides q_sft_pairs in-window; doc
+        # chunking is the new sliding-window family) --
         "q_priority_decode": q_priority_decode,
         "q_parse_acct": q_parse_acct,
         "q_bpe_apply": q_bpe_apply,
+        "q_context_windows": q_context_windows,
         "q_boilerplate": q_boilerplate,
         "q_dedup_exact": q_dedup_exact,
         "q_weighted_sample": q_weighted_sample,
@@ -3388,6 +3403,28 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(1.0 / (60.0 + rnk)), 6) AS rrf_score
             FROM ranked GROUP BY doc_id
             ORDER BY rrf_score DESC, doc_id LIMIT 10
+        """,
+        # chunk starts 0, 48, 96, … while start < max(n-16, 1); chunk =
+        # 64-token slice from each start, final chunk may be short
+        "q_doc_chunks": """
+            WITH d AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(text, '\\s+'),
+                                 x -> x <> '') AS toks
+              FROM documents
+            ), s AS (
+              SELECT doc_id, toks, len(toks) AS n FROM d WHERE len(toks) > 0
+            ), st AS (
+              SELECT doc_id, toks, n,
+                     unnest(range(0, greatest(n - 16, 1), 48)) AS start
+              FROM s
+            )
+            SELECT doc_id,
+                   (start // 48)::INT AS chunk_idx,
+                   least(64, n - start)::INT AS n_tokens,
+                   array_to_string(toks[start + 1 : start + 64],
+                                   ' ') AS chunk_text
+            FROM st
         """,
         # the oracle replays the JVM double-space replace-chain encoding
         # (apply_bpe's documented algebra) against the PANDAS encoder —

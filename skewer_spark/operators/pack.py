@@ -144,3 +144,65 @@ def sequence_manifest(
             F.sum(contrib).cast("long").alias("n_tokens"),
         )
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document sliding-window chunking — the RAG / long-document
+    prep step that cuts each doc into ``chunk_tokens``-token windows
+    with ``overlap`` tokens carried between consecutive chunks
+    (stride = chunk_tokens - overlap).
+
+    Chunk starts are ``0, stride, 2·stride, …`` while
+    ``start < max(n_tokens - overlap, 1)``: every chunk after the first
+    contributes at least one NEW token (no chunk is fully contained in
+    its predecessor), the final chunk may be short, and coverage is
+    total.  Docs with no tokens yield no chunks.
+
+    Returns ``(id_col, chunk_idx, n_tokens, chunk_text)``.
+
+    Scale shape: narrow map + one ``posexplode`` — zero shuffles; the
+    per-doc fan-out is ceil(max(n-overlap,1)/stride) rows, linear in
+    doc length.  Unlike :func:`pack_sequences` (one global stream,
+    cross-doc packing, distributed prefix sum) this is embarrassingly
+    parallel because windows never cross documents.
+    """
+    if overlap < 0 or overlap >= chunk_tokens:
+        raise ValueError(
+            f"overlap must satisfy 0 <= overlap < chunk_tokens "
+            f"(got overlap={overlap}, chunk_tokens={chunk_tokens})"
+        )
+    stride = chunk_tokens - overlap
+    toks = F.filter(
+        F.split(F.col(text_col), r"\s+"), lambda t: t != F.lit("")
+    )
+    base = (
+        df.select(F.col(id_col), toks.alias("_toks"))
+        .withColumn("_n", F.size("_toks"))
+        .filter(F.col("_n") > 0)
+    )
+    starts = F.sequence(
+        F.lit(0),
+        F.greatest(F.col("_n") - overlap - 1, F.lit(0)),
+        F.lit(stride),
+    )
+    return base.select(
+        id_col,
+        F.posexplode(starts).alias("chunk_idx", "_start"),
+        "_toks",
+        "_n",
+    ).select(
+        id_col,
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.least(F.lit(chunk_tokens), F.col("_n") - F.col("_start"))
+        .cast("int")
+        .alias("n_tokens"),
+        F.concat_ws(
+            " ", F.slice("_toks", F.col("_start") + 1, chunk_tokens)
+        ).alias("chunk_text"),
+    )

@@ -1297,3 +1297,75 @@ def test_streaming_watermark_late_data(spark, tmp_path):
     assert all(r.n == r.nsinks for r in per_key)
     keys = {(r.conv_id, r.turn_idx) for r in per_key}
     assert ("c1", 9) in keys
+
+
+# ---------------------------------------------------------------------------
+# chunk_documents (RAG sliding-window chunking)
+# ---------------------------------------------------------------------------
+
+def _ref_chunks(text, chunk=8, overlap=2):
+    """Independent per-doc reference: starts 0, stride, … while
+    start < max(n - overlap, 1)."""
+    toks = [t for t in text.split() if t]
+    n = len(toks)
+    if n == 0:
+        return []
+    stride = chunk - overlap
+    out = []
+    start = 0
+    while start < max(n - overlap, 1):
+        sl = toks[start:start + chunk]
+        out.append((start // stride, len(sl), " ".join(sl)))
+        start += stride
+    return out
+
+
+def test_chunk_documents_matches_reference(spark):
+    from skewer_spark.operators.pack import chunk_documents
+
+    texts = [
+        " ".join(f"w{i}" for i in range(n))
+        for n in (0, 1, 2, 7, 8, 9, 10, 14, 15, 20, 33)
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id int, text string"
+    )
+    got = {}
+    for r in chunk_documents(docs, chunk_tokens=8, overlap=2).collect():
+        got.setdefault(r.doc_id, []).append(
+            (r.chunk_idx, r.n_tokens, r.chunk_text)
+        )
+    for i, t in enumerate(texts):
+        assert sorted(got.get(i, [])) == _ref_chunks(t), f"doc {i}"
+
+
+def test_chunk_documents_overlap_coverage(spark):
+    # consecutive chunks share exactly `overlap` tokens and cover the
+    # doc with no gaps; every chunk past the first adds >= 1 new token
+    from skewer_spark.operators.pack import chunk_documents
+
+    docs = spark.createDataFrame(
+        [(0, " ".join(f"t{i}" for i in range(23)))],
+        "doc_id int, text string",
+    )
+    rows = sorted(
+        chunk_documents(docs, chunk_tokens=8, overlap=3).collect(),
+        key=lambda r: r.chunk_idx,
+    )
+    chunks = [r.chunk_text.split() for r in rows]
+    for a, b in zip(chunks, chunks[1:]):
+        assert a[-3:] == b[:3]  # exact overlap carry
+        assert len(b) > 3  # new content beyond the carried overlap
+    seen = []
+    for i, c in enumerate(chunks):
+        seen.extend(c if i == 0 else c[3:])
+    assert seen == [f"t{i}" for i in range(23)]
+
+
+def test_chunk_documents_rejects_bad_overlap(spark):
+    import pytest as _pytest
+    from skewer_spark.operators.pack import chunk_documents
+
+    docs = spark.createDataFrame([(0, "a b")], "doc_id int, text string")
+    with _pytest.raises(ValueError):
+        chunk_documents(docs, chunk_tokens=8, overlap=8)
