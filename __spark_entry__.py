@@ -641,6 +641,147 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .alias("tr_str"),
         )
 
+    def q_grok(spark, sf):
+        # grok-compiled apache common-log extraction: the fixture line
+        # is BUILT from events columns, so the oracle checks the
+        # compiled regex recovers exactly what was embedded (it never
+        # re-parses — full formulation independence); every 17th row is
+        # corrupted to pin the no-match contract (match=false, fields
+        # empty)
+        from skewer_spark.operators.grok import grok_extract
+        ev = _read(spark, sf, "events")
+        eid, uid = F.col("event_id"), F.col("user_id")
+        ip = F.format_string(
+            "10.%d.3.%d", F.pmod(uid, F.lit(200)), F.pmod(eid, F.lit(250))
+        )
+        nbytes = F.when(
+            F.pmod(eid, F.lit(7)) == 0, F.lit("-")
+        ).otherwise(F.floor(F.col("value") * 100).cast("string"))
+        line = F.concat(
+            ip, F.lit(" - "), F.concat(F.lit("u"), uid),
+            F.lit(" ["), F.date_format("ts", "dd/MMM/yyyy:HH:mm:ss"),
+            F.lit(" +0000] \""), F.upper("event_type"),
+            F.lit(" /e/"), eid,
+            F.when(F.pmod(eid, F.lit(2)) == 0, F.lit(" HTTP/1.1"))
+            .otherwise(F.lit("")),
+            F.lit("\" "),
+            F.when(F.col("event_type") == "error", F.lit("500"))
+            .otherwise(F.lit("200")),
+            F.lit(" "), nbytes,
+        )
+        corrupted = F.concat(F.lit("corrupt line "), eid)
+        text = F.when(F.pmod(eid, F.lit(17)) == 0, corrupted).otherwise(line)
+        out = grok_extract(
+            ev.select("event_id", text.alias("text")),
+            r"^%{COMMONAPACHELOG}$",
+        )
+        return out.select(
+            "event_id", "grok_match", "clientip", "auth",
+            F.col("timestamp").alias("http_ts"), "verb", "request",
+            "httpversion", "response", "bytes",
+        )
+
+    def q_log_templates(spark, sf):
+        # Drain-style template mining over 5 structural line families
+        # built from events; lengths collide across families on purpose
+        # (the len-4 groups merge into one wildcarded template per
+        # service — the oracle replays the whole algorithm)
+        from skewer_spark.operators.templates import mine_templates
+        ev = _read(spark, sf, "events")
+        eid, uid = F.col("event_id"), F.col("user_id")
+        body = (
+            F.when(
+                F.col("event_type") == "error",
+                F.concat(F.lit("failed with code "), F.pmod(eid, F.lit(5))),
+            )
+            .when(
+                F.col("event_type") == "click",
+                F.concat(F.lit("clicked button "), F.pmod(eid, F.lit(7))),
+            )
+            .when(
+                F.col("event_type") == "view",
+                F.concat(F.lit("viewed page /p/"), eid),
+            )
+            .when(
+                F.col("event_type") == "signup",
+                F.concat(
+                    F.lit("signup from 10.2."), F.pmod(uid, F.lit(9)),
+                    F.lit(".4"),
+                ),
+            )
+            .otherwise(
+                F.concat(
+                    F.lit("purchase amount "),
+                    F.floor(F.col("value") * 100),
+                )
+            )
+        )
+        line = F.concat(
+            F.lit("app"), F.pmod(uid, F.lit(3)), F.lit(" "), body
+        )
+        return mine_templates(
+            ev.select(eid.alias("line_id"), line.alias("text")),
+            id_col="line_id",
+        )
+
+    def q_cdc_upsert(spark, sf):
+        # MERGE INTO analog: a CDC log (deletes, conflicting updates
+        # resolved by (ts, seq), inserts of new keys) applied to orders;
+        # the oracle computes the expected table directly from the
+        # change rules — full formulation independence
+        from skewer_spark.operators.cdc import apply_cdc_log
+        o = _read(spark, sf, "orders")
+        key = F.col("o_orderkey")
+        m = F.pmod(key, F.lit(10))
+        base = o.select("o_orderkey", "o_orderstatus", "o_totalprice")
+        ts1 = F.col("o_orderdate") + F.expr("INTERVAL 1 DAY")
+        ch1 = o.filter(m < 5).select(
+            F.when(m == 4, key + 1000000).otherwise(key)
+            .alias("o_orderkey"),
+            F.lit("X").alias("o_orderstatus"),
+            (F.col("o_totalprice") + 1000).alias("o_totalprice"),
+            ts1.alias("ts"),
+            F.when(m == 0, F.lit("D"))
+            .when(m == 4, F.lit("I"))
+            .otherwise(F.lit("U"))
+            .alias("op"),
+            F.lit(1).cast("long").alias("seq"),
+        )
+        # same-key same-ts second update: must win on seq
+        ch2 = o.filter(m == 3).select(
+            key.alias("o_orderkey"),
+            F.lit("Y").alias("o_orderstatus"),
+            (F.col("o_totalprice") + 2000).alias("o_totalprice"),
+            ts1.alias("ts"),
+            F.lit("U").alias("op"),
+            F.lit(2).cast("long").alias("seq"),
+        )
+        return apply_cdc_log(
+            base, ch1.unionByName(ch2), ["o_orderkey"], "ts", "op", "seq"
+        )
+
+    def q_quantile_sketch(spark, sf):
+        # SUM-mergeable DDSketch: 5 arbitrary slices build independent
+        # bucket tables, merged by plain SUM, then per-event-type
+        # p50/p95/p99 come off the merged sketch (DuckDB mirrors the
+        # bucket arithmetic single-pass: equality IS the mergeability
+        # proof, the q_cms_heavy pattern)
+        from skewer_spark.operators.sketches import (
+            dd_merge, dd_partials, dd_quantiles,
+        )
+        ev = _read(spark, sf, "events").withColumn(
+            "_sl", F.pmod("event_id", F.lit(5))
+        )
+        sk = dd_merge(
+            dd_partials(
+                ev, "value", key_cols=["event_type"], slice_cols=["_sl"]
+            ),
+            key_cols=["event_type"],
+        )
+        return dd_quantiles(
+            sk, (0.5, 0.95, 0.99), key_cols=["event_type"]
+        )
+
     def q_dedup_exact(spark, sf):
         docs = _read(spark, sf, "documents")
         return exact_dedup(docs)
@@ -1529,11 +1670,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_windowed_agg": q_windowed_agg,
         "q_encode_rfc5424": q_encode_rfc5424,
         "q_dedup_clusters_star": q_dedup_clusters_star,
-        "q_soft_dedup": q_soft_dedup,
-        "q_tfidf_terms": q_tfidf_terms,
+        "q_grok": q_grok,
+        "q_log_templates": q_log_templates,
         "q_dsir_weights": q_dsir_weights,
         "q_pack_sequences": q_pack_sequences,
-        "q_budget_select": q_budget_select,
+        "q_cdc_upsert": q_cdc_upsert,
         "q_apply_mixture": q_apply_mixture,
         "q_shard_shuffle": q_shard_shuffle,
         "q_parse_protobuf": q_parse_protobuf,
@@ -1594,7 +1735,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # in-window; both demotees were driver-green in r02);
         # q_context_windows demoted for q_doc_chunks (the bounded-frame
         # turn-window machinery rides q_sft_pairs in-window; doc
-        # chunking is the new sliding-window family) --
+        # chunking is the new sliding-window family); r3: q_soft_dedup /
+        # q_tfidf_terms / q_budget_select demoted for the new q_grok /
+        # q_log_templates / q_cdc_upsert families (exact-dup weighting
+        # rides q_minhash_lsh + q_dedup_clusters_star, tf-idf machinery
+        # rides q_bm25_search, the bucketed prefix sum rides
+        # q_pack_sequences — all three demotees stay oracle-paired
+        # below); q_quantile_sketch joins the tail (mergeable-sketch
+        # family already in-window via q_cms_heavy + q_sketch_distinct) --
+        "q_soft_dedup": q_soft_dedup,
+        "q_tfidf_terms": q_tfidf_terms,
+        "q_budget_select": q_budget_select,
+        "q_quantile_sketch": q_quantile_sketch,
         "q_priority_decode": q_priority_decode,
         "q_parse_acct": q_parse_acct,
         "q_bpe_apply": q_bpe_apply,
@@ -2452,6 +2604,147 @@ def oracle_sql() -> dict[str, str]:
                    strftime(date_trunc('second', ts), '%Y-%m-%d %H:%M:%S')
                      AS tr_str
             FROM l
+        """,
+        # INDEPENDENT formulation: the oracle never runs the regex — it
+        # recomputes what the fixture embedded in each line, so the
+        # compiled grok pattern must recover those values exactly
+        "q_grok": """
+            SELECT event_id,
+                   event_id % 17 <> 0 AS grok_match,
+                   CASE WHEN event_id % 17 = 0 THEN ''
+                        ELSE '10.' || (user_id % 200) || '.3.'
+                             || (event_id % 250) END AS clientip,
+                   CASE WHEN event_id % 17 = 0 THEN ''
+                        ELSE 'u' || user_id END AS auth,
+                   CASE WHEN event_id % 17 = 0 THEN ''
+                        ELSE strftime(ts, '%d/%b/%Y:%H:%M:%S')
+                             || ' +0000' END AS http_ts,
+                   CASE WHEN event_id % 17 = 0 THEN ''
+                        ELSE upper(event_type) END AS verb,
+                   CASE WHEN event_id % 17 = 0 THEN ''
+                        ELSE '/e/' || event_id END AS request,
+                   CASE WHEN event_id % 17 = 0 OR event_id % 2 <> 0
+                        THEN '' ELSE '1.1' END AS httpversion,
+                   CASE WHEN event_id % 17 = 0 THEN ''
+                        WHEN event_type = 'error' THEN '500'
+                        ELSE '200' END AS response,
+                   CASE WHEN event_id % 17 = 0 OR event_id % 7 = 0
+                        THEN ''
+                        ELSE floor(value * 100)::BIGINT::VARCHAR
+                        END AS bytes
+            FROM events
+        """,
+        # full replay of the mining algorithm: mask → group by
+        # (n_tokens, first token) → per-position agreement → template
+        "q_log_templates": """
+            WITH lines AS (
+              SELECT 'app' || (user_id % 3) || ' ' ||
+                     CASE event_type
+                       WHEN 'error' THEN 'failed with code '
+                                         || (event_id % 5)
+                       WHEN 'click' THEN 'clicked button '
+                                         || (event_id % 7)
+                       WHEN 'view' THEN 'viewed page /p/' || event_id
+                       WHEN 'signup' THEN 'signup from 10.2.'
+                                          || (user_id % 9) || '.4'
+                       ELSE 'purchase amount '
+                            || floor(value * 100)::BIGINT
+                     END AS text
+              FROM events
+            ), masked AS (
+              SELECT regexp_replace(regexp_replace(regexp_replace(text,
+                       '(?:\\d{1,3}\\.){3}\\d{1,3}', '<*>', 'g'),
+                       '\\b0[xX][0-9a-fA-F]+\\b', '<*>', 'g'),
+                       '\\b\\d+\\b', '<*>', 'g') AS m
+              FROM lines
+            ), toks AS (
+              SELECT list_filter(string_split_regex(m, '\\s+'),
+                                 x -> x <> '') AS t
+              FROM masked
+            ), g AS (
+              SELECT t, len(t) AS n, t[1] AS first
+              FROM toks WHERE len(t) > 0
+            ), ex AS (
+              SELECT n, first, t,
+                     unnest(range(1, n + 1)) AS pos
+              FROM g
+            ), tok AS (
+              SELECT n, first, pos, t[pos] AS tok FROM ex
+            ), agree AS (
+              SELECT n, first, pos, count(DISTINCT tok) AS nd,
+                     min(tok) AS mt
+              FROM tok GROUP BY 1, 2, 3
+            ), tmpl AS (
+              SELECT n, first,
+                     string_agg(CASE WHEN nd = 1 THEN mt
+                                     ELSE '<*>' END, ' ' ORDER BY pos)
+                       AS template
+              FROM agree GROUP BY n, first
+            ), cnt AS (
+              SELECT n, first, count(*) AS n_lines FROM g GROUP BY 1, 2
+            )
+            SELECT md5(template) AS template_id, template,
+                   n::INT AS n_tokens, n_lines
+            FROM tmpl JOIN cnt USING (n, first)
+        """,
+        # INDEPENDENT formulation: the expected post-merge table is
+        # computed straight from the change rules, never via a merge
+        "q_cdc_upsert": """
+            WITH m AS (
+              SELECT *, o_orderkey % 10 AS md FROM orders
+            )
+            SELECT o_orderkey,
+                   CASE WHEN md IN (1, 2) THEN 'X'
+                        WHEN md = 3 THEN 'Y'
+                        ELSE o_orderstatus END AS o_orderstatus,
+                   CASE WHEN md IN (1, 2) THEN o_totalprice + 1000
+                        WHEN md = 3 THEN o_totalprice + 2000
+                        ELSE o_totalprice END AS o_totalprice
+            FROM m WHERE md <> 0
+            UNION ALL
+            SELECT o_orderkey + 1000000, 'X', o_totalprice + 1000
+            FROM m WHERE md = 4
+        """,
+        # single-pass replay of the bucket arithmetic (Spark side
+        # builds per-slice partials and SUM-merges: equality proves
+        # mergeability, as q_cms_heavy does for frequencies)
+        "q_quantile_sketch": """
+            WITH b AS (
+              SELECT event_type,
+                     CASE WHEN value > 0
+                          THEN ceil(ln(value) / ln(1.02))::BIGINT
+                          ELSE -2147483648 END AS bucket
+              FROM events
+            ), sk AS (
+              SELECT event_type, bucket, count(*) AS cnt
+              FROM b GROUP BY 1, 2
+            ), cum AS (
+              SELECT event_type, bucket,
+                     sum(cnt) OVER (PARTITION BY event_type
+                                    ORDER BY bucket) AS cum,
+                     sum(cnt) OVER (PARTITION BY event_type) AS n
+              FROM sk
+            ), picks AS (
+              SELECT event_type, max(n)::BIGINT AS n,
+                     min(CASE WHEN cum >= greatest(1, ceil(0.5 * n))
+                              THEN bucket END) AS b50,
+                     min(CASE WHEN cum >= greatest(1, ceil(0.95 * n))
+                              THEN bucket END) AS b95,
+                     min(CASE WHEN cum >= greatest(1, ceil(0.99 * n))
+                              THEN bucket END) AS b99
+              FROM cum GROUP BY event_type
+            )
+            SELECT event_type, n,
+                   CASE WHEN b50 = -2147483648 THEN 0.0
+                        ELSE round(2.0 * power(1.02, b50) / 2.02, 6)
+                        END AS p50,
+                   CASE WHEN b95 = -2147483648 THEN 0.0
+                        ELSE round(2.0 * power(1.02, b95) / 2.02, 6)
+                        END AS p95,
+                   CASE WHEN b99 = -2147483648 THEN 0.0
+                        ELSE round(2.0 * power(1.02, b99) / 2.02, 6)
+                        END AS p99
+            FROM picks
         """,
         "q_dedup_exact": """
             SELECT md5(text) AS text_md5, min(doc_id) AS keeper_id,

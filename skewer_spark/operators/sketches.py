@@ -36,8 +36,11 @@ runs over the tiny metrics frames only.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 __all__ = [
     "hll_partials",
@@ -49,6 +52,10 @@ __all__ = [
     "cms_partials",
     "cms_merge",
     "cms_estimate",
+    "dd_bucket",
+    "dd_partials",
+    "dd_merge",
+    "dd_quantiles",
 ]
 
 _DEFAULT_LGK = 12
@@ -234,4 +241,125 @@ def cms_estimate(
         coords.join(F.broadcast(cms), ["row_id", "bucket"], "left")
         .groupBy(key_col)
         .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("cms_count"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# DDSketch: SUM-mergeable quantile estimates with relative-error bounds
+# ---------------------------------------------------------------------------
+#
+# Completes the mergeable-metrics family: HLL/bitmap = distincts, CMS =
+# frequencies, DDSketch (Masson, Rim & Lee, VLDB'19) = quantiles.  The
+# per-snapshot use case is latency/size percentiles: exact percentiles
+# need the raw values (unmergeable), while a DDSketch is a tiny
+# bucket→count table whose merge is a plain SUM per bucket — exactly
+# equal to the single-pass sketch under ANY slicing (pinned by test).
+#
+# bucket(v) = ceil(ln v / ln gamma) for v > 0 (v <= 0 → reserved zero
+# bucket), estimate(bucket i) = 2·gamma^i/(gamma+1), giving relative
+# error <= alpha where gamma = (1+alpha)/(1-alpha).  All arithmetic is
+# IEEE-double builtins, so the DuckDB oracle replays the sketch
+# cell-for-cell (estimates rounded 6 dp on both engines — the
+# cross-engine contract used by rrf_fuse).
+#
+# Scale shape: the build is a partial-aggregable groupBy whose combiner
+# state is bounded at the bucket count (~ln(max/min)/ln(gamma) ≈ 1.4k
+# buckets for 12 decades at gamma=1.02) per task regardless of input
+# rows; quantile extraction runs windows over the tiny (keys × buckets)
+# frame only.
+
+_DD_GAMMA = 1.02
+_DD_ZERO_BUCKET = -(2**31)
+
+
+def dd_bucket(value: Column, gamma: float = _DD_GAMMA) -> Column:
+    """DDSketch bucket index; v <= 0 (and NULL) land in the zero bucket."""
+    return (
+        F.when(
+            value > 0,
+            F.ceil(F.log(value.cast("double")) / math.log(gamma)),
+        )
+        .otherwise(F.lit(_DD_ZERO_BUCKET))
+        .cast("long")
+    )
+
+
+def dd_partials(
+    df: DataFrame,
+    value_col: str | Column,
+    key_cols: list[str] | None = None,
+    slice_cols: list[str] | None = None,
+    gamma: float = _DD_GAMMA,
+) -> DataFrame:
+    """One slice → its sketch cells ``(slice…, key…, bucket, cnt)``."""
+    v = F.col(value_col) if isinstance(value_col, str) else value_col
+    kc, sc = list(key_cols or []), list(slice_cols or [])
+    return (
+        df.select(*sc, *kc, dd_bucket(v, gamma).alias("bucket"))
+        .groupBy(*sc, *kc, "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def dd_merge(partials: DataFrame, key_cols: list[str] | None = None) -> DataFrame:
+    """Fold stored per-slice cells into one sketch: SUM per cell."""
+    kc = list(key_cols or [])
+    return partials.groupBy(*kc, "bucket").agg(F.sum("cnt").alias("cnt"))
+
+
+def dd_quantiles(
+    sketch: DataFrame,
+    qs: tuple[float, ...] = (0.5, 0.95, 0.99),
+    key_cols: list[str] | None = None,
+    gamma: float = _DD_GAMMA,
+) -> DataFrame:
+    """Quantile estimates off a (merged) sketch: one row per key with a
+    ``p50/p95/p99``-style DOUBLE column per requested quantile.
+
+    q's estimate is the lowest bucket whose cumulative count reaches
+    ``max(1, ceil(q·n))`` (rank semantics: the value at that rank in
+    sorted order, the DDSketch paper's definition), mapped back through
+    the bucket midpoint ``2·gamma^i/(gamma+1)`` and rounded to 6 dp for
+    cross-engine determinism.  Zero-bucket hits estimate 0.0.  Windows
+    run on the compact (keys × buckets) frame only.
+    """
+    kc = list(key_cols or [])
+    part = Window.partitionBy(*[F.col(c) for c in kc]) if kc else Window.partitionBy()
+    w_cum = part.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = part.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = sketch.select(
+        *kc,
+        "bucket",
+        F.sum("cnt").over(w_cum).alias("_cum"),
+        F.sum("cnt").over(w_all).alias("_n"),
+    )
+    def _est(bcol: Column) -> Column:
+        return F.when(bcol == _DD_ZERO_BUCKET, F.lit(0.0)).otherwise(
+            F.round(
+                F.lit(2.0) * F.pow(F.lit(gamma), bcol) / F.lit(gamma + 1.0),
+                6,
+            )
+        )
+
+    names = [("p%g" % (100.0 * q)).replace(".", "_") for q in qs]
+    aggs = []
+    for q, name in zip(qs, names):
+        rank = F.greatest(
+            F.lit(1).cast("long"),
+            F.ceil(F.lit(float(q)) * F.col("_n")),
+        )
+        aggs.append(
+            F.min(
+                F.when(F.col("_cum") >= rank, F.col("bucket"))
+            ).alias(f"_b_{name}")
+        )
+    rowed = cum.groupBy(*kc).agg(F.max("_n").alias("n"), *aggs)
+    return rowed.select(
+        *kc,
+        "n",
+        *[_est(F.col(f"_b_{name}")).alias(name) for name in names],
     )

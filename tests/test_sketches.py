@@ -214,3 +214,87 @@ def test_cms_absent_key_estimates_zero_or_collision(spark):
     # min-over-rows with coalesce(0): a key the sketch never saw reads
     # 0 unless ALL 4 of its cells collide with live keys
     assert all(r.cms_count >= 0 for r in est)
+
+
+# ---------------------------------------------------------------------------
+# DDSketch quantiles
+# ---------------------------------------------------------------------------
+
+def _values(spark, n=3000):
+    # deterministic positive values spanning ~4 decades, 3 keys
+    return spark.range(n).select(
+        F.col("id"),
+        F.concat(F.lit("k"), F.pmod("id", F.lit(3)).cast("string")).alias(
+            "key"
+        ),
+        F.pmod("id", F.lit(5)).alias("slice"),
+        (
+            F.pow(F.lit(10.0), F.pmod(F.xxhash64("id"), F.lit(4000)) / 1000.0)
+            + F.lit(0.25)
+        ).alias("v"),
+    )
+
+
+def test_dd_merge_equals_single_pass(spark):
+    """Per-slice partials SUM-merged == the single-pass sketch, cell
+    for cell — mergeability under arbitrary slicing."""
+    from skewer_spark.operators.sketches import dd_merge, dd_partials
+
+    df = _values(spark)
+    merged = dd_merge(
+        dd_partials(df, "v", key_cols=["key"], slice_cols=["slice"]),
+        key_cols=["key"],
+    )
+    single = dd_partials(df, "v", key_cols=["key"])
+    a = {(r.key, r.bucket): r.cnt for r in merged.collect()}
+    b = {(r.key, r.bucket): r.cnt for r in single.collect()}
+    assert a == b
+
+
+def test_dd_quantiles_relative_error_bound(spark):
+    """alpha = (gamma-1)/(gamma+1): every estimate within alpha of the
+    exact rank-based quantile (the paper's guarantee)."""
+    from skewer_spark.operators.sketches import dd_partials, dd_quantiles
+
+    gamma = 1.02
+    alpha = (gamma - 1.0) / (gamma + 1.0)
+    df = _values(spark)
+    sk = dd_partials(df, "v", key_cols=["key"], gamma=gamma)
+    got = {
+        r.key: r
+        for r in dd_quantiles(
+            sk, (0.5, 0.95, 0.99), key_cols=["key"], gamma=gamma
+        ).collect()
+    }
+    import math
+
+    vals = {}
+    for r in df.collect():
+        vals.setdefault(r.key, []).append(r.v)
+    for key, xs in vals.items():
+        xs.sort()
+        for q, col in ((0.5, "p50"), (0.95, "p95"), (0.99, "p99")):
+            exact = xs[max(1, math.ceil(q * len(xs))) - 1]
+            est = getattr(got[key], col)
+            assert abs(est - exact) / exact <= alpha + 1e-9, (key, col)
+
+
+def test_dd_zero_and_negative_bucket(spark):
+    from skewer_spark.operators.sketches import dd_partials, dd_quantiles
+
+    df = spark.createDataFrame(
+        [(0.0,), (-5.0,), (0.0,), (100.0,)], "v double"
+    )
+    sk = dd_partials(df, "v")
+    [r] = dd_quantiles(sk, (0.5, 0.99)).collect()
+    assert r.p50 == 0.0          # 3 of 4 values are <= 0
+    assert abs(r.p99 - 100.0) / 100.0 <= 0.01
+    assert r.n == 4
+
+
+def test_dd_quantiles_ungrouped(spark):
+    from skewer_spark.operators.sketches import dd_partials, dd_quantiles
+
+    df = _values(spark)
+    [r] = dd_quantiles(dd_partials(df, "v"), (0.5,)).collect()
+    assert r.n == 3000 and r.p50 > 0
