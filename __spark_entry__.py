@@ -782,6 +782,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             sk, (0.5, 0.95, 0.99), key_cols=["event_type"]
         )
 
+    def q_multiline(spark, sf):
+        # stack-trace reassembly: continuation lines ('  at …') fold
+        # into the preceding header; the oracle replays the running
+        # header-count window in DuckDB
+        from skewer_spark.operators.flow import merge_multiline
+        ev = _read(spark, sf, "events")
+        eid = F.col("event_id")
+        text = F.when(
+            F.pmod(eid, F.lit(5)).isin(1, 2),
+            F.concat(F.lit("  at frame "), eid),
+        ).otherwise(F.concat(F.lit("ERR event "), eid))
+        lines = ev.select(
+            F.concat(F.lit("f"), F.pmod("user_id", F.lit(4)))
+            .alias("path"),
+            eid.alias("line_no"),
+            text.alias("text"),
+        )
+        return merge_multiline(lines)
+
+    def q_rate_limit(spark, sf):
+        # rsyslog rate-limit analog: admit <= 20 rows per
+        # (event_type, hour), deterministic (ts, event_id) order,
+        # excess rows flagged not dropped
+        from skewer_spark.operators.flow import rate_limit
+        ev = _read(spark, sf, "events")
+        out = rate_limit(
+            ev, ["event_type"], "ts", burst=20, interval_seconds=3600,
+            tiebreak_col="event_id",
+        )
+        return out.select(
+            "event_id", "event_type", "rl_window", "admitted"
+        )
+
     def q_dedup_exact(spark, sf):
         docs = _read(spark, sf, "documents")
         return exact_dedup(docs)
@@ -1672,10 +1705,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dedup_clusters_star": q_dedup_clusters_star,
         "q_grok": q_grok,
         "q_log_templates": q_log_templates,
-        "q_dsir_weights": q_dsir_weights,
+        "q_multiline": q_multiline,
         "q_pack_sequences": q_pack_sequences,
         "q_cdc_upsert": q_cdc_upsert,
-        "q_apply_mixture": q_apply_mixture,
+        "q_rate_limit": q_rate_limit,
         "q_shard_shuffle": q_shard_shuffle,
         "q_parse_protobuf": q_parse_protobuf,
         "q_hybrid_search": q_hybrid_search,
@@ -1742,11 +1775,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rides q_bm25_search, the bucketed prefix sum rides
         # q_pack_sequences — all three demotees stay oracle-paired
         # below); q_quantile_sketch joins the tail (mergeable-sketch
-        # family already in-window via q_cms_heavy + q_sketch_distinct) --
+        # family already in-window via q_cms_heavy + q_sketch_distinct);
+        # q_dsir_weights / q_apply_mixture demoted for q_multiline /
+        # q_rate_limit (model-scored curation stays in-window via
+        # q_classifier + q_curation, mixing via q_shard_shuffle; both
+        # demotees stay oracle-paired below) --
         "q_soft_dedup": q_soft_dedup,
         "q_tfidf_terms": q_tfidf_terms,
         "q_budget_select": q_budget_select,
         "q_quantile_sketch": q_quantile_sketch,
+        "q_dsir_weights": q_dsir_weights,
+        "q_apply_mixture": q_apply_mixture,
         "q_priority_decode": q_priority_decode,
         "q_parse_acct": q_parse_acct,
         "q_bpe_apply": q_bpe_apply,
@@ -2745,6 +2784,38 @@ def oracle_sql() -> dict[str, str]:
                         ELSE round(2.0 * power(1.02, b99) / 2.02, 6)
                         END AS p99
             FROM picks
+        """,
+        # running header-count window replay
+        "q_multiline": """
+            WITH lines AS (
+              SELECT 'f' || (user_id % 4) AS path,
+                     event_id AS line_no,
+                     CASE WHEN event_id % 5 IN (1, 2)
+                          THEN '  at frame ' || event_id
+                          ELSE 'ERR event ' || event_id END AS text
+              FROM events
+            ), rec AS (
+              SELECT path, line_no, text,
+                     sum(CASE WHEN NOT regexp_matches(text,
+                           '^(\\s+|at\\s|Caused by:|\\.{3}\\s)')
+                         THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY path ORDER BY line_no)
+                       AS record_no
+              FROM lines
+            )
+            SELECT path, record_no::BIGINT AS record_no,
+                   min(line_no) AS first_line_no,
+                   count(*)::INT AS n_lines,
+                   string_agg(text, chr(10) ORDER BY line_no) AS text
+            FROM rec GROUP BY path, record_no
+        """,
+        "q_rate_limit": """
+            SELECT event_id, event_type,
+                   floor(epoch(ts) / 3600)::BIGINT AS rl_window,
+                   row_number() OVER (
+                     PARTITION BY event_type, floor(epoch(ts) / 3600)
+                     ORDER BY ts, event_id) <= 20 AS admitted
+            FROM events
         """,
         "q_dedup_exact": """
             SELECT md5(text) AS text_md5, min(doc_id) AS keeper_id,

@@ -1,0 +1,120 @@
+"""Stream-shaping operators: multiline record merge + rate limiting.
+
+Two classic syslog-gateway behaviors the reference handles at the
+socket layer, re-expressed as batch/stream DataFrame plans:
+
+* **Multiline merge** — the inverse of LF framing
+  (``sources/filepoll.explode_multiline``): continuation lines (stack
+  trace frames, wrapped payloads — anything matching a continuation
+  pattern) fold into their preceding header line, the
+  filebeat/rsyslog ``multiline`` feature.  The reference frames on LF
+  only (``/root/reference/utils/scanner.go``), so a Java stack trace
+  arrives as ~40 separate messages; this operator reassembles them.
+
+* **Rate limiting** — rsyslog's ``$SystemLogRateLimitInterval/Burst``
+  analog: admit at most ``burst`` messages per (key, interval), flag
+  (never silently drop — the route.py metrics philosophy) the rest.
+  Deterministic: admission order is (ts, tiebreak), so reruns admit
+  the same rows.
+
+Scale shape: each operator is ONE hash exchange.  Multiline merge
+partitions by the file/source id — bounded by log rotation; for
+pathological single-file inputs the same coarse-bucket + carry trick
+as ``dedup_and_rank`` applies (documented, not needed at file sizes
+rotation produces).  Rate limiting partitions by (key, interval
+bucket), so a hot key's windows spread across tasks; the per-window
+sort is bounded by the window's row count and the row_number cuts it
+early under whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+# continuation = leading whitespace, 'at ...' stack frames, 'Caused by:',
+# or explicit wrap markers — the filebeat java-multiline default shape
+DEFAULT_CONTINUATION_RX = r"^(\s+|at\s|Caused by:|\.{3}\s)"
+
+
+def merge_multiline(
+    df: DataFrame,
+    group_col: str = "path",
+    order_col: str = "line_no",
+    text_col: str = "text",
+    continuation_rx: str = DEFAULT_CONTINUATION_RX,
+) -> DataFrame:
+    """Fold continuation lines into their preceding header line.
+
+    Returns one row per logical record:
+    ``(group_col, record_no, first_line_no, n_lines, text)`` where
+    ``record_no`` numbers records within the group from 1 and ``text``
+    joins the member lines with ``\\n`` in line order.  A leading
+    continuation line with no preceding header starts record 0 (kept,
+    never dropped — the no-message-lost contract).
+
+    Plan: record ids are a running count of headers (one window over
+    the (group) exchange); the rebuild groupBy rides the same keys.
+    """
+    is_header = ~F.col(text_col).rlike(continuation_rx)
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    rec = df.select(
+        group_col,
+        order_col,
+        text_col,
+        F.sum(is_header.cast("int")).over(w).alias("record_no"),
+    )
+    return (
+        rec.groupBy(group_col, "record_no")
+        .agg(
+            F.min(order_col).alias("first_line_no"),
+            F.count(F.lit(1)).cast("int").alias("n_lines"),
+            F.concat_ws(
+                "\n",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(order_col, text_col))
+                    ),
+                    lambda s: s[text_col],
+                ),
+            ).alias("text"),
+        )
+    )
+
+
+def rate_limit(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    burst: int = 5,
+    interval_seconds: int = 60,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Admit at most ``burst`` rows per (key, interval); flag the rest.
+
+    Adds ``rl_window`` (the interval's epoch index) and ``admitted``
+    (the first ``burst`` rows of the window in ``(ts, tiebreak)``
+    order).  Callers route ``admitted = false`` rows to a rejects sink
+    and count them — flagging, not dropping, keeps the metrics
+    contract ("no message lost from metrics").
+    """
+    wincol = F.floor(
+        F.unix_timestamp(F.col(ts_col)) / F.lit(int(interval_seconds))
+    ).alias("rl_window")
+    order = [F.col(ts_col)] + (
+        [F.col(tiebreak_col)] if tiebreak_col else []
+    )
+    w = Window.partitionBy(
+        *[F.col(c) for c in key_cols], F.col("rl_window")
+    ).orderBy(*order)
+    return (
+        df.withColumn("rl_window", wincol)
+        .withColumn("_rn", F.row_number().over(w))
+        .withColumn("admitted", F.col("_rn") <= burst)
+        .drop("_rn")
+    )
