@@ -815,6 +815,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "event_id", "event_type", "rl_window", "admitted"
         )
 
+    def q_scd2(spark, sf):
+        # SCD type-2 dimension history: per user, event_type change
+        # ranges with validity stamps (consecutive no-ops collapse)
+        from skewer_spark.operators.cdc import scd2_history
+        ev = _read(spark, sf, "events").select("user_id", "ts", "event_type")
+        h = scd2_history(ev, ["user_id"], "ts", ["event_type"])
+        fmt = "yyyy-MM-dd HH:mm:ss"
+        return h.select(
+            "user_id", "event_type",
+            F.date_format("valid_from", fmt).alias("valid_from"),
+            F.date_format("valid_to", fmt).alias("valid_to"),
+            "is_current",
+        )
+
     def q_dedup_exact(spark, sf):
         docs = _read(spark, sf, "documents")
         return exact_dedup(docs)
@@ -1784,6 +1798,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_tfidf_terms": q_tfidf_terms,
         "q_budget_select": q_budget_select,
         "q_quantile_sketch": q_quantile_sketch,
+        "q_scd2": q_scd2,
         "q_dsir_weights": q_dsir_weights,
         "q_apply_mixture": q_apply_mixture,
         "q_priority_decode": q_priority_decode,
@@ -2808,6 +2823,28 @@ def oracle_sql() -> dict[str, str]:
                    count(*)::INT AS n_lines,
                    string_agg(text, chr(10) ORDER BY line_no) AS text
             FROM rec GROUP BY path, record_no
+        """,
+        "q_scd2": """
+            WITH ch AS (
+              SELECT user_id, ts, event_type,
+                     lag(event_type) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_type)
+                       AS prev
+              FROM events
+            ), kept AS (
+              SELECT user_id, event_type, ts AS vf
+              FROM ch WHERE prev IS NULL OR prev <> event_type
+            ), ranged AS (
+              SELECT user_id, event_type, vf,
+                     lead(vf) OVER (PARTITION BY user_id
+                                    ORDER BY vf, event_type) AS vt
+              FROM kept
+            )
+            SELECT user_id, event_type,
+                   strftime(vf, '%Y-%m-%d %H:%M:%S') AS valid_from,
+                   strftime(vt, '%Y-%m-%d %H:%M:%S') AS valid_to,
+                   vt IS NULL AS is_current
+            FROM ranged
         """,
         "q_rate_limit": """
             SELECT event_id, event_type,
