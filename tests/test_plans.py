@@ -272,3 +272,80 @@ def test_rate_anomaly_reuses_counts_exchange(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "ReusedExchange" in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_assign_templates_join_is_broadcast(spark):
+    from skewer_spark.operators.templates import assign_templates
+
+    lines = spark.createDataFrame(
+        [(i, f"svc{i % 3} event {i}") for i in range(40)],
+        "line_id int, text string",
+    )
+    plan = _plan(assign_templates(lines))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_template_mining_distinct_before_agreement(spark):
+    # the (group,pos,tok) stream must dedup BEFORE the agreement agg:
+    # partial HashAggregates on the explode side, no corpus window
+    from skewer_spark.operators.templates import mine_templates
+
+    lines = spark.createDataFrame(
+        [(i, f"svc{i % 3} event {i}") for i in range(40)],
+        "line_id int, text string",
+    )
+    plan = _plan(mine_templates(lines))
+    assert "Window" not in plan
+    assert "HashAggregate" in plan
+
+
+def test_cdc_winner_is_partial_aggregable(spark):
+    # max_by must plan as a two-phase hash aggregate (map-side combine
+    # for hot keys), and the merge join must not be a nested loop
+    from skewer_spark.operators.cdc import apply_cdc_log
+
+    base = spark.range(100).selectExpr(
+        "id AS k", "'a' AS status", "CAST(id AS DOUBLE) AS price"
+    )
+    ch = spark.range(50).selectExpr(
+        "id AS k", "'b' AS status", "CAST(id+1 AS DOUBLE) AS price",
+        "timestamp'2024-01-02' AS ts", "'U' AS op", "id AS seq"
+    )
+    plan = _plan(apply_cdc_log(base, ch, ["k"], "ts", "op", "seq"))
+    # struct-ordered max_by plans as SortAggregate — what matters is
+    # the partial phase (map-side combine on hot keys)
+    assert "partial_max_by" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_dd_partials_is_partial_aggregable(spark):
+    from skewer_spark.operators.sketches import dd_partials
+
+    df = spark.range(100).selectExpr(
+        "CAST(id AS DOUBLE) + 1.0 AS v", "id % 3 AS key"
+    )
+    plan = _plan(dd_partials(df, "v", key_cols=["key"]))
+    assert plan.count("HashAggregate") >= 2
+    assert "Exchange" in plan
+
+
+def test_rate_limit_partitions_by_key_and_window(spark):
+    from skewer_spark.operators.flow import rate_limit
+
+    ev = spark.range(100).selectExpr(
+        "CAST(id AS STRING) AS key",
+        "timestamp'2024-01-01' + make_interval(0,0,0,0,0,0,id) AS ts",
+        "id AS seq",
+    )
+    plan = _plan(
+        rate_limit(ev, ["key"], "ts", burst=2, tiebreak_col="seq"),
+        mode="extended",
+    )
+    # the window partition spec must include BOTH key and rl_window —
+    # partitioning by key alone would serialize a hot key's history
+    assert "rl_window" in plan
+    import re as _re
+    m = _re.search(r"windowspecdefinition\(key[^)]*rl_window", plan)
+    assert m, "rate-limit window not partitioned by (key, rl_window)"
