@@ -124,3 +124,42 @@ def run_streaming(
         .start()
     )
     return sink_q, agg_q
+
+
+def correlate_acks(
+    msgs: DataFrame,
+    acks: DataFrame,
+    watermark: str = "1 hour",
+    max_ack_delay_seconds: int = 600,
+) -> DataFrame:
+    """Sent→ACK correlation as a watermarked stream-stream LEFT OUTER
+    join — the streaming twin of the reference's Ready→Sent→ACK/NACK
+    ledger (``/root/reference/store/store.go`` ACK/NACK channels +
+    ``store/forwarder.go`` delivery wait): a sent message either meets
+    its ack within ``max_ack_delay_seconds`` (→ ``acked = true``) or
+    emits unmatched once the watermark passes its deadline (→ the
+    NACK/retry-timeout analog, never silently dropped).
+
+    ``msgs`` needs ``(uid, ts, …)``; ``acks`` needs
+    ``(ack_uid, ack_ts)``.  Both sides carry the watermark and the join
+    condition time-bounds the buffered state, so Spark can evict: state
+    per key is O(messages in one delay window), not unbounded.  Scale
+    shape: one stateful symmetric hash join co-partitioned on uid —
+    exactly the shuffle the routed write already needs.
+    """
+    m = msgs.withWatermark("ts", watermark).alias("m")
+    a = acks.withWatermark("ack_ts", watermark).alias("a")
+    cond = (
+        (F.col("m.uid") == F.col("a.ack_uid"))
+        & (F.col("a.ack_ts") >= F.col("m.ts"))
+        & (
+            F.col("a.ack_ts")
+            <= F.col("m.ts")
+            + F.expr(f"INTERVAL {int(max_ack_delay_seconds)} SECONDS")
+        )
+    )
+    return m.join(a, cond, "leftOuter").select(
+        "m.*",
+        F.col("a.ack_ts").alias("ack_ts"),
+        F.col("a.ack_ts").isNotNull().alias("acked"),
+    )
