@@ -1008,9 +1008,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # re-key at 100 TB.  The result itself is checked against a
         # plain-join oracle; the no-shuffle plan property is pinned in
         # tests/test_layout.py.
-        import hashlib
-        import os
+        import shutil
         import tempfile
+        import uuid
 
         from skewer_spark.operators.layout import write_bucketed
 
@@ -1018,22 +1018,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "event_id", "user_id", "event_type"
         )
         tot = ev.groupBy("user_id").agg(F.sum("event_id").alias("user_mass"))
-        base = os.path.join(
-            tempfile.gettempdir(),
-            "skewer_bucketed",
-            hashlib.md5(sf.encode()).hexdigest()[:10],
-        )
-        write_bucketed(ev, "q_bkt_events", ["user_id"], 8, path=base + "/ev")
-        write_bucketed(tot, "q_bkt_totals", ["user_id"], 8, path=base + "/tot")
-        j = (
-            spark.table("q_bkt_events")
-            .hint("merge")
-            .join(spark.table("q_bkt_totals"), "user_id")
-        )
-        return j.groupBy("event_type").agg(
-            F.count("*").alias("n"),
-            F.sum("user_mass").alias("mass"),
-        )
+        # per-invocation unique names + path: two harness processes at
+        # the same sf must not race on one catalog table / directory,
+        # and repeated runs must not accrete orphans
+        token = uuid.uuid4().hex[:10]
+        base = tempfile.mkdtemp(prefix=f"skewer_bucketed_{token}_")
+        t_ev, t_tot = f"q_bkt_events_{token}", f"q_bkt_totals_{token}"
+        try:
+            write_bucketed(ev, t_ev, ["user_id"], 8, path=base + "/ev")
+            write_bucketed(tot, t_tot, ["user_id"], 8, path=base + "/tot")
+            j = (
+                spark.table(t_ev)
+                .hint("merge")
+                .join(spark.table(t_tot), "user_id")
+            )
+            res = j.groupBy("event_type").agg(
+                F.count("*").alias("n"),
+                F.sum("user_mass").alias("mass"),
+            )
+            # materialize (tiny: one row per event_type) so the tables
+            # and files can be dropped before returning
+            out = spark.createDataFrame(res.collect(), res.schema)
+        finally:
+            spark.sql(f"DROP TABLE IF EXISTS {t_ev}")
+            spark.sql(f"DROP TABLE IF EXISTS {t_tot}")
+            shutil.rmtree(base, ignore_errors=True)
+        return out
 
     def q_sketch_distinct(spark, sf):
         # mergeable-exact distinct counting: the input is split into 7

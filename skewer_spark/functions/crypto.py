@@ -82,6 +82,12 @@ def derive_keys(secret: bytes) -> tuple[bytes, bytes, bytes]:
     return enc, mac, kid
 
 
+def key_fingerprint(secret: bytes) -> str:
+    """Public fingerprint of a master secret — safe to record in store
+    metadata (domain-separated hash; reveals nothing about the key)."""
+    return hashlib.sha256(b"skewer-fp|" + bytes(secret)).hexdigest()[:16]
+
+
 def secret_from_env(var: str = "SKEWER_BOX_SECRET") -> bytes | None:
     """Optional 64-hex-char master secret from the environment."""
     v = os.environ.get(var)
@@ -304,13 +310,24 @@ def seal_col(
 
     @pandas_udf("binary")
     def _seal(payload: pd.Series, basis: pd.Series) -> pd.Series:
+        if basis.isna().any():
+            raise ValueError(
+                "seal_col: NULL nonce basis (uid or salt is NULL) — a "
+                "NULL uid cannot derive a unique nonce, so sealing it "
+                "would reuse one keystream across distinct plaintexts"
+            )
         return pd.Series(
             seal_batch(list(payload), list(basis), sec), dtype=object
         )
 
-    basis = F.col(uid_col).cast("string")
+    uid = F.col(uid_col).cast("string")
+    # length-prefixed uid so a uid containing 0x1f cannot collide with
+    # a different (uid, salt) split; F.concat (unlike concat_ws, which
+    # silently SKIPS nulls) propagates a NULL uid/salt to a NULL basis,
+    # which _seal rejects loudly instead of two-time-padding
+    basis = F.concat(F.length(uid).cast("string"), F.lit(":"), uid)
     if salt_col is not None:
-        basis = F.concat_ws("\x1f", basis, F.col(salt_col).cast("string"))
+        basis = F.concat(basis, F.lit("\x1f"), F.col(salt_col).cast("string"))
     return _seal(F.col(payload_col).cast("binary"), basis)
 
 

@@ -288,31 +288,15 @@ def remove_boilerplate_spans(
 
     Four corpus-token-sized exchanges total; at 10^12 docs this is the
     same cost class as the parse pipeline (the token stream rides the
-    shuffle once as narrow (id, pos, tok) rows).
+    shuffle once as narrow (id, pos, tok) rows).  The tokenize/shingle
+    and rebuild halves are shared with ``dedup.dedup_substring_spans``
+    via :mod:`~skewer_spark.operators.spans`.
     """
-    toks = F.split(F.col(text_col), " ")
-    base = df.select(F.col(id_col), toks.alias("_toks"))
+    from skewer_spark.operators.spans import (
+        covered_positions, rebuild_minus_covered, tokenize_and_shingle,
+    )
 
-    tok_rows = base.select(
-        id_col, F.posexplode("_toks").alias("pos", "tok")
-    )
-    # 8-char md5 prefix: 32-bit shingle keys (the MinHash trade —
-    # 2^-32 collision slack for a 4× narrower shuffle key)
-    sh_rows = base.select(
-        F.col(id_col),
-        F.posexplode(
-            F.when(
-                F.size("_toks") >= n,
-                F.transform(
-                    F.sequence(F.lit(0), F.size("_toks") - n),
-                    lambda i: F.substring(
-                        F.md5(F.concat_ws(" ", F.slice("_toks", i + 1, n))),
-                        1, 8,
-                    ),
-                ),
-            ).otherwise(F.array().cast("array<string>"))
-        ).alias("spos", "sh"),
-    )
+    base, tok_rows, sh_rows = tokenize_and_shingle(df, text_col, id_col, n)
     boiler = (
         sh_rows.select("sh", id_col)
         .distinct()
@@ -321,39 +305,8 @@ def remove_boilerplate_spans(
         .filter(F.col("_nd") >= min_docs)
         .select("sh")
     )
-    covered = (
-        sh_rows.join(boiler, "sh")
-        .select(
-            F.col(id_col),
-            F.explode(
-                F.sequence(F.col("spos"), F.col("spos") + (n - 1))
-            ).alias("pos"),
-        )
-        .distinct()
-    )
-    kept = tok_rows.join(covered, [id_col, "pos"], "left_anti")
-    rebuilt = kept.groupBy(id_col).agg(
-        F.count("*").alias("_n_kept"),
-        F.concat_ws(
-            " ",
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
-                lambda s: s["tok"],
-            ),
-        ).alias("text_clean"),
-    )
-    return (
-        base.select(id_col, F.size("_toks").alias("n_tokens"))
-        .join(rebuilt, id_col, "left")
-        .select(
-            id_col,
-            "n_tokens",
-            (F.col("n_tokens") - F.coalesce(F.col("_n_kept"), F.lit(0)))
-            .cast("int")
-            .alias("n_removed"),
-            F.coalesce(F.col("text_clean"), F.lit("")).alias("text_clean"),
-        )
-    )
+    covered = covered_positions(sh_rows.join(boiler, "sh"), id_col, n)
+    return rebuild_minus_covered(base, tok_rows, covered, id_col)
 
 
 def _uni_bigram_array(text_col: str):

@@ -658,29 +658,16 @@ def dedup_substring_spans(
        identical to boilerplate steps 3-5.
 
     The keep-first rule makes the result deterministic and
-    resume-idempotent (no RNG, no partition-order dependence).
+    resume-idempotent (no RNG, no partition-order dependence).  The
+    tokenize/shingle and rebuild halves are shared with
+    ``curate.remove_boilerplate_spans`` via
+    :mod:`~skewer_spark.operators.spans`.
     """
-    toks = F.split(F.col(text_col), " ")
-    base = df.select(F.col(id_col), toks.alias("_toks"))
+    from skewer_spark.operators.spans import (
+        covered_positions, rebuild_minus_covered, tokenize_and_shingle,
+    )
 
-    tok_rows = base.select(
-        id_col, F.posexplode("_toks").alias("pos", "tok")
-    )
-    sh_rows = base.select(
-        F.col(id_col),
-        F.posexplode(
-            F.when(
-                F.size("_toks") >= n,
-                F.transform(
-                    F.sequence(F.lit(0), F.size("_toks") - n),
-                    lambda i: F.substring(
-                        F.md5(F.concat_ws(" ", F.slice("_toks", i + 1, n))),
-                        1, 8,
-                    ),
-                ),
-            ).otherwise(F.array().cast("array<string>"))
-        ).alias("spos", "sh"),
-    )
+    base, tok_rows, sh_rows = tokenize_and_shingle(df, text_col, id_col, n)
     # one aggregate yields both the duplicate test and the survivor:
     # min(struct(doc, pos)) orders lexicographically, so `_first` IS
     # the globally-first occurrence of the shingle
@@ -695,42 +682,11 @@ def dedup_substring_spans(
         .filter(F.col("_cnt") > 1)
         .select("sh", "_first")
     )
-    covered = (
-        sh_rows.join(dup_sh, "sh")
-        .filter(
-            ~(
-                (F.col(id_col) == F.col("_first.d"))
-                & (F.col("spos") == F.col("_first.p"))
-            )
-        )
-        .select(
-            F.col(id_col),
-            F.explode(
-                F.sequence(F.col("spos"), F.col("spos") + (n - 1))
-            ).alias("pos"),
-        )
-        .distinct()
-    )
-    kept = tok_rows.join(covered, [id_col, "pos"], "left_anti")
-    rebuilt = kept.groupBy(id_col).agg(
-        F.count("*").alias("_n_kept"),
-        F.concat_ws(
-            " ",
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
-                lambda s: s["tok"],
-            ),
-        ).alias("text_clean"),
-    )
-    return (
-        base.select(id_col, F.size("_toks").alias("n_tokens"))
-        .join(rebuilt, id_col, "left")
-        .select(
-            id_col,
-            "n_tokens",
-            (F.col("n_tokens") - F.coalesce(F.col("_n_kept"), F.lit(0)))
-            .cast("int")
-            .alias("n_removed"),
-            F.coalesce(F.col("text_clean"), F.lit("")).alias("text_clean"),
+    occ = sh_rows.join(dup_sh, "sh").filter(
+        ~(
+            (F.col(id_col) == F.col("_first.d"))
+            & (F.col("spos") == F.col("_first.p"))
         )
     )
+    covered = covered_positions(occ, id_col, n)
+    return rebuild_minus_covered(base, tok_rows, covered, id_col)

@@ -188,8 +188,8 @@ def apply_bpe(
         F.split(F.col(text_col), r"\s+"), lambda w: w != F.lit("")
     )
     return df.withColumn(
-        "tokens", F.flatten(F.transform(words, encode_word))
-    ).withColumnRenamed("tokens", out_col)
+        out_col, F.flatten(F.transform(words, encode_word))
+    )
 
 
 def apply_bpe_pandas(

@@ -27,9 +27,11 @@ output (pinned by ``test_sft_pairs_paths_equal``):
   tiny (conv, bucket) totals frame), then each assistant row explodes
   its ≤ k context positions and equi-joins back on the UNIQUE
   ``(conv, pos)`` key — perfectly distributable regardless of how hot
-  one conversation is, at the cost of ~k× join amplification and two
-  extra exchanges.  At 10^12 turns with adversarial skew this is the
-  plan you want; under normal skew the window path is cheaper.
+  one conversation is, at the cost of ~k× join amplification (of keys
+  and context positions only: response text bypasses the amplified
+  exchanges and joins back once at 1×) plus extra exchanges.  At 10^12
+  turns with adversarial skew this is the plan you want; under normal
+  skew the window path is cheaper.
 """
 
 from __future__ import annotations
@@ -62,9 +64,12 @@ def _dense_conv_pos(
         F.least(
             F.lit(n_buckets - 1),
             F.floor(
-                (F.col(order_col) - F.col("_lo"))
+                # long arithmetic: an int order key spanning > 2^31 /
+                # n_buckets would wrap in the multiply (pack_sequences
+                # guards the same way)
+                (F.col(order_col).cast("long") - F.col("_lo").cast("long"))
                 * F.lit(n_buckets)
-                / (F.col("_hi") - F.col("_lo") + 1)
+                / (F.col("_hi").cast("long") - F.col("_lo").cast("long") + 1)
             ),
         ),
     ).drop("_lo", "_hi")
@@ -156,10 +161,13 @@ def sft_pairs(
     ctx_side = pos.select(
         conv_col, F.col("_pos").alias("_cpos"), F.col(text_col).alias("_ctxt")
     )
+    # the response text stays OUT of the exploded/joined path: carrying
+    # it as a groupBy key would push every response through the explode,
+    # the (conv, _cpos) join exchange, and the aggregate exchange at k×
+    # amplification — it is re-attached by ONE final 1× join instead
     targets = pos.filter(F.col(role_col) == assistant_role).select(
         conv_col,
         order_col,
-        F.col(text_col).alias("response"),
         F.explode_outer(
             F.when(
                 F.col("_pos") > 1,
@@ -171,7 +179,7 @@ def sft_pairs(
         ).alias("_cpos"),
     )
     joined = targets.join(ctx_side, [conv_col, "_cpos"], "left")
-    return joined.groupBy(conv_col, order_col, "response").agg(
+    prompts = joined.groupBy(conv_col, order_col).agg(
         F.count("_ctxt").cast("int").alias("n_context"),
         F.concat_ws(
             sep,
@@ -185,7 +193,13 @@ def sft_pairs(
                 lambda s: s["_ctxt"],
             ),
         ).alias("prompt"),
-    ).select(conv_col, order_col, "n_context", "prompt", "response")
+    )
+    resp = df.filter(F.col(role_col) == assistant_role).select(
+        conv_col, order_col, F.col(text_col).alias("response")
+    )
+    return prompts.join(resp, [conv_col, order_col]).select(
+        conv_col, order_col, "n_context", "prompt", "response"
+    )
 
 
 def conv_stats(

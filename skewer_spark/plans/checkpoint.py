@@ -118,7 +118,16 @@ def members_path(out_dir: str) -> str:
 
 
 def read_snapshot_members(spark: SparkSession, out_dir: str) -> DataFrame:
-    return spark.read.schema(MEMBERS_SCHEMA).parquet(members_path(out_dir))
+    # distinct: commit_snapshot writes members BEFORE the snapshot row,
+    # so a crash between the two followed by a same-run_id retry (legal:
+    # the crash never snapshotted) re-appends the identical member rows
+    # under the recomputed snapshot_id.  Buckets are immutable, so the
+    # re-append is always a full-row duplicate — distinct is exact.
+    return (
+        spark.read.schema(MEMBERS_SCHEMA)
+        .parquet(members_path(out_dir))
+        .distinct()
+    )
 
 
 def buckets_asof(

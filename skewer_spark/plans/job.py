@@ -274,6 +274,61 @@ def process_bucket(
                          write_routed=True, secret=secret)
 
 
+ENCRYPTION_MARKER = "_encryption.json"
+
+
+def _check_store_encryption(out_dir: str, secret: bytes | None) -> None:
+    """Pin the store's at-rest mode at first write.
+
+    Without this, a crashed run that sealed buckets 0..k could resume
+    on a host where SKEWER_BOX_SECRET is unset (or mistyped) and write
+    the remaining buckets in plaintext — one store silently mixing
+    sealed and clear payloads.  The marker records sealed yes/no plus
+    the key fingerprint (a domain-separated hash, reveals nothing);
+    every later attempt must present the same mode + key or fail fast
+    BEFORE writing anything.
+    """
+    import json
+
+    from skewer_spark.functions.crypto import key_fingerprint
+
+    path = os.path.join(out_dir, ENCRYPTION_MARKER)
+    fp = key_fingerprint(secret) if secret is not None else None
+    if os.path.exists(path):
+        with open(path) as f:
+            mode = json.load(f)
+        if bool(mode.get("sealed")) != (secret is not None):
+            raise ValueError(
+                f"store {out_dir!r} was started "
+                f"{'SEALED' if mode.get('sealed') else 'UNENCRYPTED'} but "
+                f"this attempt has SKEWER_BOX_SECRET "
+                f"{'unset' if secret is None else 'set'}; refusing to mix "
+                "sealed and plaintext buckets in one store"
+            )
+        if mode.get("sealed") and mode.get("key_fp") != fp:
+            raise ValueError(
+                f"store {out_dir!r} is sealed with key "
+                f"{mode.get('key_fp')} but this attempt's secret "
+                f"fingerprints as {fp}: wrong SKEWER_BOX_SECRET"
+            )
+        return
+    os.makedirs(out_dir, exist_ok=True)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"sealed": secret is not None, "key_fp": fp}, f)
+    os.replace(tmp, path)
+
+
+def _read_store_encryption(out_dir: str) -> dict | None:
+    import json
+
+    path = os.path.join(out_dir, ENCRYPTION_MARKER)
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        return json.load(f)
+
+
 def run_pipeline(
     spark: SparkSession,
     input_path: str,
@@ -299,6 +354,7 @@ def run_pipeline(
     from skewer_spark.functions.crypto import secret_from_env
 
     secret = secret_from_env()
+    _check_store_encryption(out_dir, secret)
 
     processed = 0
     for b in range(n_buckets):
@@ -396,6 +452,21 @@ def read_sink(
 ) -> DataFrame:
     """Read one destination's rows (partition-pruned on sink=);
     ``secret`` opens payloads sealed at rest (fail-loud on tamper)."""
+    mode = _read_store_encryption(out_dir)
+    if mode is not None:
+        # run_pipeline stores carry the at-rest marker: refuse the two
+        # silent failure shapes (ciphertext handed downstream as the
+        # payload; plaintext "decrypted" with a key)
+        if mode.get("sealed") and secret is None:
+            raise ValueError(
+                f"store {out_dir!r} is sealed at rest (key "
+                f"{mode.get('key_fp')}); pass secret= to read payloads"
+            )
+        if not mode.get("sealed") and secret is not None:
+            raise ValueError(
+                f"store {out_dir!r} is not sealed; drop the secret= "
+                "argument"
+            )
     path = os.path.join(out_dir, "sinks")
     df = (
         spark.read.option("basePath", path).parquet(path)

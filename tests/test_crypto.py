@@ -250,3 +250,75 @@ def test_encrypted_sink_round_trip(spark, tmp_path):
         F.col("boxed") != F.col("boxed2")
     ).count()
     assert diff == 0
+
+
+def test_seal_col_null_uid_refused(spark):
+    """A NULL uid (or salt) cannot derive a unique nonce; sealing it
+    would reuse one keystream across distinct plaintexts.  concat_ws
+    used to SKIP the null silently — the basis now propagates NULL and
+    the UDF fails loudly."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [("u1", b"alpha"), (None, b"bravo"), (None, b"charlie")],
+        "uid string, encoded binary",
+    )
+    sealed = df.withColumn("boxed", C.seal_col("encoded", "uid", SECRET))
+    with pytest.raises(Exception, match="NULL nonce basis"):
+        sealed.collect()
+    # and a uid containing the 0x1f separator cannot collide with a
+    # different (uid, salt) split: length prefix disambiguates
+    tricky = spark.createDataFrame(
+        [("a\x1fb", "s", b"x"), ("a", "b\x1fs", b"y")],
+        "uid string, salt string, encoded binary",
+    )
+    boxes = tricky.withColumn(
+        "boxed", C.seal_col("encoded", "uid", SECRET, salt_col="salt")
+    ).select("boxed").collect()
+    n0, n1 = bytes(boxes[0].boxed)[:12], bytes(boxes[1].boxed)[:12]
+    assert n0 != n1
+
+
+def test_store_encryption_mode_pinned(spark, tmp_path, monkeypatch):
+    """run_pipeline pins the store's at-rest mode at first write: a
+    resume without the secret (or with a different key) fails fast
+    instead of silently mixing sealed and plaintext buckets; read_sink
+    refuses the two silent failure shapes."""
+    from skewer_spark.plans import job
+    from skewer_spark.synth import transcripts_df
+
+    inp = str(tmp_path / "inp")
+    transcripts_df(spark, 6, 20).write.parquet(inp)
+
+    out = str(tmp_path / "sealed_store")
+    monkeypatch.setenv("SKEWER_BOX_SECRET", SECRET.hex())
+    with pytest.raises(RuntimeError):
+        job.run_pipeline(spark, inp, out, n_buckets=2, fail_after=1,
+                         run_id="r1")
+
+    # resume on a host without the secret: refused before any write
+    monkeypatch.delenv("SKEWER_BOX_SECRET")
+    with pytest.raises(ValueError, match="refusing to mix"):
+        job.run_pipeline(spark, inp, out, n_buckets=2, run_id="r2")
+
+    # resume with a DIFFERENT key: refused
+    monkeypatch.setenv("SKEWER_BOX_SECRET", "ab" * 32)
+    with pytest.raises(ValueError, match="wrong SKEWER_BOX_SECRET"):
+        job.run_pipeline(spark, inp, out, n_buckets=2, run_id="r3")
+
+    # right key: resume completes
+    monkeypatch.setenv("SKEWER_BOX_SECRET", SECRET.hex())
+    job.run_pipeline(spark, inp, out, n_buckets=2, run_id="r4")
+
+    # sealed store without secret / plaintext store with secret: loud
+    with pytest.raises(ValueError, match="sealed at rest"):
+        job.read_sink(spark, out, "sink_firehose")
+    assert job.read_sink(spark, out, "sink_firehose",
+                         secret=SECRET).count() > 0
+
+    plain_out = str(tmp_path / "plain_store")
+    monkeypatch.delenv("SKEWER_BOX_SECRET")
+    job.run_pipeline(spark, inp, plain_out, n_buckets=2, run_id="p1")
+    with pytest.raises(ValueError, match="not sealed"):
+        job.read_sink(spark, plain_out, "sink_firehose", secret=SECRET)
+    assert job.read_sink(spark, plain_out, "sink_firehose").count() > 0

@@ -1369,3 +1369,25 @@ def test_chunk_documents_rejects_bad_overlap(spark):
     docs = spark.createDataFrame([(0, "a b")], "doc_id int, text string")
     with _pytest.raises(ValueError):
         chunk_documents(docs, chunk_tokens=8, overlap=8)
+
+
+def test_sft_skew_safe_wide_int_order_key(spark):
+    """_dense_conv_pos must bucket in LONG arithmetic: an int order
+    key spanning more than 2^31 / n_buckets would wrap the bucket
+    multiply and silently corrupt per-conv positions."""
+    from skewer_spark.operators.transcripts import sft_pairs
+
+    hi = 2**31 - 2
+    rows = [
+        ("c1", 0, "user", "q one"),
+        ("c1", hi // 2, "user", "q two"),
+        ("c1", hi, "assistant", "answer"),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string"
+    )
+    got = sft_pairs(df, k=5, skew_safe=True, n_buckets=64).collect()
+    assert len(got) == 1
+    assert got[0].n_context == 2
+    assert got[0].prompt == "q one\nq two"
+    assert got[0].response == "answer"

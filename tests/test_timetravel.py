@@ -192,3 +192,27 @@ def test_incremental_diff_between_snapshots(spark, store):
         job.read_sink_diff(
             spark, out, "sink_firehose", store["s1"], "s-nope"
         )
+
+
+def test_member_rows_dedup_on_crash_retry(spark, tmp_path):
+    """commit_snapshot writes members BEFORE the snapshot row, so a
+    crash between the two followed by a same-run_id retry re-appends
+    identical member rows under the recomputed snapshot_id.  The read
+    path must collapse them: buckets_asof returns each bucket once and
+    member aggregates don't double-count."""
+    inp = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    transcripts_df(spark, 8, 10).write.parquet(inp)
+    res = job.run_pipeline(spark, inp, out, n_buckets=2, run_id="rA")
+    snap = {r.run_id: r.snapshot_id
+            for r in ckpt.read_snapshots(spark, out).collect()}["rA"]
+
+    # simulate the retry's duplicate append: identical full rows
+    members = ckpt.read_snapshot_members(spark, out)
+    n = members.count()
+    members.write.mode("append").parquet(ckpt.members_path(out))
+
+    assert ckpt.read_snapshot_members(spark, out).count() == n
+    vis = ckpt.buckets_asof(spark, out, snap)
+    assert vis == sorted(set(vis)) == [0, 1]
+    assert res["buckets"] == 2

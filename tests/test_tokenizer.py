@@ -214,3 +214,19 @@ def test_apply_bpe_pandas_run_semantics(spark):
     merges = [{"step": 1, "lhs": "a", "rhs": "a", "pair_count": 0}]
     [row] = apply_bpe_pandas(docs, merges).collect()
     assert list(row.tokens) == ["aa", "aa", "aa", "a", "aa", "aa", "a"]
+
+
+def test_apply_bpe_keeps_existing_tokens_column(spark):
+    """out_col must not clobber an unrelated pre-existing 'tokens'
+    column (apply_bpe used to materialize as 'tokens' then rename)."""
+    from pyspark.sql import functions as F
+
+    from skewer_spark.operators.tokenizer import apply_bpe
+
+    df = spark.createDataFrame(
+        [("ab ab", ["pre"])], "text string, tokens array<string>"
+    )
+    merges = [{"step": 1, "lhs": "a", "rhs": "b"}]
+    out = apply_bpe(df, merges, out_col="bpe").collect()[0]
+    assert out.tokens == ["pre"]
+    assert out.bpe == ["ab", "ab"]
