@@ -69,3 +69,17 @@ def test_encode_rfc3164_golden(spark):
     # from os.Hostname())
     assert out[0] == "<34>Jan 10 13:14:15 host42 sshd[42]: msg x"
     assert out[1] == "<13>Jan  1 00:00:05 localhost app: y"
+
+
+def test_driver_entry_smoke(spark):
+    """The driver's first gate: entry(spark) must run and return a
+    stable-schema DataFrame with >= 0 rows on the sf0.001 fixture."""
+    import __spark_entry__ as em
+
+    df = em.entry(spark)
+    cols = df.columns
+    rows = df.collect()
+    assert len(rows) >= 0
+    # re-running yields the identical schema (driver checks stability)
+    assert em.entry(spark).columns == cols
+    assert len(rows) > 0  # the fixture is non-empty, so the rollup is too
