@@ -268,8 +268,14 @@ def _fd_message(name: str, fields: list[bytes], nested: list[bytes] = (),
 def syslog_descriptor_set() -> bytes:
     """Serialized FileDescriptorSet for the reference's SyslogMessage
     (``model/types.proto:19-33``): fields 1-4 int32, 5-6 int64 (ns
-    timestamps), 7-12 string, 13 map<string, InnerProperties> where
-    InnerProperties is map<string,string> at field 1."""
+    timestamps), 7-12 string, 13 the ``Properties`` WRAPPER message —
+    ``message Properties { map<string, InnerProperties> map = 1; }``
+    with ``InnerProperties { map<string,string> kv = 1; }``.  The
+    wrapper level is load-bearing: the reference nests the map one
+    message deep (``types.proto:15-17``), and this module's own
+    encoder/decoder emit/read exactly that layout — a flat
+    map-at-field-13 descriptor would make the jar path misparse every
+    non-empty properties payload."""
     inner_kv_entry = _fd_message(
         "KvEntry",
         [_fd_field("key", 1, 9), _fd_field("value", 2, 9)],
@@ -281,12 +287,18 @@ def syslog_descriptor_set() -> bytes:
         nested=[inner_kv_entry],
     )
     props_entry = _fd_message(
-        "PropertiesEntry",
+        "MapEntry",
         [
             _fd_field("key", 1, 9),
             _fd_field("value", 2, 11, type_name=".skw.InnerProperties"),
         ],
         map_entry=True,
+    )
+    props = _fd_message(
+        "Properties",
+        [_fd_field("map", 1, 11, label=3,
+                   type_name=".skw.Properties.MapEntry")],
+        nested=[props_entry],
     )
     msg_fields = (
         [_fd_field(n, i + 1, 5) for i, n in enumerate(
@@ -296,16 +308,16 @@ def syslog_descriptor_set() -> bytes:
         + [_fd_field(n, i + 7, 9) for i, n in enumerate(
             ["hostname", "appname", "procid", "msgid", "structured",
              "message"])]
-        + [_fd_field("properties", 13, 11, label=3,
-                     type_name=".skw.SyslogMessage.PropertiesEntry")]
+        + [_fd_field("properties", 13, 11, type_name=".skw.Properties")]
     )
-    syslog = _fd_message("SyslogMessage", msg_fields, nested=[props_entry])
+    syslog = _fd_message("SyslogMessage", msg_fields)
     # FileDescriptorProto: 1=name 2=package 4=message_type 12=syntax
     fdp = (
         _pb_str(1, "skewer_syslog.proto")
         + _pb_str(2, "skw")
         + _pb_field(4, 2, syslog)
         + _pb_field(4, 2, inner)
+        + _pb_field(4, 2, props)
         + _pb_str(12, "proto3")
     )
     # FileDescriptorSet: 1=file (repeated)
@@ -354,9 +366,12 @@ def parse_protobuf_jvm(col: Column | str = "payload") -> Column:
         binaryDescriptorSet=syslog_descriptor_set(),
         options={"mode": "PERMISSIVE"},
     )
+    # properties is the wrapper message: the catalyst map lives at
+    # rec.properties.map (descriptor Properties.map), values are
+    # InnerProperties structs whose kv field holds the inner map
     props = F.map_from_entries(
         F.transform(
-            F.map_entries(_sorted_json_map(rec["properties"])),
+            F.map_entries(_sorted_json_map(rec["properties"]["map"])),
             lambda e: F.struct(
                 e["key"].alias("key"),
                 _sorted_json_map(e["value"]["kv"]).alias("value"),
@@ -373,6 +388,55 @@ def parse_protobuf_jvm(col: Column | str = "payload") -> Column:
             F.coalesce(F.to_json(props), F.lit("{}")).alias("properties_json"),
         ),
     ).cast(PB_SYSLOG_SCHEMA)
+
+
+def encode_protobuf_jvm() -> Column:
+    """JVM-side encode via spark-protobuf's ``to_protobuf`` over the
+    same hand-built descriptor — the consistency twin of
+    :func:`parse_protobuf_jvm` (VERDICT r02 #6): on a jar-equipped
+    cluster, bytes produced here must decode to the same values as the
+    pure-expression :func:`skewer_spark.sinks.wire.encode_protobuf`
+    (maps are key-sorted on both sides so even the map-entry order
+    agrees).  Expects the parsed-frame columns (priority … message,
+    properties_json, time_reported/time_generated timestamps)."""
+    from pyspark.sql.protobuf.functions import to_protobuf
+
+    outer = _sorted_json_map(
+        F.from_json(F.col("properties_json"), "map<string,map<string,string>>")
+    )
+    wrapped = F.struct(
+        F.map_from_entries(
+            F.transform(
+                F.map_entries(outer),
+                lambda e: F.struct(
+                    e["key"].alias("key"),
+                    F.struct(
+                        _sorted_json_map(e["value"]).alias("kv")
+                    ).alias("value"),
+                ),
+            )
+        ).alias("map")
+    )
+    ns = lambda c: F.coalesce(  # noqa: E731
+        F.unix_micros(F.col(c).cast("timestamp")) * 1000, F.lit(0)
+    )
+    rec = F.struct(
+        F.coalesce(F.col("priority"), F.lit(0)).cast("int").alias("priority"),
+        F.coalesce(F.col("facility"), F.lit(0)).cast("int").alias("facility"),
+        F.coalesce(F.col("severity"), F.lit(0)).cast("int").alias("severity"),
+        F.coalesce(F.col("version"), F.lit(0)).cast("int").alias("version"),
+        ns("time_reported").alias("time_reported_num"),
+        ns("time_generated").alias("time_generated_num"),
+        *[
+            F.coalesce(F.col(c), F.lit("")).alias(c)
+            for c in ("hostname", "appname", "procid", "msgid",
+                      "structured", "message")
+        ],
+        wrapped.alias("properties"),
+    )
+    return to_protobuf(
+        rec, "skw.SyslogMessage", binaryDescriptorSet=syslog_descriptor_set()
+    )
 
 
 def parse_protobuf(

@@ -326,20 +326,33 @@ def test_protobuf_descriptor_set_well_formed():
     assert dict(fdp)[12] == b"proto3"
     msgs = [fields_of(v) for n, v in fdp if n == 4]
     names = [dict(m)[1] for m in msgs]
-    assert names == [b"SyslogMessage", b"InnerProperties"]
-    syslog = msgs[0]
-    fld_nums = []
+    assert names == [b"SyslogMessage", b"InnerProperties", b"Properties"]
+    syslog, inner, props = msgs
+    flds = []
     for n, v in syslog:
         if n == 2:
             f = dict(fields_of(v))
-            fld_nums.append((f[1].decode(), f[3], f[5]))
+            flds.append((f[1].decode(), f[3], f[5], f.get(6)))
     # 1-4 int32(5), 5-6 int64(3), 7-12 string(9), 13 message(11)
-    assert [x[1] for x in fld_nums] == list(range(1, 14))
-    assert [x[2] for x in fld_nums] == [5] * 4 + [3] * 2 + [9] * 6 + [11]
-    # the map entry nested type carries MessageOptions.map_entry = true
-    nested = [fields_of(v) for n, v in syslog if n == 3]
-    opts = dict(nested[0])[7]
-    assert fields_of(opts) == [(7, 1)]
+    assert [x[1] for x in flds] == list(range(1, 14))
+    assert [x[2] for x in flds] == [5] * 4 + [3] * 2 + [9] * 6 + [11]
+    # field 13 points at the Properties WRAPPER message, not a flat map
+    # (the reference nests the map one message deep, types.proto:15-17,
+    # and the module's own encoder/decoder emit exactly that layout)
+    assert flds[12][3] == b".skw.Properties"
+    assert not [v for n, v in syslog if n == 3]            # no nested types
+    # Properties.map = repeated .skw.Properties.MapEntry (label 3)
+    pf = dict(fields_of([v for n, v in props if n == 2][0]))
+    assert (pf[1], pf[4], pf[5], pf[6]) == (
+        b"map", 3, 11, b".skw.Properties.MapEntry")
+    # both synthetic map-entry messages carry MessageOptions.map_entry,
+    # and MapEntry.value is an InnerProperties message
+    for msg in (props, inner):
+        (entry,) = [fields_of(v) for n, v in msg if n == 3]
+        assert fields_of(dict(entry)[7]) == [(7, 1)]
+        if msg is props:
+            val = dict(fields_of([v for n, v in entry if n == 2][1]))
+            assert (val[1], val[6]) == (b"value", b".skw.InnerProperties")
 
 
 def test_parse_protobuf_jvm_path_parity(frame):
@@ -370,6 +383,31 @@ def test_parse_protobuf_jvm_path_parity(frame):
         assert json.loads(p.pop("properties_json") or "{}") == json.loads(
             j.pop("properties_json") or "{}")
         assert p == j
+
+
+def test_encode_protobuf_jvm_consistency(frame):
+    """VERDICT r02 #6 (encode side): on a jar-equipped cluster,
+    ``to_protobuf`` over the hand-built descriptor must produce bytes
+    the first-principles Python reader decodes to the same values as
+    the pure-expression encoder's bytes — cross-validating descriptor,
+    expression encoder, and wire reader against each other."""
+    from skewer_spark.operators.decode_protobuf import (
+        encode_protobuf_jvm,
+        parse_protobuf,
+        protobuf_jar_available,
+    )
+
+    spark = frame.sparkSession
+    if not protobuf_jar_available(spark):
+        import pytest
+        pytest.skip("spark-protobuf jar not on classpath (documented swap)")
+    both = frame.select(
+        "event_id",
+        parse_protobuf(encode_protobuf(), allow_jvm=False).alias("expr"),
+        parse_protobuf(encode_protobuf_jvm(), allow_jvm=False).alias("jvm"),
+    ).collect()
+    for r in both:
+        assert r.expr.asDict() == r.jvm.asDict(), r.event_id
 
 
 def test_varint_primitives(spark):
