@@ -290,10 +290,12 @@ def open_batch(boxes: list, secret: bytes) -> list:
 
 
 def seal_col(
-    payload_col: str, uid_col: str, secret: bytes, salt_col: str | None = None
+    payload_col, uid_col, secret: bytes, salt_col=None
 ):
-    """Column expression sealing ``payload_col`` (binary) with nonces
-    derived from ``uid_col``.
+    """Column expression sealing ``payload_col`` (binary; column name or
+    Column) with nonces derived from ``uid_col`` (name or Column —
+    callers without a uid column pass a derived expression, e.g. the
+    staged table's ``concat(conv_id, '|', turn_idx)``).
 
     ``salt_col`` MUST be passed whenever the same uid can seal more
     than one distinct plaintext in the store — e.g. the per-sink
@@ -320,15 +322,21 @@ def seal_col(
             seal_batch(list(payload), list(basis), sec), dtype=object
         )
 
-    uid = F.col(uid_col).cast("string")
+    uid = (F.col(uid_col) if isinstance(uid_col, str) else uid_col).cast(
+        "string"
+    )
     # length-prefixed uid so a uid containing 0x1f cannot collide with
     # a different (uid, salt) split; F.concat (unlike concat_ws, which
     # silently SKIPS nulls) propagates a NULL uid/salt to a NULL basis,
     # which _seal rejects loudly instead of two-time-padding
     basis = F.concat(F.length(uid).cast("string"), F.lit(":"), uid)
     if salt_col is not None:
-        basis = F.concat(basis, F.lit("\x1f"), F.col(salt_col).cast("string"))
-    return _seal(F.col(payload_col).cast("binary"), basis)
+        salt = F.col(salt_col) if isinstance(salt_col, str) else salt_col
+        basis = F.concat(basis, F.lit("\x1f"), salt.cast("string"))
+    payload = (
+        F.col(payload_col) if isinstance(payload_col, str) else payload_col
+    )
+    return _seal(payload.cast("binary"), basis)
 
 
 def open_col(box_col: str, secret: bytes):

@@ -62,18 +62,69 @@ def bucket_col(n_buckets: int):
     return F.pmod(F.xxhash64("conv_id"), F.lit(n_buckets)).cast("int")
 
 
+# Content-bearing columns sealed at rest alongside the sinks' encoded
+# payloads (finding: sealing only `encoded` left full plaintext copies
+# of every message in routed/ and _staged/).  Routing/metric metadata
+# (severity, topic, hostname, ts, …) stays clear BY DESIGN — the
+# Parquet-modular-encryption / Iceberg column-key pattern: partition
+# pruning, resume bookkeeping and count metrics must work without the
+# key, while message content must not be recoverable from the store.
+SEALED_CONTENT_COLUMNS = ("text", "message", "structured", "properties_json")
+
+
+def _staged_nonce_basis():
+    """Deterministic per-row nonce basis for the staged table (uid is
+    not derived yet at ingest): (conv_id, turn_idx) is the table's
+    primary key.  F.concat propagates NULLs so a null key fails loud in
+    seal_col instead of reusing a keystream."""
+    return F.concat(
+        F.col("conv_id").cast("string"), F.lit("|"),
+        F.col("turn_idx").cast("string"),
+    )
+
+
+def seal_content_cols(df: DataFrame, secret: bytes, salt_prefix: str,
+                      uid_col="uid") -> DataFrame:
+    """Seal every present content column; per-column salt so one row's
+    columns never share a (key, nonce) pair."""
+    from skewer_spark.functions.crypto import seal_col
+
+    for c in SEALED_CONTENT_COLUMNS:
+        if c in df.columns:
+            df = df.withColumn(
+                c, seal_col(c, uid_col, secret,
+                            salt_col=F.lit(f"{salt_prefix}:{c}"))
+            )
+    return df
+
+
+def open_content_cols(df: DataFrame, secret: bytes) -> DataFrame:
+    """Revive sealed content columns (binary boxes → utf-8 strings)."""
+    from skewer_spark.functions.crypto import open_col
+
+    for c in SEALED_CONTENT_COLUMNS:
+        if c in df.columns:
+            df = df.withColumn(c, open_col(c, secret).cast("string"))
+    return df
+
+
 def stage_input(
     spark: SparkSession,
     input_path: str,
     out_dir: str,
     n_buckets: int,
     files_per_bucket: int = 8,
+    secret: bytes | None = None,
 ) -> str:
     """Ingest pass: bucket the raw table for partition-pruned waves."""
     staged = os.path.join(out_dir, "_staged")
     if os.path.exists(os.path.join(staged, "_SUCCESS")):
         return staged
     df = spark.read.parquet(input_path)
+    if secret is not None:
+        # the staged copy is part of the store: seal its content too
+        df = seal_content_cols(df, secret, "staged",
+                               uid_col=_staged_nonce_basis())
     df = df.withColumn("bucket", bucket_col(n_buckets))
     # salt the intra-bucket layout so one hot conv spans several files
     salt = F.pmod(F.xxhash64("conv_id", "turn_idx"), F.lit(files_per_bucket))
@@ -134,11 +185,21 @@ def write_outputs(
     src = routed
     if write_routed:
         routed_path = os.path.join(out_dir, "routed", sub)
+        if secret is not None:
+            # the routed table keeps full message fidelity — sealed
+            # mode must not leave it as a plaintext copy of everything
+            # the sinks seal (content columns boxed per (uid, column);
+            # metadata stays clear, see SEALED_CONTENT_COLUMNS)
+            routed = seal_content_cols(routed, secret, "routed")
         # REBALANCE: the turn-rank window shuffles by conv_id, so a hot
         # conversation lands in one partition; AQE rebalance splits it
         # for the write stage (straggler kill, SURVEY.md §4.2).
         routed.hint("rebalance").write.mode("overwrite").parquet(routed_path)
         src = spark.read.parquet(routed_path)
+        if secret is not None:
+            # the fan-out encoders need plaintext back (one open per
+            # bucket — the cost of not storing cleartext)
+            src = open_content_cols(src, secret)
 
     sinks_path = os.path.join(out_dir, "sinks", sub)
     labeled = with_sink_labels(src, include_dropped=True).withColumn(
@@ -269,6 +330,8 @@ def process_bucket(
     secret: bytes | None = None,
 ) -> tuple[int, int]:
     src = spark.read.parquet(os.path.join(staged, f"bucket={bucket}"))
+    if secret is not None:
+        src = open_content_cols(src, secret)
     routed = build_routed(src)
     return write_outputs(spark, routed, out_dir, f"bucket={bucket}",
                          write_routed=True, secret=secret)
@@ -346,15 +409,19 @@ def run_pipeline(
             f"run_id {run_id!r} already snapshotted in {out_dir!r}; "
             "use a fresh run_id per attempt"
         )
-    staged = stage_input(spark, input_path, out_dir, n_buckets)
-    done = ckpt.committed_buckets(spark, out_dir) if resume else set()
     # encryption at rest rides SKEWER_BOX_SECRET (64 hex chars) — the
     # spark-submit deploy path turns it on without an API change, like
-    # the reference's session-secret handshake (store/store.go:617-635)
+    # the reference's session-secret handshake (store/store.go:617-635).
+    # The mode check runs BEFORE stage_input: the guard's contract is
+    # "fail fast before writing anything", and staging is a write
+    # (sealed staging also needs the secret).
     from skewer_spark.functions.crypto import secret_from_env
 
     secret = secret_from_env()
     _check_store_encryption(out_dir, secret)
+    staged = stage_input(spark, input_path, out_dir, n_buckets,
+                         secret=secret)
+    done = ckpt.committed_buckets(spark, out_dir) if resume else set()
 
     processed = 0
     for b in range(n_buckets):
@@ -440,10 +507,30 @@ def run_flat(spark: SparkSession, input_path: str, out_dir: str) -> int:
     return n_rows
 
 
-def read_routed(spark: SparkSession, out_dir: str) -> DataFrame:
-    """Read the full-fidelity routed table (all parsed/enriched columns)."""
+def read_routed(
+    spark: SparkSession, out_dir: str, secret: bytes | None = None
+) -> DataFrame:
+    """Read the full-fidelity routed table (all parsed/enriched
+    columns); ``secret`` revives content columns sealed at rest (same
+    mode contract as :func:`read_sink` — fail loud on a missing or
+    superfluous key)."""
+    mode = _read_store_encryption(out_dir)
+    if mode is not None:
+        if mode.get("sealed") and secret is None:
+            raise ValueError(
+                f"store {out_dir!r} is sealed at rest (key "
+                f"{mode.get('key_fp')}); pass secret= to read content"
+            )
+        if not mode.get("sealed") and secret is not None:
+            raise ValueError(
+                f"store {out_dir!r} is not sealed; drop the secret= "
+                "argument"
+            )
     path = os.path.join(out_dir, "routed")
-    return spark.read.option("basePath", path).parquet(path)
+    df = spark.read.option("basePath", path).parquet(path)
+    if secret is not None:
+        df = open_content_cols(df, secret)
+    return df
 
 
 def read_sink(

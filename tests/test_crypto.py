@@ -322,3 +322,91 @@ def test_store_encryption_mode_pinned(spark, tmp_path, monkeypatch):
     with pytest.raises(ValueError, match="not sealed"):
         job.read_sink(spark, plain_out, "sink_firehose", secret=SECRET)
     assert job.read_sink(spark, plain_out, "sink_firehose").count() > 0
+
+
+def test_sealed_store_has_no_plaintext_content(spark, tmp_path, monkeypatch):
+    """Sealing only the sinks' `encoded` would leave full plaintext
+    copies of every message in routed/ and _staged/ — the store must
+    box ALL content-bearing columns (SEALED_CONTENT_COLUMNS); routing
+    metadata stays clear by design (the Parquet-modular-encryption
+    pattern: pruning/metrics work without the key)."""
+    import os
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from skewer_spark.plans import job
+    from skewer_spark.synth import transcripts_df
+
+    inp = str(tmp_path / "inp")
+    transcripts_df(spark, 6, 20).write.parquet(inp)
+
+    plain_out = str(tmp_path / "plain")
+    sealed_out = str(tmp_path / "sealed")
+    job.run_pipeline(spark, inp, plain_out, n_buckets=2, run_id="p1")
+    monkeypatch.setenv("SKEWER_BOX_SECRET", SECRET.hex())
+    job.run_pipeline(spark, inp, sealed_out, n_buckets=2, run_id="s1")
+    monkeypatch.delenv("SKEWER_BOX_SECRET")
+
+    # at rest: every content column in _staged and routed/ is a binary
+    # box (nonce||tag||ct), never the plaintext string
+    for sub in ("_staged", "routed"):
+        raw = spark.read.parquet(os.path.join(sealed_out, sub))
+        present = [c for c in job.SEALED_CONTENT_COLUMNS if c in raw.columns]
+        assert present, f"{sub}: no content columns found"
+        for c in present:
+            assert isinstance(
+                raw.schema[c].dataType, T.BinaryType
+            ), f"{sub}.{c} stored as {raw.schema[c].dataType}"
+        # boxes carry the fixed overhead (spot check one column)
+        n_bad = raw.filter(
+            F.col(present[0]).isNotNull()
+            & (F.octet_length(present[0]) < C.OVERHEAD)
+        ).count()
+        assert n_bad == 0
+
+    # read_routed enforces the mode contract and revives content
+    with pytest.raises(ValueError, match="sealed at rest"):
+        job.read_routed(spark, sealed_out)
+    with pytest.raises(ValueError, match="not sealed"):
+        job.read_routed(spark, plain_out, secret=SECRET)
+    keys = ["conv_id", "turn_idx"]
+    dec = job.read_routed(spark, sealed_out, secret=SECRET).select(
+        *keys, "message", "properties_json")
+    ref = job.read_routed(spark, plain_out).select(
+        *keys, "message", "properties_json")
+    mism = (
+        dec.alias("a").join(ref.alias("b"), keys)
+        .filter(
+            ~(F.col("a.message").eqNullSafe(F.col("b.message")))
+            | ~(F.col("a.properties_json").eqNullSafe(
+                F.col("b.properties_json")))
+        ).count()
+    )
+    assert dec.count() == ref.count() and mism == 0
+
+    # sink payloads still decrypt byte-identically (unchanged contract)
+    assert job.read_sink(spark, sealed_out, "sink_firehose",
+                         secret=SECRET).count() > 0
+
+
+def test_encryption_guard_runs_before_staging(spark, tmp_path, monkeypatch):
+    """The at-rest mode check must fire BEFORE stage_input writes: a
+    wrong-key resume attempt may not mutate the store (finding: the old
+    order staged the raw input first, contradicting the guard's 'fail
+    fast before writing anything' contract)."""
+    import os
+
+    from skewer_spark.plans import job
+    from skewer_spark.synth import transcripts_df
+
+    inp = str(tmp_path / "inp2")
+    transcripts_df(spark, 3, 10).write.parquet(inp)
+
+    out = str(tmp_path / "pinned")
+    # pin the store sealed without running anything
+    job._check_store_encryption(out, SECRET)
+    monkeypatch.delenv("SKEWER_BOX_SECRET", raising=False)
+    with pytest.raises(ValueError, match="refusing to mix"):
+        job.run_pipeline(spark, inp, out, n_buckets=2, run_id="g1")
+    assert not os.path.exists(os.path.join(out, "_staged"))
