@@ -928,6 +928,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.format_string("/p/%d?q=%d", did, F.pmod(did, F.lit(9))),
         )
         url = F.when(
+            F.pmod(did, F.lit(19)) == 0, F.lit(None).cast("string")
+        ).when(
             F.pmod(did, F.lit(17)) == 0,
             F.format_string("https:///broken/%d", did),
         ).otherwise(normal)
@@ -3179,7 +3181,8 @@ def oracle_sql() -> dict[str, str]:
         "q_url_filter": """
             WITH src AS (
               SELECT doc_id,
-                CASE WHEN doc_id % 17 = 0
+                CASE WHEN doc_id % 19 = 0 THEN NULL
+                  WHEN doc_id % 17 = 0
                   THEN printf('https:///broken/%d', doc_id)
                   ELSE
                     ['https','http','ftp','https'][(doc_id % 4)::INT + 1]
@@ -3209,6 +3212,7 @@ def oracle_sql() -> dict[str, str]:
             ), decided AS (
               SELECT *,
                 CASE
+                  WHEN url IS NULL OR url = '' THEN 'no_url'
                   WHEN scheme NOT IN ('http', 'https') THEN 'scheme'
                   WHEN host = '' THEN 'no_host'
                   WHEN domain IN ('site03.net', 'site08.net', 'site21.org')

@@ -44,7 +44,28 @@ def latest_changes(
     distinct timestamps or a seq column and make ties DETERMINISTIC by
     ordering on the op last).  Partial-aggregable: ``max_by`` combines
     map-side, so one hot key never funnels its full history to a task.
+
+    Every change row's op is validated inline (narrow expression riding
+    the scan): a NULL/unknown op raises instead of being silently
+    ignored — downstream, a NULL op from the full-outer join MEANS "key
+    has no changes", so an unvalidated NULL op in the log would make an
+    insert vanish and an update not apply, with no error and no metric
+    (the store contract is fail-loud).  The check replaces the op
+    column itself so column pruning can never drop it.
     """
+    valid = F.col(op_col).isin(OP_INSERT, OP_UPDATE, OP_DELETE)
+    changes = changes.withColumn(
+        op_col,
+        F.when(valid, F.col(op_col)).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(f"cdc: invalid {op_col!r} value "),
+                    F.coalesce(F.col(op_col), F.lit("NULL")),
+                    F.lit(" (expected I/U/D)"),
+                )
+            )
+        ),
+    )
     ordkey = F.struct(
         F.col(ts_col),
         (F.col(seq_col) if seq_col else F.lit(0)).alias("_seq"),

@@ -498,8 +498,14 @@ def url_filter(
     rules in fixed priority order — first failing rule is the
     ``reason``::
 
-        scheme ∉ allowed > unparseable host > blocked domain
-        > blocked TLD > kept
+        missing url > scheme ∉ allowed > unparseable host
+        > blocked domain > blocked TLD > kept
+
+    The missing-url rule is first and EXPLICIT: with it absent, a NULL
+    url makes every other condition evaluate NULL, so the CASE falls
+    through to ``kept`` and an unidentifiable document silently passes
+    the filter (the one outcome a fail-closed pre-content gate must
+    never produce).
 
     Returns ``(id, url, scheme, host, domain, tld, keep, reason)``.
 
@@ -539,7 +545,8 @@ def url_filter(
     joined = parsed.join(F.broadcast(block), "domain", "left")
 
     reason = (
-        F.when(~F.col("scheme").isin(*allowed_schemes), F.lit("scheme"))
+        F.when(F.col("url").isNull() | (F.col("url") == ""), F.lit("no_url"))
+        .when(~F.col("scheme").isin(*allowed_schemes), F.lit("scheme"))
         .when(F.col("host") == "", F.lit("no_host"))
         .when(F.col("_blocked").isNotNull(), F.lit("blocked_domain"))
         .when(F.col("tld").isin(*blocked_tlds), F.lit("blocked_tld"))

@@ -54,9 +54,18 @@ def merge_multiline(
     continuation line with no preceding header starts record 0 (kept,
     never dropped — the no-message-lost contract).
 
+    NULL text normalizes to ``''`` up front: left raw, a NULL makes the
+    header test NULL so the running sum skips the row — it silently
+    folds into the previous record with its content dropped from the
+    joined text while still counted in ``n_lines`` (and a group-leading
+    NULL yields a phantom ``record_no`` NULL group).  An empty line is
+    not a continuation under the default rx, so a NULL-text row becomes
+    its own empty record: counted, content-empty, nothing lost.
+
     Plan: record ids are a running count of headers (one window over
     the (group) exchange); the rebuild groupBy rides the same keys.
     """
+    df = df.withColumn(text_col, F.coalesce(F.col(text_col), F.lit("")))
     is_header = ~F.col(text_col).rlike(continuation_rx)
     w = (
         Window.partitionBy(group_col)

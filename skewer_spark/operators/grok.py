@@ -145,7 +145,43 @@ def compile_grok(
     dupes = {f for f in fields if fields.count(f) > 1}
     if dupes:
         raise ValueError(f"duplicate grok field names: {sorted(dupes)}")
+    # fields[i] ↔ group i+1 holds ONLY if the template adds no capturing
+    # groups of its own: one bare '(' in user input silently shifts
+    # every named field one group over (w extracts the wrong text, no
+    # error).  Count capture groups in the expanded regex — the library
+    # is all non-capturing, so any excess is user-introduced.
+    n_caps = _count_capture_groups(rx)
+    if n_caps != len(fields):
+        raise ValueError(
+            f"template introduces {n_caps - len(fields)} raw capturing "
+            "group(s), which would misalign %{NAME:field} extraction — "
+            "use non-capturing (?:...) instead"
+        )
     return rx, fields
+
+
+def _count_capture_groups(rx: str) -> int:
+    """Capturing groups in a Java∩RE2 regex: bare ``(`` plus named
+    ``(?<name>…)`` (which captures in Java), excluding ``(?:``,
+    lookarounds and flags; class/escape aware."""
+    n, i, in_class = 0, 0, False
+    while i < len(rx):
+        ch = rx[i]
+        if ch == "\\":
+            i += 2
+            continue
+        if in_class:
+            in_class = ch != "]"
+        elif ch == "[":
+            in_class = True
+        elif ch == "(":
+            nxt = rx[i + 1 : i + 2]
+            if nxt != "?":
+                n += 1
+            elif rx[i + 2 : i + 3] == "<" and rx[i + 3 : i + 4] not in ("=", "!"):
+                n += 1  # (?<name>…) captures in Java regex
+        i += 1
+    return n
 
 
 def grok_extract(

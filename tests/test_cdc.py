@@ -117,3 +117,18 @@ def test_scd2_history(spark):
     assert rows[0].valid_to == rows[1].valid_from
     assert rows[1].valid_to == rows[2].valid_from
     assert rows[2].is_current and rows[3].is_current
+
+
+def test_invalid_op_fails_loud(spark):
+    """A NULL/unknown op must raise, not vanish: downstream a NULL op
+    means 'key has no changes', so an unvalidated NULL makes an insert
+    disappear and an update silently not apply."""
+    base = _base(spark)
+    for bad_op in (None, "X"):
+        rows = [(9, "z", 90.0, _ts("2024-01-02T00:00:00"), bad_op, 1)]
+        chg = spark.createDataFrame(
+            rows, "k int, status string, price double, ts timestamp, "
+            "op string, seq long"
+        )
+        with pytest.raises(Exception, match="invalid 'op'"):
+            apply_cdc_log(base, chg, ["k"], "ts", "op", "seq").collect()

@@ -82,3 +82,36 @@ def test_rate_limit_deterministic_on_ties(spark):
     )
     got = sorted(r.seq for r in out.collect() if r.admitted)
     assert got == [0, 1, 2]
+
+
+def test_merge_multiline_null_text_never_lost(spark):
+    """NULL text must not silently fold into the previous record (its
+    content dropped while counted), nor start a record_no=NULL phantom
+    group: it normalizes to '' and becomes its own empty record."""
+    lines = [
+        ("a.log", 1, "ERROR first"),
+        ("a.log", 2, None),
+        ("a.log", 3, "  continuation of what?"),
+        ("b.log", 1, None),          # group-leading NULL
+        ("b.log", 2, "INFO real"),
+    ]
+    df = spark.createDataFrame(
+        lines, "path string, line_no int, text string"
+    )
+    rows = sorted(
+        merge_multiline(df).collect(),
+        key=lambda r: (r.path, r.first_line_no),
+    )
+    assert all(r.record_no is not None for r in rows)
+    # a.log: NULL is a header ('' is not a continuation), taking the
+    # following continuation line with it
+    a = [r for r in rows if r.path == "a.log"]
+    assert [(r.n_lines, r.text) for r in a] == [
+        (1, "ERROR first"),
+        (2, "\n  continuation of what?"),
+    ]
+    # b.log: leading NULL is its own record, INFO starts the next
+    b = [r for r in rows if r.path == "b.log"]
+    assert [(r.n_lines, r.text) for r in b] == [(1, ""), (1, "INFO real")]
+    # nothing lost: total member lines == input lines
+    assert sum(r.n_lines for r in rows) == len(lines)

@@ -118,3 +118,23 @@ def test_extract_cast_int(spark):
         F.col("ms").cast("int").alias("ms")
     )
     assert out.collect()[0].ms == 250
+
+
+def test_raw_capturing_group_rejected(spark):
+    """A bare '(' in the template would shift every named field one
+    group over (field w extracting 'foo' instead of 'hello') — refuse
+    at compile time; the (?:...) form works and aligns correctly."""
+    import pytest
+
+    from skewer_spark.operators.grok import compile_grok, grok_extract
+
+    with pytest.raises(ValueError, match="capturing group"):
+        compile_grok(r"(foo|bar) %{WORD:w}")
+    with pytest.raises(ValueError, match="capturing group"):
+        compile_grok(r"(?<who>foo|bar) %{WORD:w}")  # Java named = capturing
+
+    rx, fields = compile_grok(r"(?:foo|bar) %{WORD:w}")
+    assert fields == ["w"]
+    df = spark.createDataFrame([("foo hello",)], "text string")
+    row = grok_extract(df, r"(?:foo|bar) %{WORD:w}").collect()[0]
+    assert row.w == "hello" and row.grok_match
