@@ -99,12 +99,10 @@ def soft_dedup_weights(
     (same class as :func:`~skewer_spark.operators.dedup.exact_dedup`);
     the draw is a pure expression.
     """
+    from skewer_spark.functions.draws import md5_uniform
+
     w = Window.partitionBy(F.md5(F.col(text_col)))
-    u = (
-        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10)
-        .cast("double")
-        / F.lit(4294967296.0)
-    )
+    u = md5_uniform(id_col)
     n_copies = F.count("*").over(w)
     return df.select(
         F.col(id_col),

@@ -27,6 +27,9 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from skewer_spark.functions.draws import md5_uniform
+from skewer_spark.functions.text import token_count
+
 
 def token_budget_select(
     df: DataFrame,
@@ -73,10 +76,7 @@ def token_budget_select(
     Both modes produce bit-identical output (bucket boundaries never
     affect the sum); the equality is pinned by tests.
     """
-    t = F.col(text_col)
-    n_tokens = (
-        F.length(t) - F.length(F.replace(t, F.lit(" "), F.lit(""))) + 1
-    ).cast("long")
+    n_tokens = token_count(text_col)
     base = df.select(
         F.col(id_col).cast("long").alias(id_col),
         n_tokens.alias("n_tokens"),
@@ -169,10 +169,7 @@ def mixture_weights(
     windows over the resulting *n_groups*-row frame (tiny by
     construction) — corpus rows never meet a global window.
     """
-    t = F.col(text_col)
-    n_tokens = (
-        F.length(t) - F.length(F.replace(t, F.lit(" "), F.lit(""))) + 1
-    ).cast("long")
+    n_tokens = token_count(text_col)
     per_group = df.groupBy(F.col(group_col).alias("group")).agg(
         F.count("*").cast("long").alias("n_docs"),
         F.sum(n_tokens).cast("long").alias("n_tokens"),
@@ -219,18 +216,11 @@ def apply_mixture(
     arithmetic.  Corpus rows never shuffle.
     """
     weights = mixture_weights(df, group_col, temperature, text_col)
-    t = F.col(text_col)
-    n_tokens = (
-        F.length(t) - F.length(F.replace(t, F.lit(" "), F.lit(""))) + 1
-    ).cast("long")
-    # 60-bit uniform in [0, 1): matches the oracle's
+    n_tokens = token_count(text_col)
+    # 60-bit uniform (2^-32 quantization would bias tiny expected
+    # epoch counts): oracle mirror is
     # ('0x' || substr(md5(id), 1, 15))::BIGINT / 2^60
-    u = (
-        F.conv(
-            F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10
-        ).cast("double")
-        / F.lit(float(1 << 60))
-    )
+    u = md5_uniform(id_col, hex_chars=15)
     rate = (
         F.lit(float(budget_tokens))
         * F.col("mix_weight")
@@ -377,11 +367,7 @@ def weighted_sample(
     the grouped cut is one window exchange partitioned by the group —
     both partial (heap-k per partition) rather than full sorts.
     """
-    u = (
-        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10)
-        .cast("double")
-        / F.lit(4294967296.0)
-    )
+    u = md5_uniform(id_col)
     w = F.col(weight_col).cast("double")
     keyed = df.filter(w > 0).withColumn(
         "sample_key", F.round(F.pow(u, F.lit(1.0) / w), 6)
