@@ -46,10 +46,20 @@ def windowed_counts(
     ts_col: str = "ts",
     window: str = "1 hour",
     fill_gaps: bool = True,
+    max_windows_per_key: int = 1_000_000,
 ) -> DataFrame:
     """Per-(key, window) event counts ``(k, w, n_events)``; with
     ``fill_gaps`` every window between a key's first and last active
-    window is present (zero-filled)."""
+    window is present (zero-filled).
+
+    ``max_windows_per_key`` guards the densification: one corrupt
+    timestamp (epoch 0, year 9999) would otherwise make a key's
+    ``sequence(lo, hi)`` materialize tens of millions of timestamps in
+    ONE row (hundreds of MB before the explode — executor OOM), and
+    even valid-but-wide spans silently inflate the counts frame far
+    past the real data.  The guard rides the span expression itself
+    (no extra pass over the raw stream) and fails loud with the
+    offending key."""
     c = (
         df.groupBy(
             F.window(ts_col, window).alias("_w"), F.col(key).alias("k")
@@ -60,12 +70,31 @@ def windowed_counts(
     if not fill_gaps:
         return c
     span = c.groupBy("k").agg(F.min("w").alias("lo"), F.max("w").alias("hi"))
-    allw = span.select(
-        "k",
-        F.explode(
-            F.sequence("lo", "hi", F.expr(f"INTERVAL {window}"))
-        ).alias("w"),
+    # seconds per window, from the interval literal itself (UTC session)
+    ivl_s = F.expr(
+        f"unix_timestamp(timestamp'1970-01-01 00:00:00' + INTERVAL {window})"
     )
+    n_windows = (
+        (F.unix_timestamp("hi") - F.unix_timestamp("lo")) / ivl_s + 1
+    )
+    guarded_seq = F.when(
+        n_windows <= F.lit(max_windows_per_key),
+        F.sequence("lo", "hi", F.expr(f"INTERVAL {window}")),
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("fill_gaps: key "),
+                F.col("k").cast("string"),
+                F.lit(" spans "),
+                n_windows.cast("long").cast("string"),
+                F.lit(
+                    f" windows (> max_windows_per_key={max_windows_per_key})"
+                    " — corrupt timestamp or raise the limit"
+                ),
+            )
+        )
+    )
+    allw = span.select("k", F.explode(guarded_seq).alias("w"))
     return allw.join(c, ["k", "w"], "left").select(
         "k",
         "w",
@@ -91,7 +120,12 @@ def rate_anomalies(
     """
     c = windowed_counts(df, key, ts_col, window, fill_gaps)
     m1 = c.groupBy("k").agg(F.percentile("n_events", 0.5).alias("med"))
-    e = c.join(F.broadcast(m1), "k").withColumn(
+    # NO F.broadcast hint on the stat frames: their size is
+    # proportional to KEY CARDINALITY, not a constant — forced onto a
+    # 10^8-key column the hint would collect the full frame to the
+    # driver (OOM / broadcast hard limit).  AQE's size-based planning
+    # still picks broadcast for the common small-key case (plan test).
+    e = c.join(m1, "k").withColumn(
         "ad", F.abs(F.col("n_events") - F.col("med"))
     )
     m2 = e.groupBy("k").agg(
@@ -111,7 +145,7 @@ def rate_anomalies(
         .otherwise(F.lit(0.0))
     )
     return (
-        e.join(F.broadcast(m2), "k")
+        e.join(m2, "k")
         .withColumn("z_score", F.round(z, 6))
         .select(
             F.col("k").alias(key),

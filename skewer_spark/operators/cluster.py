@@ -194,6 +194,11 @@ def semdedup(
     b_side = narrow.select(
         F.col(id_col).alias("id_b"), F.col("cell").alias("_cell_b")
     )
+    # NO .distinct() here — unlike the multi-band LSH joins this copies
+    # the shape of (dedup._band_pairs), each doc sits in exactly ONE
+    # cell, so the (cell, id_a < id_b) join cannot emit duplicate
+    # pairs; a distinct would re-shuffle the quadratic-output pair
+    # stream (the job's largest intermediate) for zero effect
     pairs = (
         a_side.join(
             b_side,
@@ -201,7 +206,6 @@ def semdedup(
             & (F.col("id_a") < F.col("id_b")),
         )
         .select("id_a", "id_b")
-        .distinct()
         .repartition(n, "id_a")  # keep the exact-cosine stage wide
     )
     emb_a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))

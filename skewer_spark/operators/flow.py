@@ -111,19 +111,59 @@ def rate_limit(
     order).  Callers route ``admitted = false`` rows to a rejects sink
     and count them — flagging, not dropping, keeps the metrics
     contract ("no message lost from metrics").
+
+    Scale shape — two-phase threshold admit, NOT one row_number window
+    over (key, window): the hot key is this operator's DESIGNED input
+    (a runaway logger emitting 10^8 rows in one interval), and a single
+    window would land that whole interval on one task and full-sort it
+    (WindowGroupLimit cannot prune here: every row needs its flag, so
+    there is no ``rank <= k`` filter for the optimizer).  Instead:
+
+    1. per (key, window, **input partition**) keep the ``burst``
+       smallest ``(ts, tiebreak)`` keys — the exchange key includes
+       ``spark_partition_id()`` (evaluated map-side, before the
+       shuffle), so a hot key spreads across tasks and every sort is
+       bounded by the input partition size;
+    2. the exact per-(key, window) threshold = the ``burst``-th
+       smallest key among those ≤ burst×P candidates (tiny groups);
+    3. ``admitted = sortkey <= threshold`` joins the threshold frame
+       back on (key, window) — a hash probe streamed in O(n), never a
+       sort of the hot window.
+
+    With a UNIQUE ``(ts, tiebreak)`` per row (pass a tiebreak — the
+    fixture uses event_id) this is bit-identical to the row_number
+    formulation.  Rows TIED exactly at the threshold are all admitted
+    (deterministic; may exceed ``burst`` by the tie count) — strictly
+    better than row_number's nondeterministic pick among ties.
     """
     wincol = F.floor(
         F.unix_timestamp(F.col(ts_col)) / F.lit(int(interval_seconds))
     ).alias("rl_window")
-    order = [F.col(ts_col)] + (
-        [F.col(tiebreak_col)] if tiebreak_col else []
+    okey = F.struct(
+        F.col(ts_col).alias("_t"),
+        (F.col(tiebreak_col) if tiebreak_col else F.lit(0)).alias("_tb"),
     )
-    w = Window.partitionBy(
-        *[F.col(c) for c in key_cols], F.col("rl_window")
-    ).orderBy(*order)
+    keys = [*key_cols, "rl_window"]
+    stamped = df.withColumn("rl_window", wincol).withColumn("_okey", okey)
+    part_w = Window.partitionBy(
+        *[F.col(c) for c in keys], F.col("_pid")
+    ).orderBy(F.col("_okey"))
+    cand = (
+        stamped.withColumn("_pid", F.spark_partition_id())
+        .withColumn("_prn", F.row_number().over(part_w))
+        .filter(F.col("_prn") <= burst)
+    )
+    group_w = Window.partitionBy(*[F.col(c) for c in keys]).orderBy(
+        F.col("_okey")
+    )
+    thr = (
+        cand.withColumn("_rn", F.row_number().over(group_w))
+        .filter(F.col("_rn") <= burst)
+        .groupBy(*keys)
+        .agg(F.max("_okey").alias("_thr"))
+    )
     return (
-        df.withColumn("rl_window", wincol)
-        .withColumn("_rn", F.row_number().over(w))
-        .withColumn("admitted", F.col("_rn") <= burst)
-        .drop("_rn")
+        stamped.join(thr, keys)
+        .withColumn("admitted", F.col("_okey") <= F.col("_thr"))
+        .drop("_okey", "_thr")
     )

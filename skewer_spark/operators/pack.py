@@ -50,27 +50,32 @@ def pack_sequences(
     ``seq_len`` spans several), and ``offset_in_seq`` is the token
     offset of the document's first token inside ``seq_first``.
     """
+    from skewer_spark.functions.text import token_count
+
+    # token_count = pure length arithmetic (identical value to
+    # size(split(t, ' ')), incl. empty segments) — no per-row token
+    # array materialized just to take its size
     base = df.select(
         F.col(id_col).cast("long").alias(id_col),
-        F.size(F.split(F.col(text_col), " ")).cast("long").alias("n_tokens"),
+        token_count(text_col).alias("n_tokens"),
     )
-    # monotone range-bucket id from broadcast min/max — all docs in
-    # bucket b precede bucket b+1 in id order, so per-bucket partial
-    # sums + bucket base offsets reproduce the global cumsum exactly
-    bounds = base.agg(
-        F.min(id_col).alias("_lo"), F.max(id_col).alias("_hi")
-    )
-    bucketed = base.crossJoin(F.broadcast(bounds)).select(
-        id_col,
-        "n_tokens",
-        F.least(
-            F.lit(n_buckets - 1),
-            F.floor(
-                (F.col(id_col) - F.col("_lo"))
-                * F.lit(n_buckets)
-                / (F.col("_hi") - F.col("_lo") + 1)
-            ),
-        ).alias("_bkt"),
+    # monotone bucket id via SAMPLED range partitioning on the id (the
+    # token_budget_select tie_safe shape; ids are unique so there is no
+    # tie concern): all docs in bucket b precede bucket b+1 in id
+    # order, so per-bucket partial sums + bucket base offsets reproduce
+    # the global cumsum exactly.  The earlier broadcast-min/max value
+    # map `(id - lo) * n / (hi - lo + 1)` is NOT safe here: doc ids are
+    # often 64-bit hashes, where `(id - lo)` alone wraps int64 (ANSI
+    # mode → job-killing ArithmeticException; non-ANSI → silently
+    # non-monotone buckets = wrong offsets), and clustered/sparse ids
+    # collapse ~all rows into one bucket — the single-task straggler
+    # this operator exists to avoid.  Range boundaries come from a
+    # sample of the actual ids, so they stay balanced for ANY id
+    # distribution and never do arithmetic on the id domain.
+    bucketed = base.repartitionByRange(
+        n_buckets, F.col(id_col)
+    ).select(
+        id_col, "n_tokens", F.spark_partition_id().alias("_bkt")
     )
     in_bucket = F.sum("n_tokens").over(
         Window.partitionBy("_bkt")

@@ -54,10 +54,13 @@ def build_inverted_index(
     (term, doc) groupBy; at scale, write this partitioned/bucketed by
     ``term`` so query-time term filters prune partitions.
     """
+    # materialize the token array ONCE: Catalyst does not CSE the
+    # lower+regex-split across the explode and size expressions, and
+    # tokenization is the dominant per-row cost of the corpus pass
     toks = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(_tokens(text_col)).alias("term"),
-        F.size(_tokens(text_col)).alias("dl"),
+        F.col(id_col).alias("doc_id"), _tokens(text_col).alias("_t")
+    ).select(
+        "doc_id", F.explode("_t").alias("term"), F.size("_t").alias("dl")
     )
     return toks.groupBy("term", "doc_id").agg(
         F.count("*").alias("tf"), F.first("dl").alias("dl")

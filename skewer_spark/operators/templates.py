@@ -48,7 +48,16 @@ def mask_variables(c: Column) -> Column:
     return out
 
 
-def _grouped_tokens(df: DataFrame, text_col: str, id_col: str):
+def _grouped_tokens(
+    df: DataFrame, text_col: str, id_col: str, keep_empty: bool = False
+):
+    """Lines stamped with the (token count, first token) group key.
+
+    ``keep_empty`` retains zero-token lines with ``_first = NULL`` —
+    the assignment path needs every input line in ONE frame (a NULL
+    group key simply misses the broadcast join), whereas dropping them
+    here and re-attaching later costs a corpus×corpus join on the line
+    id (see :func:`assign_templates`)."""
     toks = F.filter(
         F.split(mask_variables(F.col(text_col)), r"\s+"),
         lambda t: t != F.lit(""),
@@ -56,10 +65,10 @@ def _grouped_tokens(df: DataFrame, text_col: str, id_col: str):
     base = (
         df.select(F.col(id_col), toks.alias("_toks"))
         .withColumn("_n", F.size("_toks"))
-        .filter(F.col("_n") > 0)
-        .withColumn("_first", F.element_at("_toks", 1))
     )
-    return base
+    if not keep_empty:
+        base = base.filter(F.col("_n") > 0)
+    return base.withColumn("_first", F.element_at("_toks", 1))
 
 
 def _mine_keyed(base: DataFrame) -> DataFrame:
@@ -139,14 +148,18 @@ def assign_templates(
     The template frame is mined from ``df`` itself and broadcast back
     onto the (group key)-stamped lines on the exact ``(_n, _first)``
     group key — the corpus is scanned twice but never shuffled wide.
-    Lines with zero tokens after masking get a NULL template.
+    Lines with zero tokens after masking get a NULL template: they stay
+    in the one stamped frame with a NULL group key and simply miss the
+    broadcast join (restoring them via a separate frame would cost a
+    corpus×corpus shuffle join on the line id — the exact wide shuffle
+    this module exists to avoid).  Zero-token groups contribute no
+    mined templates (they emit no positions, so the agree⋈counts inner
+    join drops them).
     """
-    raw = df.select(F.col(id_col))
-    base = _grouped_tokens(df, text_col, id_col)
+    base = _grouped_tokens(df, text_col, id_col, keep_empty=True)
     keyed = _mine_keyed(base).select(
         "_n", "_first", "template_id", "template"
     )
-    assigned = base.join(
+    return base.join(
         F.broadcast(keyed), ["_n", "_first"], "left"
     ).select(id_col, "template_id", "template")
-    return raw.join(assigned, id_col, "left")

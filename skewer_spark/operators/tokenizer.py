@@ -226,6 +226,13 @@ def apply_bpe_pandas(
     # Java \s (the expression path's split class), NOT Python str.split's
     # unicode whitespace — the two diverge on NBSP/vertical-tab text
     _ws = re.compile(r"[ \t\n\x0B\f\r]+")
+    # SIZE-CAPPED memo: Python workers are reused across tasks
+    # (spark.python.worker.reuse), so an unbounded dict grows
+    # monotonically for the worker's lifetime — at the module's own
+    # 10^7-10^8 distinct-word estimate that is GBs per worker.  Clear-
+    # on-overflow keeps the zipfian hot head (frequent words re-enter
+    # within a batch) at O(cap) memory.
+    _CACHE_CAP = 200_000
     cache: dict[str, list[str]] = {}
 
     def _encode_word(w: str) -> list[str]:
@@ -247,6 +254,8 @@ def apply_bpe_pandas(
                     i += 1
             syms = out
             pairs = set(zip(syms, syms[1:]))
+        if len(cache) >= _CACHE_CAP:
+            cache.clear()
         cache[w] = syms
         return syms
 

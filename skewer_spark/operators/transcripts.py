@@ -65,8 +65,11 @@ def _dense_conv_pos(
             F.lit(n_buckets - 1),
             F.floor(
                 # long arithmetic: an int order key spanning > 2^31 /
-                # n_buckets would wrap in the multiply (pack_sequences
-                # guards the same way)
+                # n_buckets would wrap in the multiply.  The value map
+                # is safe HERE because order keys are per-conv turn
+                # indexes (small, dense ints); for arbitrary 64-bit id
+                # domains use sampled range partitioning instead, as
+                # pack_sequences does
                 (F.col(order_col).cast("long") - F.col("_lo").cast("long"))
                 * F.lit(n_buckets)
                 / (F.col("_hi").cast("long") - F.col("_lo").cast("long") + 1)
