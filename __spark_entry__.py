@@ -1706,6 +1706,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return context_windows(turns, k=3, sep="|")
 
+    def q_setsim_exact(spark, sf):
+        # EXACT set-similarity self-join (AllPairs/PPJoin prefix
+        # filtering): every pair with bigram-shingle Jaccard >= 0.5,
+        # zero false negatives — the compliance-grade complement to the
+        # LSH dedup stack (which trades recall for speed).  Word SETS
+        # are useless on this small-vocab fixture (74% of pairs >= 0.5)
+        # so the query runs on word-bigram shingles, where exactly the
+        # planted near-dups qualify.
+        from skewer_spark.operators.setsim import prefix_jaccard_pairs
+        docs = _read(spark, sf, "documents")
+        return prefix_jaccard_pairs(
+            docs.select("doc_id", "text"), threshold=0.5, shingle_n=2
+        )
+
+    def q_bloom_decontam(spark, sf):
+        # scale-out decontamination pre-filter: benchmark shingles go
+        # into a 2^20-bit / k=5 Bloom filter (128 KiB of int64 words —
+        # broadcastable no matter how large the benchmark corpus),
+        # probe docs count might-contain shingles.  No false negatives:
+        # docs with n_flagged = 0 PROVABLY share no shingle with the
+        # benchmark set, so the exact check runs only on the remainder.
+        from skewer_spark.operators.setsim import _doc_token_frame
+        from skewer_spark.operators.sketches import (
+            bloom_merge, bloom_partials, bloom_probe,
+        )
+        docs = _read(spark, sf, "documents")
+        sh = _doc_token_frame(docs, "text", "doc_id", shingle_n=3)
+        bench = sh.filter(F.col("doc_id") % 10 == 0).select(
+            F.col("tok").alias("key")
+        )
+        rest = sh.filter(F.col("doc_id") % 10 != 0)
+        # build in two slices and merge — exercises the mergeability
+        # path the incremental-benchmark use case needs
+        bloom = bloom_merge(
+            bloom_partials(bench.filter(F.crc32("key") % 2 == 0)).union(
+                bloom_partials(bench.filter(F.crc32("key") % 2 == 1))
+            )
+        )
+        verdicts = bloom_probe(rest.select(F.col("tok").alias("key")), bloom)
+        return (
+            rest.join(verdicts, rest["tok"] == verdicts["key"])
+            .groupBy("doc_id")
+            .agg(
+                F.count("*").alias("n_shingles"),
+                F.sum(F.col("might_contain").cast("long")).alias(
+                    "n_flagged"
+                ),
+            )
+        )
+
     # ORDER MATTERS: the driver's correctness harness checks the FIRST
     # 50 entries only.  Every operator family must sit inside that
     # window, so near-duplicate variants (6 of the 8 encode variants —
@@ -1806,6 +1856,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # q_rate_limit (model-scored curation stays in-window via
         # q_classifier + q_curation, mixing via q_shard_shuffle; both
         # demotees stay oracle-paired below) --
+        "q_setsim_exact": q_setsim_exact,
+        "q_bloom_decontam": q_bloom_decontam,
         "q_soft_dedup": q_soft_dedup,
         "q_tfidf_terms": q_tfidf_terms,
         "q_budget_select": q_budget_select,
@@ -4134,5 +4186,89 @@ def oracle_sql() -> dict[str, str]:
                              ROWS BETWEEN CURRENT ROW AND 2 FOLLOWING)
             )
             SELECT conv_id, turn_idx, window_text FROM w WHERE n = 3
+        """,
+        # brute-force all-pairs exact Jaccard on bigram shingles — the
+        # prefix-filtered Spark plan must return the IDENTICAL pair set
+        # (exactness is the operator's contract: no LSH recall loss)
+        "q_setsim_exact": """
+            WITH tok AS (
+              SELECT doc_id,
+                list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                            x -> x <> '') AS w
+              FROM documents
+            ), sh AS (
+              SELECT doc_id,
+                list_distinct(CASE WHEN len(w) >= 2 THEN
+                  list_transform(generate_series(0, len(w) - 2),
+                    i -> array_to_string(w[i+1:i+2], ' '))
+                ELSE CAST([] AS VARCHAR[]) END) AS toks
+              FROM tok
+            ), ne AS (SELECT * FROM sh WHERE len(toks) > 0)
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+              ROUND(len(list_intersect(a.toks, b.toks))::DOUBLE /
+                    (len(a.toks) + len(b.toks)
+                     - len(list_intersect(a.toks, b.toks))), 6) AS jaccard
+            FROM ne a JOIN ne b ON a.doc_id < b.doc_id
+            WHERE ROUND(len(list_intersect(a.toks, b.toks))::DOUBLE /
+                    (len(a.toks) + len(b.toks)
+                     - len(list_intersect(a.toks, b.toks))), 6) >= 0.5
+        """,
+        # cell-for-cell replay of the Bloom filter arithmetic (60-bit
+        # md5 positions mod 2^20, k=5, int64 words; DuckDB raises on
+        # 1::BIGINT << 63 where Spark wraps — the sign bit is spelled
+        # out).  Slice-merge on the Spark side vs single-pass here:
+        # equality IS the mergeability proof (same contract as
+        # q_cms_heavy / q_quantile_sketch).
+        "q_bloom_decontam": """
+            WITH tok AS (
+              SELECT doc_id,
+                list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                            x -> x <> '') AS w
+              FROM documents
+            ), shl AS (
+              SELECT doc_id,
+                list_distinct(CASE WHEN len(w) >= 3 THEN
+                  list_transform(generate_series(0, len(w) - 3),
+                    i -> array_to_string(w[i+1:i+3], ' '))
+                ELSE CAST([] AS VARCHAR[]) END) AS toks
+              FROM tok
+            ), sh AS (
+              SELECT doc_id, unnest(toks) AS tok FROM shl
+            ), bench AS (
+              SELECT DISTINCT tok FROM sh WHERE doc_id % 10 = 0
+            ), bpos AS (
+              SELECT ('0x' || substr(md5(tok || ':' || i), 1, 15))::BIGINT
+                     % 1048576 AS p
+              FROM bench, range(5) r(i)
+            ), words AS (
+              SELECT p // 64 AS word_idx,
+                bit_or(CASE WHEN p % 64 = 63 THEN -9223372036854775808
+                       ELSE 1::BIGINT << (p % 64)::INT END) AS word
+              FROM bpos GROUP BY 1
+            ), probes AS (
+              SELECT DISTINCT tok FROM sh WHERE doc_id % 10 <> 0
+            ), pp AS (
+              SELECT tok,
+                ('0x' || substr(md5(tok || ':' || i), 1, 15))::BIGINT
+                % 1048576 AS p
+              FROM probes, range(5) r(i)
+            ), hits AS (
+              SELECT pp.tok,
+                CASE WHEN (coalesce(w.word, 0) &
+                  (CASE WHEN pp.p % 64 = 63 THEN -9223372036854775808
+                   ELSE 1::BIGINT << (pp.p % 64)::INT END)) <> 0
+                THEN 1 ELSE 0 END AS hit
+              FROM pp LEFT JOIN words w ON pp.p // 64 = w.word_idx
+            ), verd AS (
+              SELECT tok, (sum(hit) = 5) AS might_contain
+              FROM hits GROUP BY tok
+            )
+            SELECT s.doc_id,
+              count(*)::BIGINT AS n_shingles,
+              sum(CASE WHEN v.might_contain THEN 1 ELSE 0 END)::BIGINT
+                AS n_flagged
+            FROM sh s JOIN verd v USING (tok)
+            WHERE s.doc_id % 10 <> 0
+            GROUP BY s.doc_id
         """,
     }

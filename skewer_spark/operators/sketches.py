@@ -363,3 +363,122 @@ def dd_quantiles(
         "n",
         *[_est(F.col(f"_b_{name}")).alias(name) for name in names],
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter: mergeable set membership for scale-out semi-join pruning
+# ---------------------------------------------------------------------------
+#
+# The decontamination operator broadcasts the benchmark shingle SET
+# (operators/decontaminate.py) — fine while the reference corpus fits
+# in a broadcast (~100s of MB), wrong once the "do not train on this"
+# list is itself web-scale (every eval suite + every opted-out domain).
+# The classic production answer is a Bloom filter: membership bits, no
+# keys, zero false negatives — probe-side docs that miss CANNOT be
+# contaminated, so the expensive exact check (or the full anti-join)
+# runs only on the tiny might-contain remainder.  The filter is
+# SUM-of-bits mergeable (bitwise OR), so per-slice partials compose
+# exactly like the CMS/DDSketch partials above — build it incrementally
+# as new benchmark sets arrive, never rescan the old ones.
+#
+# Engine-replicable hashing (the q_bloom_decontam oracle mirrors it
+# cell-for-cell): position i of a key is the low 60 bits of
+# md5(key || ':' || i) taken as hex → BIGINT, mod m.  All arithmetic is
+# exact int64 in both Spark and DuckDB; bits live in 64-bit words, and
+# `shiftleft(1L, 63)` wraps to the sign bit identically in both engines
+# (two's complement), pinned by test.
+
+_BLOOM_BITS = 1 << 20  # 1 Mi bits = 16 Ki int64 words = 128 KiB
+_BLOOM_K = 5
+
+
+def _bloom_pos(key: Column, i: int, m_bits: int) -> Column:
+    """Bit position of hash ``i`` for ``key`` — 60-bit md5 draw mod m."""
+    h = F.conv(
+        F.substring(F.md5(F.concat(key, F.lit(f":{i}"))), 1, 15), 16, 10
+    ).cast("long")
+    return F.pmod(h, F.lit(m_bits))
+
+
+def bloom_partials(
+    keys: DataFrame,
+    key_col: str = "key",
+    m_bits: int = _BLOOM_BITS,
+    k: int = _BLOOM_K,
+) -> DataFrame:
+    """Build the filter: ``(word_idx, word)`` int64 rows, ≤ m/64 of them.
+
+    ONE explode(k) + ONE partial-aggregable groupBy(word_idx) — the
+    combiner state per task is bounded at m/64 words regardless of key
+    count.  Absent words mean all-zero (the probe treats missing
+    word_idx as unset bits), so the frame stays sparse for small sets.
+    """
+    key = F.col(key_col).cast("string")
+    pos = F.explode(
+        F.array(*[_bloom_pos(key, i, m_bits) for i in range(k)])
+    ).alias("pos")
+    positions = keys.select(pos)
+    return (
+        positions.select(
+            (F.col("pos") / F.lit(64)).cast("long").alias("word_idx"),
+            # pyspark's F.shiftleft only takes a literal numBits; the
+            # SQL function accepts an expression
+            F.expr("shiftleft(1L, cast(pos % 64 as int))").alias("bit"),
+        )
+        .groupBy("word_idx")
+        .agg(F.bit_or("bit").alias("word"))
+    )
+
+
+def bloom_merge(partials: DataFrame) -> DataFrame:
+    """OR per-slice filters together — exact mergeability, any slicing."""
+    return partials.groupBy("word_idx").agg(F.bit_or("word").alias("word"))
+
+
+def bloom_probe(
+    probes: DataFrame,
+    bloom: DataFrame,
+    key_col: str = "key",
+    m_bits: int = _BLOOM_BITS,
+    k: int = _BLOOM_K,
+) -> DataFrame:
+    """Membership verdicts: ``(key, might_contain)``, one row per
+    distinct probe key.
+
+    Membership is a pure function of the key, so the probe frame is
+    reduced to distinct keys first (dedups repeated shingles for free).
+    The filter frame is ≤ m/64 rows (128 KiB of words at the default
+    m=2^20) — Spark broadcasts it, so the probe side's only exchange is
+    its own distinct: explode the k positions, broadcast-join the
+    words, AND the bit tests back per key.  No false negatives by
+    construction; false-positive rate ≈ (1 - e^(-k·n/m))^k.
+    """
+    from pyspark.sql.functions import broadcast
+
+    key = F.col(key_col).cast("string")
+    probed = (
+        probes.select(key.alias("key"))
+        .distinct()
+        .withColumn(
+            "_pos",
+            F.explode(
+                F.array(
+                    *[_bloom_pos(F.col("key"), i, m_bits) for i in range(k)]
+                )
+            ),
+        )
+        .withColumn("_widx", (F.col("_pos") / F.lit(64)).cast("long"))
+    )
+    joined = probed.join(
+        broadcast(bloom), probed["_widx"] == bloom["word_idx"], "left"
+    )
+    mask = F.expr("shiftleft(1L, cast(_pos % 64 as int))")
+    bit_set = (
+        F.coalesce(F.col("word"), F.lit(0).cast("long")).bitwiseAND(mask)
+        != 0
+    )
+    return (
+        joined.withColumn("_hit", bit_set.cast("int"))
+        .groupBy("key")
+        .agg((F.sum("_hit") == F.lit(k)).alias("might_contain"))
+    )

@@ -68,7 +68,9 @@ def _grouped_tokens(
     )
     if not keep_empty:
         base = base.filter(F.col("_n") > 0)
-    return base.withColumn("_first", F.element_at("_toks", 1))
+    # try_element_at: ANSI mode makes element_at THROW on the empty
+    # array a zero-token line produces; the contract here is NULL
+    return base.withColumn("_first", F.try_element_at("_toks", F.lit(1)))
 
 
 def _mine_keyed(base: DataFrame) -> DataFrame:
