@@ -148,3 +148,56 @@ def test_cosine_pairs_symmetric_dedup(spark):
     assert all(p.id_a < p.id_b for p in pairs)
     keys = {(p.id_a, p.id_b) for p in pairs}
     assert len(keys) == len(pairs)  # no duplicate pairs across bands
+
+
+# --- SQ8 scalar quantization -------------------------------------------------
+
+
+def test_sq8_codes_bounds_and_roundtrip(spark):
+    from skewer_spark.operators.similarity import sq8_encode, sq8_scale
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    s = sq8_scale(emb)
+    assert s > 0
+    rows = sq8_encode(emb, s).select("embedding", "codes").collect()
+    for r in rows:
+        for x, c in zip(r.embedding, r.codes):
+            assert -127 <= c <= 127
+            # round-half-up to the nearest code: error <= s/2
+            assert abs(s * c - x) <= s / 2.0 + 1e-9
+
+
+def test_sq8_extreme_values_hit_full_range(spark):
+    from skewer_spark.operators.similarity import sq8_encode, sq8_scale
+
+    df = spark.createDataFrame(
+        [(0, [2.0, -2.0, 0.0, 1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    s = sq8_scale(df)
+    assert s == 2.0 / 127.0
+    codes = sq8_encode(df, s).collect()[0].codes
+    assert codes == [127, -127, 0, 64]  # 1.0/s = 63.5 rounds half-up
+
+
+def test_sq8_topk_ranks_like_exact_inner_product(spark):
+    """Integer code-dot ranking is exactly the dequantized-IP ranking;
+    vs the TRUE inner product it must substantially agree on the
+    planted fixture (recall@10 >= 0.8)."""
+    from skewer_spark.operators.similarity import dot, sq8_topk
+
+    emb, qv, _ = _planted_fixture(spark)
+    q = F.array(*[F.lit(float(x)) for x in qv])
+    exact = {
+        r.vec_id
+        for r in emb.select(
+            "vec_id", dot(F.col("embedding"), q).alias("ip")
+        )
+        .orderBy(F.desc("ip"), "vec_id")
+        .limit(10)
+        .collect()
+    }
+    got = {r.vec_id for r in sq8_topk(emb, qv, k=10).collect()}
+    assert len(got) == 10
+    overlap = len(got & exact) / 10.0
+    assert overlap >= 0.8, f"sq8 recall@10 {overlap}"
