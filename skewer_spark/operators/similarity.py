@@ -427,3 +427,39 @@ def sq8_topk(
         .orderBy(F.desc("qdot"), id_col)
         .limit(k)
     )
+
+
+def sq8_rerank_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    prefilter: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Two-stage ANN: int8 code-dot prefilter, exact inner-product rerank.
+
+    The production SQ8 pattern: the cheap integer scan keeps the top
+    ``prefilter * k`` candidates, then only those ids touch the float
+    vectors for the exact score — at 10^10 vectors the float column is
+    read for ~40 rows instead of the whole corpus.  Both stages use the
+    SAME metric (inner product): mixing an IP prefilter with a cosine
+    rerank silently drops large-norm/low-angle candidates.  For cosine
+    semantics, L2-normalize the embedding column first — then IP IS
+    cosine and this operator is a cosine ANN.  The candidate ids are
+    collected into an ``IN`` filter driver-side (k-sized by
+    construction): a narrow pruned scan + TakeOrderedAndProject, no
+    join shuffle."""
+    cand = sq8_topk(df, query_vec, k=prefilter * k, vec_col=vec_col,
+                    id_col=id_col)
+    ids = [r[0] for r in cand.select(id_col).collect()]
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        df.filter(F.col(id_col).isin(ids))
+        .select(
+            F.col(id_col),
+            F.round(dot(F.col(vec_col), q), 6).alias("ip"),
+        )
+        .orderBy(F.desc("ip"), id_col)
+        .limit(k)
+    )

@@ -201,3 +201,27 @@ def test_sq8_topk_ranks_like_exact_inner_product(spark):
     assert len(got) == 10
     overlap = len(got & exact) / 10.0
     assert overlap >= 0.8, f"sq8 recall@10 {overlap}"
+
+
+def test_sq8_rerank_matches_exact_topk(spark):
+    """With a 4x prefilter on the planted fixture the reranked result
+    must equal the exact inner-product top-k (same metric in both
+    stages — and on L2-normalized data IP top-k IS cosine top-k)."""
+    from skewer_spark.operators.similarity import dot, sq8_rerank_topk
+
+    emb, qv, _ = _planted_fixture(spark)
+    q = F.array(*[F.lit(float(x)) for x in qv])
+    exact = [
+        (r.vec_id, r.ip)
+        for r in emb.select(
+            "vec_id", F.round(dot(F.col("embedding"), q), 6).alias("ip")
+        )
+        .orderBy(F.desc("ip"), "vec_id")
+        .limit(10)
+        .collect()
+    ]
+    got = [
+        (r.vec_id, r.ip)
+        for r in sq8_rerank_topk(emb, qv, k=10, prefilter=4).collect()
+    ]
+    assert got == exact
