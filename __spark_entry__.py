@@ -1852,7 +1852,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- first 50: one driver-checked representative per family --
         "q_window_rank": q_window_rank,
         "q_enrich_broadcast": q_enrich_broadcast,
-        "q_cms_heavy": q_cms_heavy,
+        "q_profile": q_profile,
         "q_parse_rfc3164": q_parse_rfc3164,
         "q_parse_rfc5424": q_parse_rfc5424,
         "q_filter_fourway": q_filter_fourway,
@@ -1874,16 +1874,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bpe_merges": q_bpe_merges,
         "q_minhash_lsh": q_minhash_lsh,
         "q_kmeans": q_kmeans,
-        "q_simhash_pairs": q_simhash_pairs,
+        "q_setsim_exact": q_setsim_exact,
         "q_semdedup": q_semdedup,
         "q_ivf_topk": q_ivf_topk,
-        "q_embed_neardup": q_embed_neardup,
+        "q_sq8_topk": q_sq8_topk,
         "q_classifier": q_classifier,
         "q_text_stats": q_text_stats,
         "q_dedup_substr": q_dedup_substr,
         "q_url_filter": q_url_filter,
         "q_parse_json": q_parse_json,
-        "q_parse_influx": q_parse_influx,
+        "q_json_schema": q_json_schema,
         "q_pii_redact": q_pii_redact,
         "q_repetition": q_repetition,
         "q_decontam": q_decontam,
@@ -1938,10 +1938,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # q_rate_limit (model-scored curation stays in-window via
         # q_classifier + q_curation, mixing via q_shard_shuffle; both
         # demotees stay oracle-paired below) --
-        "q_setsim_exact": q_setsim_exact,
+        # r3 continuation swaps: q_cms_heavy demoted for q_profile
+        # (mergeable-sketch family keeps q_sketch_distinct in-window;
+        # profiling is a NEW family), q_simhash_pairs for q_setsim_exact
+        # (banded-LSH pair family keeps q_minhash_lsh; exact
+        # prefix-filtered set-sim is a NEW family), q_embed_neardup for
+        # q_sq8_topk (embedding near-dup keeps q_semdedup; quantized
+        # search is a NEW family), q_parse_influx for q_json_schema
+        # (parse family keeps rfc3164/rfc5424/json/protobuf; VARIANT
+        # schema inference is a NEW family).  All four demotees were
+        # driver-green in r02.
+        "q_cms_heavy": q_cms_heavy,
+        "q_simhash_pairs": q_simhash_pairs,
+        "q_embed_neardup": q_embed_neardup,
+        "q_parse_influx": q_parse_influx,
         "q_bloom_decontam": q_bloom_decontam,
         "q_resample_locf": q_resample_locf,
-        "q_profile": q_profile,
         "q_soft_dedup": q_soft_dedup,
         "q_tfidf_terms": q_tfidf_terms,
         "q_budget_select": q_budget_select,
@@ -1997,8 +2009,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_gelf_chunks": q_gelf_chunks,
         "q_zorder": q_zorder,
         "q_bucketed_join": q_bucketed_join,
-        "q_json_schema": q_json_schema,
-        "q_sq8_topk": q_sq8_topk,
     }
 
 
