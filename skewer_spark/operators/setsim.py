@@ -152,12 +152,25 @@ def prefix_jaccard_pairs(
     # side keeps the standard |l| - ceil(t·|l|) + 1 — strictly fewer
     # candidates, zero recall loss (exactness pinned vs brute force in
     # tests/test_setsim.py).
+    # EXACTNESS-AT-THE-BOUNDARY guard: fp `sz * factor` can round UP
+    # past the exact rational product (e.g. factor = 2t/(1+t) has no
+    # exact double), and an overestimated ceil SHORTENS the prefix one
+    # token below what the lemma requires — a silent missed pair.  The
+    # 1e-9 slack can only lengthen a prefix (more candidates, never
+    # fewer), so exactness is preserved on both sides of the rounding.
+    eps = 1e-9
     idx_len = (
         F.col("sz")
-        - F.ceil(F.col("sz") * F.lit(2.0 * t / (1.0 + t))).cast("int")
+        - F.ceil(
+            F.col("sz") * F.lit(2.0 * t / (1.0 + t)) - F.lit(eps)
+        ).cast("int")
         + 1
     )
-    probe_len = F.col("sz") - F.ceil(F.col("sz") * F.lit(t)).cast("int") + 1
+    probe_len = (
+        F.col("sz")
+        - F.ceil(F.col("sz") * F.lit(t) - F.lit(eps)).cast("int")
+        + 1
+    )
 
     sc = df.sparkSession
     n_parts = shuffle_parts or int(
@@ -182,7 +195,9 @@ def prefix_jaccard_pairs(
         F.col("doc_id").alias("id_l"), F.col("sz").alias("sz_l"), "tok"
     )
     # size filter: with s the smaller side, J >= t forces |s| >= t·|l|;
-    # the (size, id) orientation replaces the other direction.
+    # the (size, id) orientation replaces the other direction.  Same
+    # eps slack: a fp-rounded-up t·|l| must not reject an integer |s|
+    # sitting exactly on the boundary.
     cands = (
         small.join(
             large,
@@ -193,7 +208,7 @@ def prefix_jaccard_pairs(
                     (small["sz_s"] == large["sz_l"])
                     & (small["id_s"] < large["id_l"])
                 ),
-                large["sz_l"] * F.lit(t) <= small["sz_s"],
+                large["sz_l"] * F.lit(t) - F.lit(eps) <= small["sz_s"],
             ],
         )
         .select("id_s", "id_l")

@@ -71,3 +71,23 @@ def test_exact_dup_and_identical_singletons(spark):
 def test_empty_token_doc_never_pairs(spark):
     got = _run(spark, 0.1)
     assert not any(8 in pair for pair in got)
+
+
+def test_threshold_boundary_pair_is_found(spark):
+    """A pair sitting EXACTLY on the threshold (J = t with t·|l|
+    integral) must be returned — the case a fp-rounded-up prefix
+    length or size filter silently drops (the eps guard's contract)."""
+    docs = [
+        (0, "alpha beta gamma"),            # {alpha, beta, gamma}
+        (1, "alpha beta gamma delta"),      # J = 3/4 exactly
+        (2, "epsilon zeta eta theta iota"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in prefix_jaccard_pairs(df, threshold=0.75).collect()
+    }
+    assert got == {(0, 1): 0.75}
+    # and a sweep of awkward thresholds against brute force
+    for th in (0.2, 0.25, 1 / 3, 0.6, 0.75, 0.9):
+        assert _run(spark, th) == _brute(th), th
