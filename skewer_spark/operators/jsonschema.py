@@ -15,19 +15,21 @@ VARIANT type — no Python in the hot path:
 * ``try_parse_json`` → binary variant (malformed rows become NULL, we
   count them instead of failing the job — the per-line-data-problem
   contract shared with the decoders).
-* ``cast(variant AS map<string,variant>)`` + ``explode`` enumerates
-  keys; ``schema_of_variant`` is a per-row scalar function returning
-  each value's type, normalized here to a 7-value engine-neutral
-  taxonomy (string/int/float/bool/null/object/array) so a DuckDB
-  ``json_type`` oracle can mirror it exactly.
-* nesting is walked to a FIXED depth (default 2): each level is one
-  ``explode`` over the previous level's object-typed values.  Fixed
-  depth keeps the plan static (no driver-side recursion over data) and
-  bounds row fan-out at Σ |keys at level d| per input row.
+* ``cast(variant AS map<string,variant>)`` inside nested ``transform``
+  lambdas enumerates keys; ``schema_of_variant`` is a per-row scalar
+  function returning each value's type, normalized here to a 7-value
+  engine-neutral taxonomy (string/int/float/bool/null/object/array) so
+  a DuckDB ``json_type`` oracle can mirror it exactly.
+* nesting is walked to a FIXED depth (default 2) inside ONE
+  expression: a depth-unrolled nested transform emits every
+  (path, type) entry of a row at once.  Fixed depth keeps the plan
+  static (no driver-side recursion over data) and bounds entry fan-out
+  at the row's total key count per level.
 
-Scale shape: one narrow scan → ≤ ``max_depth`` explode generates →
-ONE partial-aggregable ``groupBy(path, vtype)`` on compact key rows
-(the JSON text itself never shuffles).  The result frame is
+Scale shape: one corpus scan (plan-pinned — a per-level frame union
+would re-scan once per level) → one projection + ONE explode → ONE
+partial-aggregable ``groupBy(path, vtype)`` on compact key rows (the
+JSON text itself never shuffles).  The result frame is
 O(#distinct paths × types) — tiny — so the drift join is trivially
 broadcast.
 
@@ -39,9 +41,7 @@ for telemetry bags, documented limitation (same as DuckDB's
 
 from __future__ import annotations
 
-from functools import reduce
-
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -100,56 +100,69 @@ def infer_json_schema(
     src = df.filter(F.col(json_col).isNotNull())
     v = F.try_parse_json(F.col(json_col))
 
-    # root row: malformed text, or the root value's own type
-    root = src.select(
-        F.lit("$").alias("path"),
-        F.when(v.isNull(), F.lit("malformed"))
-        .otherwise(_norm_variant_type(F.schema_of_variant(v)))
-        .alias("vtype"),
-    )
-
-    levels = [root]
+    sep = "\x01"  # path/vtype sentinel (never in JSON keys/types)
+    empty = F.array().cast("array<string>")
 
     # strict variant→map cast throws on non-object values; the CASE
     # guard evaluates lazily, so arrays/scalars at any level yield NULL
-    # (explode of NULL = no rows) instead of a task failure
+    # (map_entries(NULL) → NULL → coalesce to empty) instead of a task
+    # failure
     def _members(val: Column) -> Column:
         return F.when(
             F.schema_of_variant(val).startswith("OBJECT"),
             val.cast("map<string, variant>"),
         )
 
-    # (path, val) pairs of the current level's OBJECT members
-    cur = src.select(
-        F.lit("$").alias("path"),
-        F.explode(_members(v)).alias("key", "val"),
-    ).select(
-        F.concat_ws(".", "path", "key").alias("path"), "val"
-    )
-    for depth in range(max_depth):
-        t = F.schema_of_variant(F.col("val"))
-        levels.append(
-            cur.select("path", _norm_variant_type(t).alias("vtype"))
+    # one nested-transform expression emits EVERY (path, vtype) entry
+    # of a row — the value's own type plus, for objects, its members'
+    # entries down to the fixed depth.  A per-level union of frames
+    # would re-scan the corpus once per level (plan-pinned single-scan
+    # in tests/test_plans.py); this shape is one projection + ONE
+    # explode regardless of depth.
+    def _entries(val: Column, path: Column, depth: int) -> Column:
+        own = F.array(
+            F.concat(
+                path,
+                F.lit(sep),
+                _norm_variant_type(F.schema_of_variant(val)),
+            )
         )
-        if depth + 1 < max_depth:
-            cur = cur.select(
-                "path",
-                F.explode(_members(F.col("val"))).alias("key", "val"),
-            ).select(F.concat_ws(".", "path", "key").alias("path"), "val")
+        if depth <= 0:
+            return own
+        child = F.flatten(
+            F.transform(
+                F.map_entries(_members(val)),
+                lambda e: _entries(
+                    e["value"],
+                    F.concat(path, F.lit("."), e["key"]),
+                    depth - 1,
+                ),
+            )
+        )
+        return F.concat(own, F.coalesce(child, empty))
 
-    hist = reduce(lambda a, b: a.unionByName(b), levels)
+    all_entries = F.when(
+        v.isNull(), F.array(F.lit("$" + sep + "malformed"))
+    ).otherwise(_entries(v, F.lit("$"), max_depth))
+
+    hist = src.select(F.explode(all_entries).alias("_e")).select(
+        F.substring_index("_e", sep, 1).alias("path"),
+        F.substring_index("_e", sep, -1).alias("vtype"),
+    )
     counts = hist.groupBy("path", "vtype").agg(F.count("*").alias("n"))
-    # scalar total broadcast: the 1-row agg frame joins the tiny
-    # (paths × types) result, never the corpus
-    total = src.agg(F.count("*").alias("_total"))
-    return (
-        counts.crossJoin(F.broadcast(total))
-        .select(
-            "path",
-            "vtype",
-            "n",
-            F.round(F.col("n") / F.col("_total"), 6).alias("frac"),
-        )
+    # the frac denominator comes from the histogram itself — the root
+    # level emits exactly one row per non-null input, so total =
+    # Σ n over path='$'.  A separate src.agg(count) would be a SECOND
+    # corpus scan (plan-pinned single-scan in tests/test_plans.py); the
+    # unpartitioned window runs on the tiny (paths × types) frame only.
+    total = F.sum(
+        F.when(F.col("path") == "$", F.col("n")).otherwise(F.lit(0))
+    ).over(Window.partitionBy())
+    return counts.select(
+        "path",
+        "vtype",
+        "n",
+        F.round(F.col("n") / total, 6).alias("frac"),
     )
 
 

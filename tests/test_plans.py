@@ -373,3 +373,33 @@ def test_bloom_probe_join_is_broadcast(spark):
     # re-keys the probe corpus on word_idx for nothing
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_json_schema_single_corpus_scan(spark):
+    """infer_json_schema must scan its input exactly once: the frac
+    denominator is derived from the histogram's root rows, not a
+    second corpus aggregate (a 2x scan at 100 TB)."""
+    from skewer_spark.operators.jsonschema import infer_json_schema
+
+    df = spark.createDataFrame(
+        [('{"a":1}',), ('{"a":"x","b":true}',)], "j string"
+    )
+    plan = _plan(infer_json_schema(df, "j"), "simple")
+    scans = plan.count("Scan ExistingRDD") + plan.count("Scan parquet")
+    assert scans == 1, plan
+    # and exactly one generate: all depth levels ride one explode
+    assert plan.count("Generate") == 1, plan
+
+
+def test_sq8_scoring_is_narrow_take_ordered(spark):
+    """sq8_topk's scored frame: narrow maps + TakeOrderedAndProject,
+    no Exchange anywhere (the int8 scan must not shuffle)."""
+    from skewer_spark.operators.similarity import sq8_topk
+
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0 - i, 0.5]) for i in range(20)],
+        "vec_id long, embedding array<float>",
+    )
+    plan = _plan(sq8_topk(emb, [1.0, 0.0, 0.25], k=5))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Exchange" not in plan, plan
