@@ -52,10 +52,21 @@ TYPE_TAXONOMY = ("string", "int", "float", "bool", "null", "object", "array")
 def _norm_variant_type(t: Column) -> Column:
     """Normalize ``schema_of_variant`` output to the shared taxonomy.
 
-    Spark variant types JSON numbers as BIGINT (integral) or
-    DECIMAL(p,s)/DOUBLE (fractional / exponent forms); DECIMAL with
-    scale 0 is still an integral literal (e.g. ``1e2``) and maps to
-    ``int`` exactly like DuckDB's UBIGINT/BIGINT for the same text.
+    Numerics follow variant's VALUE canonicalization, and the taxonomy
+    inherits it deliberately (pinned by the randomized reference test):
+
+    * plain integers ≤ int64 → BIGINT → ``int``;
+    * bigger non-exponent integrals (≤ 38 digits) → DECIMAL(p,0) →
+      ``int``;
+    * **integral-valued decimal text like ``5.0`` or ``1000.0`` also
+      canonicalizes to DECIMAL(p,0) → ``int``** — variant stores the
+      number, not its spelling;
+    * fractional decimals → DECIMAL(p,s>0) → ``float``; exponent forms
+      (``1e30``) and > 38-digit numbers → DOUBLE → ``float``.
+
+    A DuckDB ``json_type`` oracle types ``5.0`` as DOUBLE, so oracle
+    fixtures must avoid integral-float spellings (or classify numerics
+    by raw text) — the shipped ``q_json_schema`` fixture does.
     """
     return (
         F.when(t.startswith("OBJECT"), F.lit("object"))

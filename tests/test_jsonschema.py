@@ -72,3 +72,86 @@ def test_drift(bags, spark):
     assert d[("$.score", "float")] == "removed"
     assert d[("$.k", "string")] == "shifted"
     assert d[("$.flag", "bool")] == "shifted"
+
+
+def test_randomized_docs_match_python_reference(spark):
+    """Seeded random JSON corpus: the VARIANT-based histogram must
+    equal a pure-Python (json.loads) per-path type census, including
+    numeric edge cases (big ints, exponent floats, integral floats)."""
+    import json
+    import random
+
+    rng = random.Random(41)
+
+    def rand_value(depth):
+        kinds = ["int", "float", "str", "bool", "null", "bigint", "exp"]
+        if depth > 0:
+            kinds += ["obj", "arr", "obj"]
+        k = rng.choice(kinds)
+        if k == "int":
+            return rng.randint(-1000, 1000)
+        if k == "bigint":
+            return rng.choice(
+                [2**63 - 1, -(2**63), 2**64 + 7, 10**25]
+            )
+        if k == "float":
+            return rng.choice([1.5, -0.25, 5.0, 3.141592653589793])
+        if k == "exp":
+            return float(rng.choice(["1e3", "2.5e-4", "1e30"]))
+        if k == "str":
+            return rng.choice(["x", "42", "true", ""])
+        if k == "bool":
+            return rng.random() < 0.5
+        if k == "null":
+            return None
+        if k == "arr":
+            return [rand_value(0) for _ in range(rng.randint(0, 3))]
+        return {
+            f"k{i}": rand_value(depth - 1)
+            for i in range(rng.randint(0, 4))
+        }
+
+    docs = [
+        {f"f{i}": rand_value(2) for i in range(rng.randint(1, 5))}
+        for _ in range(120)
+    ]
+
+    def py_type(v):
+        if isinstance(v, bool):
+            return "bool"
+        if v is None:
+            return "null"
+        if isinstance(v, int):
+            return "int"
+        if isinstance(v, float):
+            # variant canonicalizes by VALUE: integral non-exponent
+            # spellings ("5.0", "1000.0") land in DECIMAL(p,0) -> int;
+            # exponent forms ("1e+30") stay DOUBLE -> float
+            if v.is_integer() and "e" not in json.dumps(v):
+                return "int"
+            return "float"
+        if isinstance(v, str):
+            return "string"
+        if isinstance(v, list):
+            return "array"
+        return "object"
+
+    expected: dict[tuple[str, str], int] = {}
+
+    def walk(v, path, depth):
+        expected[(path, py_type(v))] = (
+            expected.get((path, py_type(v)), 0) + 1
+        )
+        if isinstance(v, dict) and depth > 0:
+            for k, sub in v.items():
+                walk(sub, f"{path}.{k}", depth - 1)
+
+    for d in docs:
+        walk(d, "$", 2)
+
+    df = spark.createDataFrame([(json.dumps(d),) for d in docs], "j string")
+    got = {
+        (r.path, r.vtype): r.n
+        for r in infer_json_schema(df, "j", max_depth=2).collect()
+    }
+    assert got == expected
