@@ -1838,6 +1838,59 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "path", "vtype", "n", F.col("frac").cast("double").alias("frac")
         )
 
+    def q_json_drift(spark, sf):
+        # schema DRIFT between two producer generations: the even-id
+        # half only emits bag variants {0,2} (tags/meta/score), the odd
+        # half {1,3} (flag + the malformed tail), so added / removed /
+        # shifted all appear — including the "$.k" int↔string type
+        # drift.  Fracs are per-half coverages; NULL (absent side)
+        # coalesced to -1.0 for the hash compare.
+        from skewer_spark.operators.jsonschema import (
+            infer_json_schema,
+            json_schema_drift,
+        )
+        ev = _read(spark, sf, "events")
+        k = (F.col("event_id") % 100).cast("string")
+        u = (F.col("user_id") % 50).cast("string")
+        j = (
+            F.when(
+                F.col("event_id") % 4 == 0,
+                F.concat(
+                    F.lit('{"k":'), k,
+                    F.lit(',"tags":["'), F.col("event_type"),
+                    F.lit('"],"meta":{"u":'), u,
+                    F.lit(',"src":"'), F.col("event_type"), F.lit('"}}'),
+                ),
+            )
+            .when(
+                F.col("event_id") % 4 == 1,
+                F.concat(F.lit('{"k":"'), k, F.lit('","flag":true}')),
+            )
+            .when(
+                F.col("event_id") % 4 == 2,
+                F.concat(
+                    F.lit('{"k":'), k,
+                    F.lit(',"score":1.5,"meta":{"u":null}}'),
+                ),
+            )
+            .otherwise(F.lit('{"k":'))
+        )
+        bags = ev.select((F.col("event_id") % 2).alias("_half"), j.alias("j"))
+        old = infer_json_schema(bags.filter(F.col("_half") == 0), "j")
+        new = infer_json_schema(bags.filter(F.col("_half") == 1), "j")
+        d = json_schema_drift(old, new)
+        return d.select(
+            "path",
+            "vtype",
+            F.coalesce(F.col("old_frac").cast("double"), F.lit(-1.0)).alias(
+                "old_frac"
+            ),
+            F.coalesce(F.col("new_frac").cast("double"), F.lit(-1.0)).alias(
+                "new_frac"
+            ),
+            "status",
+        )
+
     # ORDER MATTERS: the driver's correctness harness checks the FIRST
     # 50 entries only.  Every operator family must sit inside that
     # window, so near-duplicate variants (6 of the 8 encode variants —
@@ -2009,6 +2062,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_gelf_chunks": q_gelf_chunks,
         "q_zorder": q_zorder,
         "q_bucketed_join": q_bucketed_join,
+        "q_json_drift": q_json_drift,
     }
 
 
@@ -4538,5 +4592,85 @@ def oracle_sql() -> dict[str, str]:
             SELECT vec_id, qdot FROM scores
             ORDER BY qdot DESC, vec_id
             LIMIT 10
+        """,
+        "q_json_drift": """
+            WITH src AS (
+                SELECT CAST(event_id % 2 AS INT) AS half,
+                       CASE CAST(event_id % 4 AS INT)
+                    WHEN 0 THEN '{"k":' || CAST(event_id % 100 AS VARCHAR)
+                        || ',"tags":["' || event_type
+                        || '"],"meta":{"u":' || CAST(user_id % 50 AS VARCHAR)
+                        || ',"src":"' || event_type || '"}}'
+                    WHEN 1 THEN '{"k":"' || CAST(event_id % 100 AS VARCHAR)
+                        || '","flag":true}'
+                    WHEN 2 THEN '{"k":' || CAST(event_id % 100 AS VARCHAR)
+                        || ',"score":1.5,"meta":{"u":null}}'
+                    ELSE '{"k":'
+                END AS j
+                FROM events
+            ),
+            parsed AS (
+                SELECT half, TRY_CAST(j AS JSON) AS jj FROM src
+            ),
+            root AS (
+                SELECT half, '$' AS path,
+                       CASE WHEN jj IS NULL THEN 'malformed'
+                            ELSE json_type(jj) END AS t
+                FROM parsed
+            ),
+            lvl1 AS (
+                SELECT half, jj, '$.' || k AS path,
+                       COALESCE(json_type(jj, '$.' || k), 'NULL') AS t,
+                       '$.' || k AS jpath
+                FROM parsed, unnest(json_keys(jj)) AS u(k)
+            ),
+            lvl2 AS (
+                SELECT half, l.jpath || '.' || k2 AS path,
+                       COALESCE(
+                           json_type(l.jj, l.jpath || '.' || k2), 'NULL'
+                       ) AS t
+                FROM lvl1 l, unnest(json_keys(l.jj, l.jpath)) AS u(k2)
+                WHERE l.t = 'OBJECT'
+            ),
+            hist AS (
+                SELECT half, path, t FROM root
+                UNION ALL SELECT half, path, t FROM lvl1
+                UNION ALL SELECT half, path, t FROM lvl2
+            ),
+            norm AS (
+                SELECT half, path,
+                       CASE t WHEN 'VARCHAR' THEN 'string'
+                              WHEN 'BIGINT' THEN 'int'
+                              WHEN 'UBIGINT' THEN 'int'
+                              WHEN 'DOUBLE' THEN 'float'
+                              WHEN 'BOOLEAN' THEN 'bool'
+                              WHEN 'NULL' THEN 'null'
+                              WHEN 'OBJECT' THEN 'object'
+                              WHEN 'ARRAY' THEN 'array'
+                              WHEN 'malformed' THEN 'malformed'
+                              ELSE 'other' END AS vtype
+                FROM hist
+            ),
+            tot AS (
+                SELECT half, count(*) AS n FROM src GROUP BY half
+            ),
+            fr AS (
+                SELECT c.half, c.path, c.vtype,
+                       round(CAST(c.n AS DOUBLE) / t.n, 6) AS frac
+                FROM (
+                    SELECT half, path, vtype, count(*) AS n
+                    FROM norm GROUP BY half, path, vtype
+                ) c JOIN tot t ON c.half = t.half
+            )
+            SELECT COALESCE(o.path, nw.path) AS path,
+                   COALESCE(o.vtype, nw.vtype) AS vtype,
+                   COALESCE(o.frac, -1.0) AS old_frac,
+                   COALESCE(nw.frac, -1.0) AS new_frac,
+                   CASE WHEN o.frac IS NULL THEN 'added'
+                        WHEN nw.frac IS NULL THEN 'removed'
+                        ELSE 'shifted' END AS status
+            FROM (SELECT * FROM fr WHERE half = 0) o
+            FULL OUTER JOIN (SELECT * FROM fr WHERE half = 1) nw
+              ON o.path = nw.path AND o.vtype = nw.vtype
         """,
     }
