@@ -52,7 +52,11 @@ def frame_hash(df: pd.DataFrame) -> str:
     return h.hexdigest()
 
 
-def main(sf_dir: str = "/root/testdata/sf0.01", only: list[str] | None = None):
+def main(
+    sf_dir: str = "/root/testdata/sf0.01",
+    only: list[str] | None = None,
+    json_out: str | None = None,
+):
     import __spark_entry__ as entrymod
     from skewer_spark.session import build_session
 
@@ -68,6 +72,7 @@ def main(sf_dir: str = "/root/testdata/sf0.01", only: list[str] | None = None):
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     n_fail = 0
+    results: dict[str, dict] = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -76,16 +81,19 @@ def main(sf_dir: str = "/root/testdata/sf0.01", only: list[str] | None = None):
             sdf = fn(spark, sf_dir).toPandas()
         except Exception as e:
             print(f"FAIL {name}: spark error {type(e).__name__}: {e}")
+            results[name] = {"err": f"spark: {type(e).__name__}: {e}"}
             n_fail += 1
             continue
         dt_spark = time.time() - t0
         if name not in oracles:
             print(f"rows-only {name}: {len(sdf)} rows ({dt_spark:.1f}s)")
+            results[name] = {"spark_rows": len(sdf), "rows_only": True}
             continue
         try:
             odf = con.execute(oracles[name]).df()
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {e}")
+            results[name] = {"err": f"duckdb: {e}"}
             n_fail += 1
             continue
         ok_rows = len(sdf) == len(odf)
@@ -96,6 +104,14 @@ def main(sf_dir: str = "/root/testdata/sf0.01", only: list[str] | None = None):
         status = "OK  " if (ok_rows and ok_cols and ok_hash) else "FAIL"
         if status == "FAIL":
             n_fail += 1
+        results[name] = {
+            "rows_match": ok_rows,
+            "schema_match": ok_cols,
+            "hash_match": bool(ok_hash),
+            "spark_rows": len(sdf),
+            "oracle_rows": len(odf),
+            "err": None,
+        }
         print(f"{status} {name}: rows {len(sdf)}/{len(odf)} cols_ok={ok_cols} "
               f"hash_ok={ok_hash} ({dt_spark:.1f}s)")
         if status == "FAIL" and ok_cols:
@@ -115,10 +131,22 @@ def main(sf_dir: str = "/root/testdata/sf0.01", only: list[str] | None = None):
                 print("rows only in one side (sample):")
                 print(onlya.head(5).to_string())
     spark.stop()
+    if json_out:
+        import json
+
+        with open(json_out, "w") as f:
+            json.dump(results, f, indent=1)
+        print(f"wrote {json_out} ({len(results)} queries)")
     print("FAILURES:", n_fail)
     return n_fail
 
 
 if __name__ == "__main__":
-    only = sys.argv[1:] or None
-    sys.exit(1 if main(only=only) else 0)
+    argv = sys.argv[1:]
+    json_out = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_out = argv[i + 1]
+        argv = argv[:i] + argv[i + 2:]
+    only = argv or None
+    sys.exit(1 if main(only=only, json_out=json_out) else 0)
