@@ -4359,9 +4359,9 @@ def oracle_sql() -> dict[str, str]:
                     (len(a.toks) + len(b.toks)
                      - len(list_intersect(a.toks, b.toks))), 6) AS jaccard
             FROM ne a JOIN ne b ON a.doc_id < b.doc_id
-            WHERE ROUND(len(list_intersect(a.toks, b.toks))::DOUBLE /
+            WHERE len(list_intersect(a.toks, b.toks))::DOUBLE /
                     (len(a.toks) + len(b.toks)
-                     - len(list_intersect(a.toks, b.toks))), 6) >= 0.5
+                     - len(list_intersect(a.toks, b.toks))) >= 0.5
         """,
         # cell-for-cell replay of the Bloom filter arithmetic (60-bit
         # md5 positions mod 2^20, k=5, int64 words; DuckDB raises on
@@ -4668,6 +4668,7 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(nw.frac, -1.0) AS new_frac,
                    CASE WHEN o.frac IS NULL THEN 'added'
                         WHEN nw.frac IS NULL THEN 'removed'
+                        WHEN o.frac = nw.frac THEN 'same'
                         ELSE 'shifted' END AS status
             FROM (SELECT * FROM fr WHERE half = 0) o
             FULL OUTER JOIN (SELECT * FROM fr WHERE half = 1) nw

@@ -58,19 +58,25 @@ def fingerprint_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_
     )
 
 
-def word_shingles(text_col: str, n: int = 3):
-    """Distinct word n-gram shingles as an array column (empty when the
-    doc has fewer than ``n`` tokens)."""
-    t = F.split(F.col(text_col), " ")
+def shingle_windows(tokens, n: int):
+    """Distinct space-joined n-gram shingles over a token-array Column
+    (empty when fewer than ``n`` tokens) — the ONE shingle-window
+    builder (also used by setsim; tokenizer choice stays the caller's)."""
     return F.array_distinct(
         F.when(
-            F.size(t) >= n,
+            F.size(tokens) >= n,
             F.transform(
-                F.sequence(F.lit(0), F.size(t) - n),
-                lambda i: F.concat_ws(" ", F.slice(t, i + 1, n)),
+                F.sequence(F.lit(0), F.size(tokens) - n),
+                lambda i: F.concat_ws(" ", F.slice(tokens, i + 1, n)),
             ),
         ).otherwise(F.array().cast("array<string>"))
     )
+
+
+def word_shingles(text_col: str, n: int = 3):
+    """Distinct word n-gram shingles as an array column (empty when the
+    doc has fewer than ``n`` tokens)."""
+    return shingle_windows(F.split(F.col(text_col), " "), n)
 
 
 def _signatures_from_tokens(toks: DataFrame, id_col: str, n_hashes: int) -> DataFrame:

@@ -33,7 +33,8 @@ JSON text itself never shuffles).  The result frame is
 O(#distinct paths × types) — tiny — so the drift join is trivially
 broadcast.
 
-Key names are emitted verbatim in dotted paths (``$.meta.u``); keys
+Key names are emitted verbatim in dotted paths (``$.meta.u``) except
+that the internal ``\\x01`` sentinel byte is stripped from keys; keys
 containing ``.`` / ``[`` would be ambiguous in path notation — fine
 for telemetry bags, documented limitation (same as DuckDB's
 ``json_keys`` path addressing).
@@ -143,9 +144,14 @@ def infer_json_schema(
         child = F.flatten(
             F.transform(
                 F.map_entries(_members(val)),
+                # keys are sanitized of the sentinel byte: a key
+                # containing \\x01 would otherwise truncate the path at
+                # the split (JSON allows any control char in keys)
                 lambda e: _entries(
                     e["value"],
-                    F.concat(path, F.lit("."), e["key"]),
+                    F.concat(
+                        path, F.lit("."), F.translate(e["key"], sep, "")
+                    ),
                     depth - 1,
                 ),
             )
@@ -184,10 +190,12 @@ def json_schema_drift(
 
     Returns ``(path, vtype, old_frac, new_frac, status)`` where status ∈
     ``added`` (path×type seen only in ``new``), ``removed`` (only in
-    ``old``), ``shifted`` (both, coverage changed).  Both inputs are
-    O(paths × types) frames, so the full-outer join is trivially small;
-    ``min_frac`` drops noise paths below a coverage floor on both
-    sides.
+    ``old``), ``shifted`` (both, coverage changed), ``same`` (both,
+    coverage unchanged — kept so consumers can distinguish "stable"
+    from "absent", filter on status != 'same' for an alert feed).
+    Both inputs are O(paths × types) frames, so the full-outer join is
+    trivially small; ``min_frac`` drops noise paths below a coverage
+    floor on both sides.
     """
     o = old.select(
         "path", "vtype", F.col("frac").alias("old_frac")
@@ -203,6 +211,7 @@ def json_schema_drift(
         "new_frac",
         F.when(F.col("old_frac").isNull(), F.lit("added"))
         .when(F.col("new_frac").isNull(), F.lit("removed"))
+        .when(F.col("old_frac") == F.col("new_frac"), F.lit("same"))
         .otherwise(F.lit("shifted"))
         .alias("status"),
     )

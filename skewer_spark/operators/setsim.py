@@ -57,6 +57,7 @@ import math
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from .dedup import shingle_windows
 from .search import _tokens
 
 
@@ -78,16 +79,7 @@ def _doc_token_frame(
     if shingle_n <= 1:
         elems = F.array_distinct(words)
     else:
-        n = shingle_n
-        elems = F.array_distinct(
-            F.when(
-                F.size(words) >= n,
-                F.transform(
-                    F.sequence(F.lit(0), F.size(words) - n),
-                    lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
-                ),
-            ).otherwise(F.array().cast("array<string>"))
-        )
+        elems = shingle_windows(words, shingle_n)
     return df.select(
         F.col(id_col).alias("doc_id"), F.explode(elems).alias("tok")
     )
@@ -223,14 +215,19 @@ def prefix_jaccard_pairs(
     )
     n_inter = F.size(F.array_intersect("toks_s", "toks_l"))
     denom = F.size("toks_s") + F.size("toks_l") - n_inter
-    jac = F.round(n_inter / denom, 6)
+    # threshold on the UNROUNDED double quotient (one IEEE division —
+    # deterministic on any engine); rounding first would admit pairs
+    # just below t and drop pairs exactly at a non-6dp-representable t
+    # (e.g. t=1/3 with J=1/3).  The 6dp round is display/hash contract
+    # only.
+    jac_exact = n_inter / denom
     return (
         cands.join(sets_s, "id_s")
         .join(sets_l, "id_l")
+        .filter(jac_exact >= F.lit(t))
         .select(
             F.least("id_s", "id_l").alias("id_a"),
             F.greatest("id_s", "id_l").alias("id_b"),
-            jac.alias("jaccard"),
+            F.round(jac_exact, 6).alias("jaccard"),
         )
-        .filter(F.col("jaccard") >= F.lit(t))
     )

@@ -45,7 +45,12 @@ def norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+    """NULL (not NaN) for zero-norm inputs: Spark orders NaN ABOVE every
+    double, so an unguarded 0/0 would rank an all-zero embedding (empty
+    text, padding row) first in every top-k and pass every ``>= t``
+    pair filter; NULL sorts last under DESC and fails the filter."""
+    denom = norm(a) * norm(b)
+    return F.when(denom != 0.0, dot(a, b) / denom)
 
 
 def brute_force_topk(
@@ -130,6 +135,14 @@ def lsh_bucketed_topk(
     standard multi-probe recall fix for points near a hyperplane.  With
     the defaults that is 37/256 buckets ≈ 7× candidate reduction while
     planted near-dups (cos ≥ 0.95) are recalled w.p. ≥ 0.9."""
+    if len(query_vec) != dim:
+        # a mismatch is silent otherwise: data-side planes are built
+        # for `dim` while the query bucket derives planes from
+        # len(query_vec) — different hyperplanes, recall collapses to
+        # noise (or zip_with NULL-pads and every row is filtered out)
+        raise ValueError(
+            f"query_vec has {len(query_vec)} dims, expected dim={dim}"
+        )
     qb = query_bucket(query_vec, n_planes)
     bucketed = df.withColumn(
         "_bucket", hyperplane_bucket(vec_col, n_planes, dim)
@@ -187,6 +200,10 @@ def _driver_cosine(a: list[float], b: list[float]) -> float:
         dp += x * y
         an += x * x
         bn += y * y
+    if an == 0.0 or bn == 0.0:
+        # zero-norm: undefined direction → rank last (mirrors the
+        # Column-side cosine() returning NULL)
+        return float("-inf")
     return dp / ((an ** 0.5) * (bn ** 0.5))
 
 
@@ -401,6 +418,8 @@ def sq8_topk(
     k: int = 10,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    scale: float | None = None,
+    codes_col: str | None = None,
 ) -> DataFrame:
     """Top-k by integer code dot product under symmetric SQ8.
 
@@ -408,10 +427,22 @@ def sq8_topk(
     exact int64 code dot — identically s²-proportional to the
     dequantized inner product, and within Σ|q|·s/2 + Σ|x|·s/2 of the
     true one (rank agreement vs exact IP is fixture-pinned, not a
-    theorem)."""
-    s = sq8_scale(df, vec_col)
+    theorem).
+
+    The production path passes ``scale`` + ``codes_col`` (codes
+    written ONCE by ``sq8_encode``, scale stored beside them): then a
+    query is a single int8 scan — no stats pass, no re-encode.  The
+    defaults self-compute both (2 scans), the demo/oracle shape."""
+    if codes_col is not None and scale is None:
+        raise ValueError(
+            "codes_col requires the scale the codes were encoded with"
+        )
+    s = scale if scale is not None else sq8_scale(df, vec_col)
     qcodes = sq8_query_codes(query_vec, s)
-    coded = sq8_encode(df, s, vec_col)
+    if codes_col is None:
+        coded = sq8_encode(df, s, vec_col)
+    else:
+        coded = df.withColumnRenamed(codes_col, "codes")
     q_arr = F.array(*[F.lit(int(c)) for c in qcodes])
     qdot = F.aggregate(
         F.zip_with(
@@ -436,6 +467,8 @@ def sq8_rerank_topk(
     prefilter: int = 4,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    scale: float | None = None,
+    codes_col: str | None = None,
 ) -> DataFrame:
     """Two-stage ANN: int8 code-dot prefilter, exact inner-product rerank.
 
@@ -451,7 +484,7 @@ def sq8_rerank_topk(
     construction): a narrow pruned scan + TakeOrderedAndProject, no
     join shuffle."""
     cand = sq8_topk(df, query_vec, k=prefilter * k, vec_col=vec_col,
-                    id_col=id_col)
+                    id_col=id_col, scale=scale, codes_col=codes_col)
     ids = [r[0] for r in cand.select(id_col).collect()]
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     return (

@@ -155,3 +155,29 @@ def test_randomized_docs_match_python_reference(spark):
         for r in infer_json_schema(df, "j", max_depth=2).collect()
     }
     assert got == expected
+
+
+def test_drift_same_vs_shifted_and_sentinel_key(spark):
+    from skewer_spark.operators.jsonschema import infer_json_schema
+
+    stable = spark.createDataFrame(
+        [('{"a":1,"b":"x"}',), ('{"a":2}',)], "j string"
+    )
+    moved = spark.createDataFrame(
+        [('{"a":3,"b":"y"}',), ('{"b":"z"}',)], "j string"
+    )
+    d = {
+        (r.path, r.vtype): r.status
+        for r in json_schema_drift(
+            infer_json_schema(stable, "j"), infer_json_schema(moved, "j")
+        ).collect()
+    }
+    assert d[("$", "object")] == "same"  # 1.0 == 1.0
+    assert d[("$.a", "int")] == "shifted"  # 1.0 -> 0.5
+    assert d[("$.b", "string")] == "shifted"  # 0.5 -> 1.0
+    # a key containing the \x01 sentinel must not truncate the path
+    weird = spark.createDataFrame([('{"a\\u0001b":1}',)], "j string")
+    got = {
+        (r.path, r.vtype) for r in infer_json_schema(weird, "j").collect()
+    }
+    assert ("$.ab", "int") in got  # sentinel stripped, not truncated

@@ -35,9 +35,12 @@ def _brute(threshold, n=1):
         if not sa or not sb:
             continue
         inter = len(sa & sb)
-        j = round(inter / (len(sa) + len(sb) - inter), 6)
+        j = inter / (len(sa) + len(sb) - inter)
+        # threshold on the unrounded quotient, round for display —
+        # mirrors the operator (round-then-filter admits J just below
+        # t and drops J == t at non-6dp thresholds like 1/3)
         if j >= threshold:
-            out[(ia, ib)] = j
+            out[(ia, ib)] = round(j, 6)
     return out
 
 
