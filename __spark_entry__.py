@@ -1891,6 +1891,87 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "status",
         )
 
+    def q_html_text(spark, sf):
+        # HTML main-text extraction + markup-density stats (the
+        # C4/RefinedWeb pre-content stage): documents are wrapped in a
+        # deterministic HTML shell (4 producer variants exercising
+        # script/style/comment strip, entity decode incl. the
+        # one-level &amp;lt; contract, multiline tags) built
+        # identically on both engines, then stripped back with the
+        # pure-regex codegen chain in operators/extract.py.
+        from skewer_spark.operators.extract import html_stats, html_text_col
+        docs = _read(spark, sf, "documents")
+        frag = F.substring("text", 1, 60)
+        html = F.concat(
+            F.lit("<html><head><title>Doc "),
+            F.col("doc_id").cast("string"),
+            F.lit("</title><style>p{color:red}</style></head><body>"),
+            F.when(
+                F.col("doc_id") % 4 == 0,
+                F.concat(
+                    F.lit("<!-- hidden --><h1>"), F.col("source"),
+                    F.lit(" &amp; more</h1><p>"), frag, F.lit("</p>"),
+                ),
+            )
+            .when(
+                F.col("doc_id") % 4 == 1,
+                F.concat(
+                    F.lit('<script>var a="'), F.col("lang"),
+                    F.lit('";</script><p>'), frag,
+                    F.lit('</p><a href="/d/'),
+                    F.col("doc_id").cast("string"), F.lit('">next</a>'),
+                ),
+            )
+            .when(
+                F.col("doc_id") % 4 == 2,
+                F.concat(
+                    F.lit('<div\nclass="x">'), frag,
+                    F.lit("&nbsp;&quot;"), F.col("lang"),
+                    F.lit("&quot; &amp;lt;esc&amp;gt;</div>"),
+                ),
+            )
+            .otherwise(frag),
+            F.lit("</body></html>"),
+        )
+        shell = docs.select(F.col("doc_id").alias("id"), html.alias("html"))
+        stats = html_stats(shell, "html", "id")
+        return stats.join(
+            shell.select("id", html_text_col(F.col("html")).alias("text")),
+            "id",
+        )
+
+    def q_url_canon(spark, sf):
+        # URL canonicalization + canonical-URL dedup groups (the
+        # URL-level first dedup of a web pipeline): 7 deterministic
+        # producer variants from events exercise case-folding, default
+        # vs explicit ports, userinfo strip, fragment strip, path
+        # collapse, tracking-param drop, param sort, and the
+        # schemeless->NULL fail-safe.
+        from skewer_spark.operators.extract import url_dedup
+        ev = _read(spark, sf, "events")
+        m = F.col("event_id") % 7
+        pid = (F.col("event_id") % 40).cast("string")
+        uk = (F.col("user_id") % 3).cast("string")
+        url = (
+            F.when(m == 0, F.concat(
+                F.lit("HTTP://WWW.Example.COM:80/p/"), pid,
+                F.lit("/?utm_source=x&b=2&a="), uk, F.lit("#f")))
+            .when(m == 1, F.concat(
+                F.lit("https://example.com:8443/a//b?gclid=z&q="), pid))
+            .when(m == 2, F.concat(
+                F.lit("http://Example.com/p/"), pid, F.lit("?a="), uk))
+            .when(m == 3, F.concat(
+                F.lit("https://u:p@Sub.Example.com/p/"), pid, F.lit("/")))
+            .when(m == 4, F.concat(
+                F.lit("ftp://files.example.com/x/"), pid))
+            .when(m == 5, F.concat(F.lit("example.com/skip/"), pid))
+            .otherwise(F.concat(
+                F.lit("https://example.com/p/"), pid,
+                F.lit("?b=2&utm_medium=m&a="), uk))
+        )
+        urls = ev.select(F.col("event_id").alias("doc_id"), url.alias("url"))
+        return url_dedup(urls)
+
     # ORDER MATTERS: the driver's correctness harness checks the FIRST
     # 50 entries only.  Every operator family must sit inside that
     # window, so near-duplicate variants (6 of the 8 encode variants —
@@ -2063,6 +2144,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_zorder": q_zorder,
         "q_bucketed_join": q_bucketed_join,
         "q_json_drift": q_json_drift,
+        "q_html_text": q_html_text,
+        "q_url_canon": q_url_canon,
     }
 
 
@@ -4673,5 +4756,129 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT * FROM fr WHERE half = 0) o
             FULL OUTER JOIN (SELECT * FROM fr WHERE half = 1) nw
               ON o.path = nw.path AND o.vtype = nw.vtype
+        """,
+        # identical HTML shell built from documents, then the identical
+        # strip algebra: script/style/comment/tag regex passes (RE2 ==
+        # the Java∩RE2 subset the Spark side uses), one-level entity
+        # decode with &amp; LAST, whitespace collapse.
+        "q_html_text": r"""
+            WITH shell AS (
+              SELECT doc_id AS id,
+                '<html><head><title>Doc ' || doc_id ||
+                '</title><style>p{color:red}</style></head><body>' ||
+                CASE
+                  WHEN doc_id % 4 = 0 THEN
+                    '<!-- hidden --><h1>' || source || ' &amp; more</h1><p>'
+                    || substr(text, 1, 60) || '</p>'
+                  WHEN doc_id % 4 = 1 THEN
+                    '<script>var a="' || lang || '";</script><p>'
+                    || substr(text, 1, 60) || '</p><a href="/d/' || doc_id
+                    || '">next</a>'
+                  WHEN doc_id % 4 = 2 THEN
+                    '<div' || chr(10) || 'class="x">' || substr(text, 1, 60)
+                    || '&nbsp;&quot;' || lang
+                    || '&quot; &amp;lt;esc&amp;gt;</div>'
+                  ELSE substr(text, 1, 60)
+                END || '</body></html>' AS html
+              FROM documents
+            ), t AS (
+              SELECT id, html,
+                trim(regexp_replace(
+                  replace(replace(replace(replace(replace(replace(
+                    regexp_replace(regexp_replace(regexp_replace(
+                      regexp_replace(html,
+                        '(?is)<script\b[^>]*>.*?</script>', ' ', 'g'),
+                      '(?is)<style\b[^>]*>.*?</style>', ' ', 'g'),
+                      '(?s)<!--.*?-->', ' ', 'g'),
+                      '(?s)<[^>]*>', ' ', 'g'),
+                    '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+                    '&#39;', chr(39)), '&nbsp;', ' '), '&amp;', '&'),
+                  '\s+', ' ', 'g')) AS text
+              FROM shell
+            )
+            SELECT id,
+              len(regexp_extract_all(html, '(?s)<[a-zA-Z!/][^>]*>'))::BIGINT
+                AS n_tags,
+              len(regexp_extract_all(html, '(?i)<a\b'))::BIGINT AS n_links,
+              len(regexp_extract_all(html, '(?i)<script\b'))::BIGINT
+                AS n_scripts,
+              len(html)::INT AS html_chars,
+              len(text)::INT AS text_chars,
+              round(len(text)::DOUBLE / greatest(len(html), 1), 6)
+                AS text_ratio,
+              text
+            FROM t
+        """,
+        # identical URL construction from events, then the identical
+        # canonicalization algebra (case-fold, userinfo/default-port/
+        # fragment strip, path collapse, tracking-param drop, param
+        # sort, schemeless -> NULL), then the dedup groupBy.
+        "q_url_canon": r"""
+            WITH raw AS (
+              SELECT event_id AS doc_id,
+                CASE event_id % 7
+                  WHEN 0 THEN 'HTTP://WWW.Example.COM:80/p/'
+                    || (event_id % 40) || '/?utm_source=x&b=2&a='
+                    || (user_id % 3) || '#f'
+                  WHEN 1 THEN 'https://example.com:8443/a//b?gclid=z&q='
+                    || (event_id % 40)
+                  WHEN 2 THEN 'http://Example.com/p/' || (event_id % 40)
+                    || '?a=' || (user_id % 3)
+                  WHEN 3 THEN 'https://u:p@Sub.Example.com/p/'
+                    || (event_id % 40) || '/'
+                  WHEN 4 THEN 'ftp://files.example.com/x/' || (event_id % 40)
+                  WHEN 5 THEN 'example.com/skip/' || (event_id % 40)
+                  ELSE 'https://example.com/p/' || (event_id % 40)
+                    || '?b=2&utm_medium=m&a=' || (user_id % 3)
+                END AS url
+              FROM events
+            ), s2 AS (
+              SELECT doc_id,
+                lower(regexp_extract(trim(url),
+                  '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+                regexp_replace(trim(url),
+                  '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest
+              FROM raw
+            ), s3 AS (
+              SELECT doc_id, scheme,
+                regexp_replace(regexp_extract(rest, '^([^/?#]*)', 1),
+                  '^[^@]*@', '') AS hostport,
+                regexp_replace(rest, '^[^/?#]*', '') AS pathqf
+              FROM s2
+            ), s4 AS (
+              SELECT doc_id, scheme,
+                lower(regexp_replace(hostport, ':[0-9]*$', '')) AS host,
+                regexp_extract(hostport, ':([0-9]+)$', 1) AS port,
+                regexp_replace(regexp_extract(pathqf, '^([^?#]*)', 1),
+                  '//+', '/', 'g') AS cpath,
+                regexp_extract(pathqf, '^[^?#]*\?([^#]*)', 1) AS query
+              FROM s3
+            ), s5 AS (
+              SELECT doc_id, scheme, host,
+                CASE WHEN port <> '' AND NOT
+                  (scheme || ':' || port IN ('http:80', 'https:443'))
+                  THEN ':' || port ELSE '' END AS portpart,
+                CASE WHEN cpath = '' THEN '/'
+                     WHEN len(cpath) > 1 AND cpath LIKE '%/'
+                       THEN substr(cpath, 1, len(cpath) - 1)
+                     ELSE cpath END AS path,
+                array_to_string(list_sort(list_filter(
+                  string_split(query, '&'),
+                  p -> p <> '' AND NOT regexp_matches(p,
+                    '^(utm_[a-z0-9]+|fbclid|gclid|msclkid|ref|mc_cid|mc_eid)='
+                  ))), '&') AS qs
+              FROM s4
+            ), canon AS (
+              SELECT doc_id,
+                CASE WHEN scheme = '' THEN NULL
+                     ELSE scheme || '://' || host || portpart || path ||
+                       CASE WHEN qs <> '' THEN '?' || qs ELSE '' END
+                END AS canon_url
+              FROM s5
+            )
+            SELECT canon_url, count(*)::BIGINT AS n_docs,
+                   min(doc_id) AS keeper_id
+            FROM canon WHERE canon_url IS NOT NULL
+            GROUP BY canon_url
         """,
     }
