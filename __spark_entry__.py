@@ -1972,6 +1972,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         urls = ev.select(F.col("event_id").alias("doc_id"), url.alias("url"))
         return url_dedup(urls)
 
+    def q_kanon(spark, sf):
+        # k-anonymity / l-diversity re-identification audit over a
+        # quasi-identifier pair (event_type × user bucket) with a
+        # floor-bucketed sensitive value — the governance gate that
+        # runs AFTER redact_pii removes direct identifiers.  Group
+        # frame is compact (|QI combos| rows); the corpus shuffles as
+        # key columns only.
+        from skewer_spark.operators.privacy import qi_group_audit
+        ev = _read(spark, sf, "events")
+        qi = ev.select(
+            "event_type",
+            (F.col("user_id") % 20).alias("user_bucket"),
+            (F.floor("value").cast("long") % 5).alias("value_band"),
+        )
+        return qi_group_audit(
+            qi, ["event_type", "user_bucket"], "value_band", k=5, l=3
+        )
+
+    def q_label_agg(spark, sf):
+        # annotation majority vote + agreement (the RLHF label-curation
+        # reduce): items get ~40 votes each from 7 annotators; winning
+        # label by (count DESC, label ASC) — the deterministic
+        # tie-break both engines replay exactly.
+        from skewer_spark.operators.labels import majority_labels
+        ev = _read(spark, sf, "events")
+        votes = ev.select(
+            (F.col("event_id") % 250).alias("item_id"),
+            F.concat(F.lit("ann"), (F.col("user_id") % 7).cast("string")).alias(
+                "annotator_id"
+            ),
+            F.col("event_type").alias("label"),
+        )
+        return majority_labels(votes)
+
     # ORDER MATTERS: the driver's correctness harness checks the FIRST
     # 50 entries only.  Every operator family must sit inside that
     # window, so near-duplicate variants (6 of the 8 encode variants —
@@ -2146,6 +2180,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_json_drift": q_json_drift,
         "q_html_text": q_html_text,
         "q_url_canon": q_url_canon,
+        "q_kanon": q_kanon,
+        "q_label_agg": q_label_agg,
     }
 
 
@@ -4880,5 +4916,41 @@ def oracle_sql() -> dict[str, str]:
                    min(doc_id) AS keeper_id
             FROM canon WHERE canon_url IS NOT NULL
             GROUP BY canon_url
+        """,
+        # same QI grouping + exact distinct over the floor-bucketed
+        # sensitive band; DuckDB count(*) is BIGINT like Spark's.
+        "q_kanon": """
+            SELECT event_type,
+                   user_id % 20 AS user_bucket,
+                   count(*)::BIGINT AS group_size,
+                   count(DISTINCT floor(value)::BIGINT % 5)::BIGINT
+                     AS n_sensitive,
+                   count(*) >= 5 AS k_anonymous,
+                   count(DISTINCT floor(value)::BIGINT % 5) >= 3 AS l_diverse
+            FROM events
+            GROUP BY event_type, user_id % 20
+        """,
+        # identical vote construction; winner via QUALIFY with the
+        # (count DESC, label ASC) deterministic tie-break.
+        "q_label_agg": """
+            WITH votes AS (
+              SELECT event_id % 250 AS item,
+                     'ann' || (user_id % 7) AS annotator,
+                     event_type AS label
+              FROM events
+            ), counts AS (
+              SELECT item, label, count(*)::BIGINT AS cnt
+              FROM votes GROUP BY item, label
+            ), tot AS (
+              SELECT item, sum(cnt)::BIGINT AS n_annotations,
+                     count(*)::BIGINT AS n_labels
+              FROM counts GROUP BY item
+            )
+            SELECT c.item, t.n_annotations, t.n_labels,
+                   c.label AS majority_label, c.cnt AS majority_n,
+                   round(c.cnt::DOUBLE / t.n_annotations, 6) AS agreement
+            FROM counts c JOIN tot t USING (item)
+            QUALIFY row_number() OVER (
+              PARTITION BY c.item ORDER BY c.cnt DESC, c.label ASC) = 1
         """,
     }

@@ -1,0 +1,97 @@
+"""Re-identification risk audit: k-anonymity and l-diversity.
+
+:mod:`skewer_spark.functions.scrub` removes DIRECT identifiers (emails,
+IPs, phone numbers).  What it cannot see is QUASI-identifier risk: the
+combination of innocuous columns (zip × birth-year × role, or for
+transcripts: tool × hour × user-bucket) that is unique enough to point
+back at one person even with every direct identifier gone.  The
+standard audits (Sweeney 2002; Machanavajjhala et al., ICDE'06):
+
+* **k-anonymity** — every row must share its quasi-identifier (QI)
+  combination with at least ``k-1`` other rows;
+* **l-diversity** — within each QI group, the SENSITIVE attribute must
+  take at least ``l`` distinct values (a k-anonymous group where all
+  members share one diagnosis still leaks it).
+
+``qi_group_audit`` computes both per QI group; ``risk_summary``
+collapses the group frame to one audit row (rows/groups at risk).
+
+Scale shape (the 100 TB contract): the corpus shuffles as compact key
+columns only — payload/text never rides the exchange.  With a
+sensitive column the plan is the canonical exact-distinct pair of
+PARTIAL-AGGREGABLE exchanges (dedup on ``(QI, sensitive)``, then
+``groupBy(QI)``; both combine map-side); without one it is a single
+``groupBy(QI)``.  The returned group frame is |distinct QI combos|
+rows, and ``risk_summary`` aggregates THAT (never re-touches the
+corpus).  Exact ``count_distinct`` is safe here because the sensitive
+attribute is low-cardinality by definition; the grouping-sets caveat
+from ``aggregate.py`` (exact distinct expands input ×n_sets) does not
+apply — there is a single grouping set.
+
+Reference parity: no analog in the reference (a syslog router); part
+of the training-data governance toolbox the task brief adds
+(SURVEY.md "beyond the reference").
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def qi_group_audit(
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive_col: str | None = None,
+    k: int = 5,
+    l: int = 2,  # noqa: E741 - the literature's name
+) -> DataFrame:
+    """Per-QI-group audit frame.
+
+    Returns one row per distinct quasi-identifier combination:
+    ``(*quasi_cols, group_size, n_sensitive, k_anonymous, l_diverse)``.
+    ``n_sensitive`` / ``l_diverse`` are NULL when no ``sensitive_col``
+    is given (pure k-anonymity audit).  NULL QI values form their own
+    group (SQL grouping semantics) — a NULL zip code is itself a
+    quasi-identifier value.
+    """
+    aggs = [F.count("*").alias("group_size")]
+    if sensitive_col is not None:
+        aggs.append(F.count_distinct(F.col(sensitive_col)).alias("n_sensitive"))
+    out = df.groupBy(*quasi_cols).agg(*aggs)
+    out = out.withColumn("k_anonymous", F.col("group_size") >= F.lit(k))
+    if sensitive_col is not None:
+        out = out.withColumn("l_diverse", F.col("n_sensitive") >= F.lit(l))
+    else:
+        out = out.withColumn(
+            "n_sensitive", F.lit(None).cast("long")
+        ).withColumn("l_diverse", F.lit(None).cast("boolean"))
+        out = out.select(
+            *quasi_cols, "group_size", "n_sensitive", "k_anonymous", "l_diverse"
+        )
+    return out
+
+
+def risk_summary(group_audit: DataFrame) -> DataFrame:
+    """One-row release-gate summary over a ``qi_group_audit`` frame:
+    ``(n_rows, n_groups, min_group_size, rows_at_risk, groups_at_risk,
+    rows_not_diverse)`` — ``rows_at_risk`` counts the rows living in
+    sub-k groups (each is re-identifiable by its QI combination);
+    ``rows_not_diverse`` the rows in k-anonymous-but-homogeneous groups
+    (attribute disclosure).  Aggregates the compact group frame only.
+    """
+    risk = F.when(~F.col("k_anonymous"), F.col("group_size")).otherwise(F.lit(0))
+    hom = F.when(
+        F.col("k_anonymous") & ~F.coalesce(F.col("l_diverse"), F.lit(True)),
+        F.col("group_size"),
+    ).otherwise(F.lit(0))
+    return group_audit.agg(
+        F.sum("group_size").alias("n_rows"),
+        F.count("*").alias("n_groups"),
+        F.min("group_size").alias("min_group_size"),
+        F.sum(risk).alias("rows_at_risk"),
+        F.sum(F.when(~F.col("k_anonymous"), 1).otherwise(0)).alias(
+            "groups_at_risk"
+        ),
+        F.sum(hom).alias("rows_not_diverse"),
+    )
