@@ -2006,6 +2006,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return majority_labels(votes)
 
+    def q_rand_proj(spark, sf):
+        # Johnson–Lindenstrauss random projection 64-d -> 8-d with
+        # md5-drawn integer planes (engine-replicable); exploded to
+        # (vec_id, proj_idx, val) rows rounded 6dp.  The documented
+        # scale path INTO the LSH/IVF signature operators.
+        from skewer_spark.operators.similarity import random_projection
+        emb = _read(spark, sf, "embeddings")
+        out = random_projection(emb, "embedding", out_dim=8, dim=64)
+        return out.select(
+            "vec_id", F.posexplode("proj").alias("proj_idx", "val")
+        )
+
     # ORDER MATTERS: the driver's correctness harness checks the FIRST
     # 50 entries only.  Every operator family must sit inside that
     # window, so near-duplicate variants (6 of the 8 encode variants —
@@ -2182,6 +2194,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_url_canon": q_url_canon,
         "q_kanon": q_kanon,
         "q_label_agg": q_label_agg,
+        "q_rand_proj": q_rand_proj,
     }
 
 
@@ -4952,5 +4965,24 @@ def oracle_sql() -> dict[str, str]:
             FROM counts c JOIN tot t USING (item)
             QUALIFY row_number() OVER (
               PARTITION BY c.item ORDER BY c.cnt DESC, c.label ASC) = 1
+        """,
+        # identical md5-derived integer planes + the identical JL scale
+        # formula; list_dot_product folds left-to-right like Spark's
+        # sequential aggregate (the q_embed_neardup-proven pairing).
+        "q_rand_proj": """
+            WITH e AS (
+              SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+            ), p AS (
+              SELECT j, list_transform(generate_series(0, 63), d ->
+                (('0x' || substr(md5('jl:' || (5000 + j) || ':' || d),
+                   1, 15))::BIGINT % 2001 - 1000)::DOUBLE) AS plane
+              FROM range(8) t(j)
+            )
+            SELECT vec_id, j::INT AS proj_idx,
+                   round(list_dot_product(v, plane) *
+                     (1.0 / (sqrt(8.0) *
+                             sqrt((2001.0 * 2001.0 - 1.0) / 12.0))), 6)
+                     AS val
+            FROM e, p
         """,
     }

@@ -225,3 +225,61 @@ def test_sq8_rerank_matches_exact_topk(spark):
         for r in sq8_rerank_topk(emb, qv, k=10, prefilter=4).collect()
     ]
     assert got == exact
+
+
+def test_random_projection_preserves_distances(spark):
+    """JL contract, tested on what JL actually guarantees: projected
+    squared distances are UNBIASED estimates of original squared
+    distances with per-pair relative error ~sqrt(2/out_dim).  (Plain
+    correlation is the wrong metric here: pairwise distances between
+    random high-dim vectors concentrate — the fixture's distance CV is
+    0.12, which caps correlation near 0.35 even for a perfect unbiased
+    estimator.)  Also pins the operational claim — planted near-dup
+    pairs stay far below noise pairs after projection, so LSH/IVF over
+    the 16-d projection still separates them."""
+    import itertools
+
+    import numpy as np
+
+    from skewer_spark.operators.similarity import random_projection
+
+    emb, _, n_dups = _planted_fixture(spark)
+    out = random_projection(emb, "embedding", out_dim=16, dim=64)
+    rows = out.select("vec_id", "embedding", "proj").collect()
+    orig = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64) for r in rows}
+    proj = {r["vec_id"]: np.array(r["proj"], dtype=np.float64) for r in rows}
+    assert all(len(p) == 16 for p in proj.values())
+    ids = sorted(orig)
+    d_orig, d_proj = {}, {}
+    for a, b in itertools.combinations(ids, 2):
+        d_orig[(a, b)] = float(np.sum((orig[a] - orig[b]) ** 2))
+        d_proj[(a, b)] = float(np.sum((proj[a] - proj[b]) ** 2))
+    do = np.array(list(d_orig.values()))
+    dp = np.array(list(d_proj.values()))
+    nz = do > 1e-12
+    # unbiased: mean ratio within 10%
+    ratio = float(np.mean(dp[nz] / do[nz]))
+    assert 0.9 <= ratio <= 1.1, f"mean distance ratio {ratio:.3f} off 1"
+    # per-pair relative error near the sqrt(2/16)=0.35 theory line
+    rel = float(np.mean(np.abs(dp[nz] - do[nz]) / do[nz]))
+    assert rel <= 0.45, f"mean relative distance error {rel:.3f} > 0.45"
+    # separation: near-dup pairs (vs vec 0) stay far below noise pairs
+    dup_ids = [i for i in ids if 0 < i <= n_dups]
+    noise_ids = [i for i in ids if i > n_dups]
+    dup_d = np.array([d_proj[(0, i)] for i in dup_ids])
+    noise_d = np.array([d_proj[(0, i)] for i in noise_ids])
+    assert float(np.mean(noise_d)) > 5 * float(np.mean(dup_d))
+
+
+def test_random_projection_plan_narrow(spark):
+    """Planes are plan literals: no shuffle, no join, no Python."""
+    from skewer_spark.operators.similarity import random_projection
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    plan = (
+        random_projection(emb, "embedding", out_dim=8, dim=64)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+    assert "PythonUDF" not in plan and "BatchEvalPython" not in plan
