@@ -2018,6 +2018,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "vec_id", F.posexplode("proj").alias("proj_idx", "val")
         )
 
+    def q_incr_dedup(spark, sf):
+        # incremental dedup: odd-id docs arrive as the NEW batch and
+        # are judged against the even-id committed corpus via its
+        # STORED minhash signatures — corpus text is never touched
+        # (the continuous-crawl production shape; est_jaccard is the
+        # signature-agreement estimate, best match tie-broken by
+        # lowest corpus id).
+        from skewer_spark.operators.dedup import (
+            incremental_dedup,
+            minhash_signatures,
+        )
+        docs = _read(spark, sf, "documents")
+        corpus = docs.filter(F.col("doc_id") % 2 == 0)
+        new = docs.filter(F.col("doc_id") % 2 == 1)
+        sigs = minhash_signatures(corpus, "text", "doc_id", n_hashes=8)
+        return incremental_dedup(new, sigs, threshold=0.5)
+
     # ORDER MATTERS: the driver's correctness harness checks the FIRST
     # 50 entries only.  Every operator family must sit inside that
     # window, so near-duplicate variants (6 of the 8 encode variants —
@@ -2195,6 +2212,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_kanon": q_kanon,
         "q_label_agg": q_label_agg,
         "q_rand_proj": q_rand_proj,
+        "q_incr_dedup": q_incr_dedup,
     }
 
 
@@ -4984,5 +5002,61 @@ def oracle_sql() -> dict[str, str]:
                              sqrt((2001.0 * 2001.0 - 1.0) / 12.0))), 6)
                      AS val
             FROM e, p
+        """,
+        # identical one-permutation md5 signatures (the q_minhash_lsh
+        # algebra), split even=corpus / odd=new, banded asymmetric
+        # join, signature-agreement estimate, best-match QUALIFY with
+        # the (est DESC, corpus_id ASC) tie-break, LEFT join back so
+        # collision-free new docs keep a (NULL, false) verdict.
+        "q_incr_dedup": f"""
+            WITH toks AS (
+              SELECT doc_id,
+                unnest(list_distinct(string_split(text, ' '))) AS tok
+              FROM documents
+            ), digs AS (
+              SELECT doc_id, md5('g0|' || tok) AS d0, md5('g1|' || tok) AS d1
+              FROM toks
+            ), sigs AS (
+              SELECT doc_id, {', '.join(mh_slices)} FROM digs GROUP BY doc_id
+            ), nsig AS (
+              SELECT * FROM sigs WHERE doc_id % 2 = 1
+            ), csig AS (
+              SELECT * FROM sigs WHERE doc_id % 2 = 0
+            ), nb AS (
+              SELECT doc_id AS new_id, 0 AS band_id,
+                     md5(mh_0 || '|' || mh_1) AS band_key FROM nsig
+              UNION ALL SELECT doc_id, 1, md5(mh_2 || '|' || mh_3) FROM nsig
+              UNION ALL SELECT doc_id, 2, md5(mh_4 || '|' || mh_5) FROM nsig
+              UNION ALL SELECT doc_id, 3, md5(mh_6 || '|' || mh_7) FROM nsig
+            ), cb AS (
+              SELECT doc_id AS corpus_id, 0 AS band_id,
+                     md5(mh_0 || '|' || mh_1) AS band_key FROM csig
+              UNION ALL SELECT doc_id, 1, md5(mh_2 || '|' || mh_3) FROM csig
+              UNION ALL SELECT doc_id, 2, md5(mh_4 || '|' || mh_5) FROM csig
+              UNION ALL SELECT doc_id, 3, md5(mh_6 || '|' || mh_7) FROM csig
+            ), cands AS (
+              SELECT DISTINCT new_id, corpus_id
+              FROM nb JOIN cb USING (band_id, band_key)
+            ), est AS (
+              SELECT new_id, corpus_id,
+                round(((n.mh_0 = c.mh_0)::INT + (n.mh_1 = c.mh_1)::INT
+                     + (n.mh_2 = c.mh_2)::INT + (n.mh_3 = c.mh_3)::INT
+                     + (n.mh_4 = c.mh_4)::INT + (n.mh_5 = c.mh_5)::INT
+                     + (n.mh_6 = c.mh_6)::INT + (n.mh_7 = c.mh_7)::INT)
+                     / 8.0, 6) AS est_jaccard
+              FROM cands
+              JOIN nsig n ON n.doc_id = cands.new_id
+              JOIN csig c ON c.doc_id = cands.corpus_id
+            ), best AS (
+              SELECT * FROM est
+              QUALIFY row_number() OVER (
+                PARTITION BY new_id
+                ORDER BY est_jaccard DESC, corpus_id ASC) = 1
+            )
+            SELECT d.doc_id AS new_id, b.corpus_id AS best_corpus_id,
+                   b.est_jaccard,
+                   coalesce(b.est_jaccard >= 0.5, false) AS is_dup
+            FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1) d
+            LEFT JOIN best b ON b.new_id = d.doc_id
         """,
     }

@@ -237,6 +237,139 @@ def minhash_candidate_pairs(
     )
 
 
+def incremental_minhash_matches(
+    new_df: DataFrame,
+    corpus_sigs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bands: int = 4,
+    rows_per_band: int = 2,
+    corpus_bucket_cap: int | None = None,
+) -> DataFrame:
+    """Asymmetric LSH match: NEW batch vs the COMMITTED corpus — the
+    production shape of continuous dedup, where today's crawl must
+    check against a 10^12-doc corpus WITHOUT re-touching corpus text.
+
+    ``corpus_sigs`` is the stored signature table (the output of
+    :func:`minhash_signatures`, persisted alongside each snapshot —
+    ~0.5 KB/doc at the 128-hash production width vs re-reading 100 TB
+    of text).  The new batch is signed fresh (one explode + one
+    groupBy, new-batch-sized), both sides band identically, and
+    candidates meet in an equi-join on ``(band_id, band_key)``.
+
+    Returns one row per candidate ``(new_id, corpus_id, est_jaccard)``
+    with ``est_jaccard`` = fraction of agreeing minhash slots — the
+    unbiased signature-space Jaccard estimate (P(slot agrees) =
+    Jaccard), so the verify step ALSO never touches corpus text.
+
+    Scale shape:
+
+    * the join is forced to a fixed-width exchange on the band key
+      (the AQE quadratic-output-coalesce guard ``_band_pairs`` uses);
+    * ``corpus_bucket_cap`` caps the CORPUS side per bucket at the
+      ``cap`` lowest ids — degenerate boilerplate buckets live in the
+      corpus, and a new doc landing in one still pairs with the
+      bucket's survivors, which is all a dup FLAG needs; the new side
+      is never capped (every new doc must be judged);
+    * signatures join back by id (two narrow hash joins) — band rows
+      stay ``(id, band_id, band_key)`` wide.
+    """
+    n_hashes = bands * rows_per_band
+    new_sigs = minhash_signatures(new_df, text_col, id_col, n_hashes)
+    nb = (
+        minhash_lsh_buckets(new_sigs, id_col, bands, rows_per_band)
+        .withColumnRenamed(id_col, "new_id")
+    )
+    cb = (
+        minhash_lsh_buckets(corpus_sigs, id_col, bands, rows_per_band)
+        .withColumnRenamed(id_col, "corpus_id")
+    )
+    n = new_df.sparkSession.sparkContext.defaultParallelism
+    nb = nb.repartition(n, "band_id", "band_key")
+    cb = cb.repartition(n, "band_id", "band_key")
+    if corpus_bucket_cap is not None:
+        w = Window.partitionBy("band_id", "band_key").orderBy("corpus_id")
+        cb = (
+            cb.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= corpus_bucket_cap)
+            .drop("_rn")
+        )
+    cands = (
+        nb.join(cb, ["band_id", "band_key"])
+        .select("new_id", "corpus_id")
+        .distinct()
+    )
+    ns = new_sigs.select(
+        F.col(id_col).alias("new_id"),
+        *[F.col(f"mh_{i}").alias(f"n_mh_{i}") for i in range(n_hashes)],
+    )
+    cs = corpus_sigs.select(
+        F.col(id_col).alias("corpus_id"),
+        *[F.col(f"mh_{i}").alias(f"c_mh_{i}") for i in range(n_hashes)],
+    )
+    agree = sum(
+        F.when(F.col(f"n_mh_{i}") == F.col(f"c_mh_{i}"), 1).otherwise(0)
+        for i in range(n_hashes)
+    )
+    return (
+        cands.join(ns, "new_id")
+        .join(cs, "corpus_id")
+        .select(
+            "new_id",
+            "corpus_id",
+            F.round(agree.cast("double") / F.lit(float(n_hashes)), 6).alias(
+                "est_jaccard"
+            ),
+        )
+    )
+
+
+def incremental_dedup(
+    new_df: DataFrame,
+    corpus_sigs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bands: int = 4,
+    rows_per_band: int = 2,
+    threshold: float = 0.5,
+    corpus_bucket_cap: int | None = None,
+) -> DataFrame:
+    """Per-NEW-doc dedup verdict against the committed corpus: one row
+    per new doc — ``(new_id, best_corpus_id, est_jaccard, is_dup)``.
+
+    ``best_corpus_id`` is the candidate with the highest signature
+    agreement (ties broken by lowest corpus id — deterministic across
+    engines/retries); docs with no band collision at all come back
+    with NULL match and ``is_dup = false`` via a LEFT join from the
+    new batch.  The post-candidate work is all candidate-frame-sized:
+    one window partitioned by ``new_id``, then one join back to the
+    new batch's id column."""
+    matches = incremental_minhash_matches(
+        new_df, corpus_sigs, text_col, id_col, bands, rows_per_band,
+        corpus_bucket_cap,
+    )
+    w = Window.partitionBy("new_id").orderBy(
+        F.col("est_jaccard").desc(), F.col("corpus_id").asc()
+    )
+    best = (
+        matches.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    return (
+        new_df.select(F.col(id_col).alias("new_id"))
+        .join(best, "new_id", "left")
+        .select(
+            "new_id",
+            F.col("corpus_id").alias("best_corpus_id"),
+            "est_jaccard",
+            F.coalesce(
+                F.col("est_jaccard") >= F.lit(threshold), F.lit(False)
+            ).alias("is_dup"),
+        )
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",
