@@ -2035,6 +2035,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         sigs = minhash_signatures(corpus, "text", "doc_id", n_hashes=8)
         return incremental_dedup(new, sigs, threshold=0.5)
 
+    def q_link_records(spark, sf):
+        # entity resolution across two feeds derived from documents:
+        # left = even docs, right = every-3rd docs (names re-ordered,
+        # year perturbed for doc_id%12==6) — entities overlapping at
+        # doc_id%6==0 must link on token-blocked candidates with
+        # weighted field agreement.
+        from skewer_spark.operators.linkage import link_records
+        docs = _read(spark, sf, "documents")
+        words = F.split(F.col("text"), " ")
+        base_year = (F.lit(1970) + F.col("n_chars") % 30).cast("int")
+        left = docs.filter(F.col("doc_id") % 2 == 0).select(
+            F.col("doc_id").alias("rec_id"),
+            F.array_join(F.slice(words, 1, 3), " ").alias("name"),
+            F.col("source").alias("city"),
+            base_year.alias("year"),
+        )
+        right = docs.filter(F.col("doc_id") % 3 == 0).select(
+            F.col("doc_id").alias("rec_id"),
+            F.array_join(F.reverse(F.slice(words, 1, 3)), " ").alias("name"),
+            F.col("source").alias("city"),
+            (base_year
+             + F.when(F.col("doc_id") % 12 == 6, 1).otherwise(0)).cast(
+                "int"
+            ).alias("year"),
+        )
+        return link_records(
+            left, right, exact_cols=["city", "year"], max_token_df=40
+        )
+
     # ORDER MATTERS: the driver's correctness harness checks the FIRST
     # 50 entries only.  Every operator family must sit inside that
     # window, so near-duplicate variants (6 of the 8 encode variants —
@@ -2213,6 +2242,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_label_agg": q_label_agg,
         "q_rand_proj": q_rand_proj,
         "q_incr_dedup": q_incr_dedup,
+        "q_link_records": q_link_records,
     }
 
 
@@ -5058,5 +5088,76 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(b.est_jaccard >= 0.5, false) AS is_dup
             FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1) d
             LEFT JOIN best b ON b.new_id = d.doc_id
+        """,
+        # identical feed construction, token blocking with the same
+        # per-side df<=40 stop-token rule, Jaccard + exact-field
+        # agreement, (2*jac + n_exact)/4 score, same verdict cuts on
+        # the ROUNDED score.
+        "q_link_records": """
+            WITH lrec AS (
+              SELECT doc_id AS rec_id,
+                array_to_string((string_split(text, ' '))[1:3], ' ') AS name,
+                source AS city,
+                (1970 + n_chars % 30)::INT AS year
+              FROM documents WHERE doc_id % 2 = 0
+            ), rrec AS (
+              SELECT doc_id AS rec_id,
+                array_to_string(list_reverse((string_split(text, ' '))[1:3]),
+                                ' ') AS name,
+                source AS city,
+                (1970 + n_chars % 30
+                 + CASE WHEN doc_id % 12 = 6 THEN 1 ELSE 0 END)::INT AS year
+              FROM documents WHERE doc_id % 3 = 0
+            ), ltok AS (
+              SELECT rec_id AS left_id,
+                list_distinct(list_filter(
+                  string_split_regex(lower(name), '[^a-z0-9]+'),
+                  x -> x <> '')) AS toks
+              FROM lrec
+            ), rtok AS (
+              SELECT rec_id AS right_id,
+                list_distinct(list_filter(
+                  string_split_regex(lower(name), '[^a-z0-9]+'),
+                  x -> x <> '')) AS toks
+              FROM rrec
+            ), lx AS (
+              SELECT left_id, unnest(toks) AS tok FROM ltok
+            ), rx AS (
+              SELECT right_id, unnest(toks) AS tok FROM rtok
+            ), lok AS (
+              SELECT tok FROM lx GROUP BY tok HAVING count(*) <= 40
+            ), rok AS (
+              SELECT tok FROM rx GROUP BY tok HAVING count(*) <= 40
+            ), ok AS (
+              SELECT lok.tok FROM lok JOIN rok ON lok.tok = rok.tok
+            ), cands AS (
+              SELECT DISTINCT lx.left_id, rx.right_id
+              FROM lx JOIN ok ON lx.tok = ok.tok
+              JOIN rx ON rx.tok = lx.tok
+            ), scored AS (
+              SELECT c.left_id, c.right_id,
+                len(list_intersect(lt.toks, rt.toks))::DOUBLE /
+                  greatest(len(lt.toks) + len(rt.toks)
+                           - len(list_intersect(lt.toks, rt.toks)), 1)
+                  AS jac,
+                ((ll.city IS NOT NULL AND ll.city = rr.city)::INT
+                 + (ll.year IS NOT NULL AND ll.year = rr.year)::INT)
+                  AS n_exact
+              FROM cands c
+              JOIN ltok lt ON lt.left_id = c.left_id
+              JOIN rtok rt ON rt.right_id = c.right_id
+              JOIN lrec ll ON ll.rec_id = c.left_id
+              JOIN rrec rr ON rr.rec_id = c.right_id
+            )
+            SELECT left_id, right_id,
+              round(jac, 6) AS name_jaccard,
+              n_exact::INT AS n_exact,
+              round((2.0 * jac + n_exact) / 4.0, 6) AS score,
+              CASE WHEN round((2.0 * jac + n_exact) / 4.0, 6) >= 0.75
+                     THEN 'match'
+                   WHEN round((2.0 * jac + n_exact) / 4.0, 6) >= 0.5
+                     THEN 'possible'
+                   ELSE 'non_match' END AS verdict
+            FROM scored
         """,
     }
