@@ -2064,6 +2064,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             left, right, exact_cols=["city", "year"], max_token_df=40
         )
 
+    def q_normalize(spark, sf):
+        # CCNet-style dedup canonicalization: three deterministic
+        # perturbation classes (upper-case, appended digits, accent
+        # injection) must normalize to forms both engines hash
+        # identically.
+        from skewer_spark.functions.text import normalize_for_dedup
+        docs = _read(spark, sf, "documents")
+        t = (
+            F.when(F.col("doc_id") % 3 == 0, F.upper("text"))
+            .when(F.col("doc_id") % 3 == 1, F.concat("text", F.lit(" 42")))
+            .otherwise(F.translate(F.col("text"), "ae", "áé"))
+        )
+        return (
+            docs.withColumn("t", t)
+            .select(
+                "doc_id",
+                F.md5(normalize_for_dedup("t")).alias("norm_hash"),
+                F.length(normalize_for_dedup("t")).alias("n_chars"),
+            )
+        )
+
+    def q_key_skew(spark, sf):
+        # key-skew diagnostics over the events stream's event_type —
+        # the measurement that justifies salting/sub-bucketing before
+        # a 100 TB shuffle on a candidate key.
+        from skewer_spark.operators.skew import key_skew_report
+        ev = _read(spark, sf, "events")
+        return key_skew_report(ev, ["event_type"], top_n=5)
+
     # ORDER MATTERS: the driver's correctness harness checks the FIRST
     # 50 entries only.  Every operator family must sit inside that
     # window, so near-duplicate variants (6 of the 8 encode variants —
@@ -2243,6 +2272,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_rand_proj": q_rand_proj,
         "q_incr_dedup": q_incr_dedup,
         "q_link_records": q_link_records,
+        "q_normalize": q_normalize,
+        "q_key_skew": q_key_skew,
     }
 
 
@@ -2251,6 +2282,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # ---------------------------------------------------------------------------
 
 def oracle_sql() -> dict[str, str]:
+    from skewer_spark.functions.text import _ACCENT_DST, _ACCENT_SRC
+
     facname = FACNAME_VALUES
 
     sinks_union = f"""
@@ -5159,5 +5192,56 @@ def oracle_sql() -> dict[str, str]:
                      THEN 'possible'
                    ELSE 'non_match' END AS verdict
             FROM scored
+        """,
+        # identical perturbations, identical normalization algebra
+        # (lower / translate accent fold / digit fold / punct strip /
+        # whitespace collapse), hashed per row.
+        "q_normalize": f"""
+            WITH pert AS (
+              SELECT doc_id,
+                CASE WHEN doc_id % 3 = 0 THEN upper(text)
+                     WHEN doc_id % 3 = 1 THEN text || ' 42'
+                     ELSE translate(text, 'ae', 'áé') END AS t
+              FROM documents
+            ), norm AS (
+              SELECT doc_id,
+                trim(regexp_replace(regexp_replace(regexp_replace(
+                  translate(lower(t), '{_ACCENT_SRC}', '{_ACCENT_DST}'),
+                  '[0-9]', '0', 'g'),
+                  '[^a-z0 ]+', ' ', 'g'),
+                  '\\s+', ' ', 'g')) AS n
+              FROM pert
+            )
+            SELECT doc_id, md5(n) AS norm_hash, len(n)::INT AS n_chars
+            FROM norm
+        """,
+        # identical skew report algebra on the compact counts frame;
+        # log2 ULP noise is absorbed by the 6-dp round on both sides.
+        "q_key_skew": """
+            WITH counts AS (
+              SELECT event_type, count(*)::BIGINT AS cnt
+              FROM events GROUP BY event_type
+            ), summary AS (
+              SELECT sum(cnt)::BIGINT AS n_rows, count(*)::BIGINT AS n_keys,
+                     max(cnt) AS mx,
+                     sum(cnt::DOUBLE * log2(cnt::DOUBLE)) AS s
+              FROM counts
+            ), top AS (
+              SELECT event_type, cnt,
+                row_number() OVER (ORDER BY cnt DESC, event_type ASC)
+                  AS rank
+              FROM counts
+              QUALIFY rank <= 5
+            ), tshare AS (
+              SELECT sum(cnt)::DOUBLE AS ts FROM top
+            )
+            SELECT event_type, cnt,
+              round(cnt::DOUBLE / n_rows, 6) AS share,
+              rank::INT AS rank, n_rows, n_keys,
+              round(mx::DOUBLE / (n_rows::DOUBLE / n_keys), 6) AS skew_ratio,
+              round(ts / n_rows, 6) AS top_share,
+              round(log2(n_rows::DOUBLE) - s / n_rows::DOUBLE, 6) AS entropy,
+              round(log2(n_keys::DOUBLE), 6) AS entropy_max
+            FROM top, summary, tshare
         """,
     }

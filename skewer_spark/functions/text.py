@@ -128,3 +128,33 @@ def word_fingerprint(c: str = "text") -> Column:
     """
     toks = F.array_sort(F.array_distinct(F.split(F.col(c), " ")))
     return F.md5(F.array_join(toks, " "))
+
+
+# ---------------------------------------------------------------------------
+# dedup canonicalization (CCNet-style text normalization)
+# ---------------------------------------------------------------------------
+
+# Latin accent fold — the common Latin-1/Latin-Extended forms.  A full
+# Unicode NFKC pass needs ICU (a pandas-UDF swap point at production);
+# translate() covers the bulk of web-text accents in pure codegen and,
+# unlike NFKC, is expressible identically in any SQL engine.
+_ACCENT_SRC = "àáâãäåāăçćčďèéêëēėęěìíîïīįñńňòóôõöøōŕřšśşťùúûüūůýÿžźż"
+_ACCENT_DST = "aaaaaaaacccdeeeeeeeeiiiiiinnnooooooorrssstuuuuuuyyzzz"
+
+
+def normalize_for_dedup(c: str = "text") -> Column:
+    """CCNet-style canonical form BEFORE hashing/shingling: lowercase,
+    accent-fold, digits → 0, strip punctuation, collapse whitespace.
+
+    Two documents differing only in case, accents, numbers, or
+    punctuation hash identically afterwards — the normalization CCNet
+    (Wenzek et al. 2020) applies before paragraph dedup.  Pure codegen
+    expressions riding the scan (zero shuffles, no Python); every step
+    mirrors 1:1 into the DuckDB oracle (lower / translate /
+    regexp_replace), so normalized-hash dedup stays engine-replicable.
+    """
+    out = F.lower(F.col(c))
+    out = F.translate(out, _ACCENT_SRC, _ACCENT_DST)
+    out = F.regexp_replace(out, r"[0-9]", "0")
+    out = F.regexp_replace(out, r"[^a-z0 ]+", " ")
+    return F.trim(F.regexp_replace(out, r"\s+", " "))
