@@ -2093,6 +2093,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ev = _read(spark, sf, "events")
         return key_skew_report(ev, ["event_type"], top_n=5)
 
+    def q_hard_neg(spark, sf):
+        # hard-negative mining for contrastive training: per anchor,
+        # top-5 neighbors with cosine in [0.1, 0.9) — similar enough
+        # to be informative, below the near-dup line; candidates from
+        # the banded LSH machinery q_embed_neardup pins.
+        from skewer_spark.operators.similarity import hard_negative_pairs
+        emb = _read(spark, sf, "embeddings")
+        return hard_negative_pairs(emb, lo=0.1, hi=0.9, per_anchor=5)
+
     # ORDER MATTERS: the driver's correctness harness checks the FIRST
     # 50 entries only.  Every operator family must sit inside that
     # window, so near-duplicate variants (6 of the 8 encode variants —
@@ -2274,6 +2283,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_link_records": q_link_records,
         "q_normalize": q_normalize,
         "q_key_skew": q_key_skew,
+        "q_hard_neg": q_hard_neg,
     }
 
 
@@ -5243,5 +5253,48 @@ def oracle_sql() -> dict[str, str]:
               round(log2(n_rows::DOUBLE) - s / n_rows::DOUBLE, 6) AS entropy,
               round(log2(n_keys::DOUBLE), 6) AS entropy_max
             FROM top, summary, tshare
+        """,
+        # the q_embed_neardup CTE machinery (same planes, same cap=200,
+        # same rounded cosine), then the [lo, hi) band, both pair
+        # orientations, and the per-anchor QUALIFY top-5 with the
+        # (cos DESC, id ASC) tie-break.
+        "q_hard_neg": f"""
+            WITH e AS (
+              SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+            ), b AS (
+              {band_rows}
+            ), capped AS (
+              SELECT vec_id, band_id, bucket FROM (
+                SELECT *, row_number() OVER (PARTITION BY band_id, bucket
+                                             ORDER BY vec_id) AS rn FROM b
+              ) WHERE rn <= 200
+            ), pairs AS (
+              SELECT DISTINCT a.vec_id AS id_a, c.vec_id AS id_b
+              FROM capped a JOIN capped c USING (band_id, bucket)
+              WHERE a.vec_id < c.vec_id
+            ), scored AS (
+              SELECT id_a, id_b,
+                round(list_dot_product(ea.v, eb.v) /
+                      (sqrt(list_dot_product(ea.v, ea.v)) *
+                       sqrt(list_dot_product(eb.v, eb.v))), 6) AS cos_sim
+              FROM pairs
+              JOIN e ea ON ea.vec_id = pairs.id_a
+              JOIN e eb ON eb.vec_id = pairs.id_b
+            ), banded AS (
+              SELECT * FROM scored
+              WHERE cos_sim >= 0.1 AND cos_sim < 0.9
+            ), both_dir AS (
+              SELECT id_a AS anchor_id, id_b AS negative_id, cos_sim
+              FROM banded
+              UNION ALL
+              SELECT id_b, id_a, cos_sim FROM banded
+            )
+            SELECT anchor_id, negative_id, cos_sim, rank::INT AS rank
+            FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY anchor_id
+                ORDER BY cos_sim DESC, negative_id ASC) AS rank
+              FROM both_dir
+            ) WHERE rank <= 5
         """,
     }

@@ -414,6 +414,61 @@ def cosine_pairs_above(
     )
 
 
+def hard_negative_pairs(
+    df: DataFrame,
+    lo: float = 0.3,
+    hi: float = 0.85,
+    per_anchor: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    bands: int = 4,
+    rows_per_band: int = 8,
+    dim: int = 64,
+    bucket_cap: int | None = 200,
+) -> DataFrame:
+    """Hard-negative mining for contrastive/embedding training: per
+    anchor, the ``per_anchor`` most-similar neighbors whose cosine
+    falls in ``[lo, hi)`` — close enough to be informative negatives,
+    below the near-duplicate line where they would be false negatives
+    (the batch-mining step of every retrieval/embedding fine-tune:
+    DPR, SimCSE-style pipelines).
+
+    Returns ``(anchor_id, negative_id, cos_sim, rank)`` with the
+    deterministic (cos DESC, id ASC) per-anchor order.  Band cuts use
+    the ROUNDED cosine, so both engines cut identically.
+
+    Scale shape: candidates and exact cosines come from
+    :func:`cosine_pairs_above` (banded LSH, capped buckets, fixed-width
+    exchanges, embeddings never ride the bucket shuffle); everything
+    after — orientation union, the ``[lo, hi)`` band filter, the
+    per-anchor top-k window — runs on the candidate PAIR frame, which
+    the LSH stage already bounded.  One window exchange on anchor_id.
+    Anchors whose collisions are all above ``hi`` (pure duplicates) or
+    below ``lo`` yield no rows — by design: a training pipeline treats
+    no-negative anchors separately (in-batch negatives), it never
+    wants a junk pad row."""
+    p = cosine_pairs_above(
+        df, lo, vec_col, id_col, bands, rows_per_band, dim, bucket_cap
+    ).filter(F.col("cos_sim") < hi)
+    both = p.select(
+        F.col("id_a").alias("anchor_id"),
+        F.col("id_b").alias("negative_id"),
+        "cos_sim",
+    ).unionByName(
+        p.select(
+            F.col("id_b").alias("anchor_id"),
+            F.col("id_a").alias("negative_id"),
+            "cos_sim",
+        )
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.col("cos_sim").desc(), F.col("negative_id").asc()
+    )
+    return (
+        both.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= per_anchor)
+    )
+
 
 # ---------------------------------------------------------------------------
 # SQ8: symmetric int8 scalar quantization (the memory-footprint scale path)

@@ -283,3 +283,31 @@ def test_random_projection_plan_narrow(spark):
     assert "Exchange" not in plan
     assert "Join" not in plan
     assert "PythonUDF" not in plan and "BatchEvalPython" not in plan
+
+
+def test_hard_negative_pairs(spark):
+    """Planted fixture: near-dups of vec 0 sit ABOVE hi (excluded as
+    negatives); informative mid-band neighbors are returned per anchor
+    in deterministic (cos DESC, id ASC) order, capped at per_anchor."""
+    from skewer_spark.operators.similarity import hard_negative_pairs
+
+    emb, _, n_dups = _planted_fixture(spark)
+    out = hard_negative_pairs(
+        emb, lo=0.1, hi=0.95, per_anchor=3
+    ).collect()
+    assert out, "fixture must yield hard negatives"
+    by_anchor = {}
+    for r in out:
+        by_anchor.setdefault(r["anchor_id"], []).append(r)
+    for anchor, rows in by_anchor.items():
+        assert len(rows) <= 3
+        ranks = sorted(r["rank"] for r in rows)
+        assert ranks == list(range(1, len(rows) + 1))
+        ordered = sorted(rows, key=lambda r: (-r["cos_sim"], r["negative_id"]))
+        assert [r["rank"] for r in ordered] == ranks
+        for r in rows:
+            assert 0.1 <= r["cos_sim"] < 0.95
+    # anchor 0's true near-dups (cos ~0.999) must NOT appear as its
+    # negatives at hi=0.95
+    negs_of_0 = {r["negative_id"] for r in by_anchor.get(0, [])}
+    assert not (negs_of_0 & set(range(1, n_dups + 1)))
