@@ -48,6 +48,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from skewer_spark.operators.dedup import cap_per_group
 from skewer_spark.operators.similarity import cosine, ivf_assign
 
 
@@ -184,13 +185,7 @@ def semdedup(
     n = df.sparkSession.sparkContext.defaultParallelism
     narrow = assigned.repartition(n, "cell")
     a_side = narrow.select(F.col(id_col).alias("id_a"), "cell")
-    if cell_cap is not None:
-        w = Window.partitionBy("cell").orderBy("id_a")
-        a_side = (
-            a_side.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") <= cell_cap)
-            .drop("_rn")
-        )
+    a_side = cap_per_group(a_side, ["cell"], "id_a", cell_cap)
     b_side = narrow.select(
         F.col(id_col).alias("id_b"), F.col("cell").alias("_cell_b")
     )

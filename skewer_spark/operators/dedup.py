@@ -79,6 +79,31 @@ def word_shingles(text_col: str, n: int = 3):
     return shingle_windows(F.split(F.col(text_col), " "), n)
 
 
+def cap_per_group(
+    df: DataFrame,
+    group_cols: list[str],
+    order_col: str,
+    cap: int | None,
+) -> DataFrame:
+    """One-sided deterministic per-group width cap: keep each group's
+    ``cap`` lowest ``order_col`` rows (``row_number`` — ties impossible
+    on unique ids, resume/retry-stable by construction).
+
+    THE degenerate-bucket guard of the whole dedup/LSH/linkage stack —
+    bounding a B-row bucket's self-join output at B·cap instead of B².
+    Single home so the ordering/determinism semantics can never drift
+    between call sites (was three inline copies).  No-op when ``cap``
+    is None."""
+    if cap is None:
+        return df
+    w = Window.partitionBy(*group_cols).orderBy(order_col)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= cap)
+        .drop("_rn")
+    )
+
+
 def _signatures_from_tokens(toks: DataFrame, id_col: str, n_hashes: int) -> DataFrame:
     """(id, tok) frame → minhash signature row per id (see
     minhash_signatures for the one-permutation md5 slicing)."""
@@ -187,14 +212,7 @@ def _band_pairs(
     capped-out members — which dedup never needs."""
     n = buckets.sparkSession.sparkContext.defaultParallelism
     buckets = buckets.repartition(n, "band_id", "band_key")
-    a = buckets
-    if bucket_cap is not None:
-        w = Window.partitionBy("band_id", "band_key").orderBy(id_col)
-        a = (
-            buckets.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") <= bucket_cap)
-            .drop("_rn")
-        )
+    a = cap_per_group(buckets, ["band_id", "band_key"], id_col, bucket_cap)
     a = a.alias("a")
     b = buckets.alias("b")
     return (
@@ -287,13 +305,7 @@ def incremental_minhash_matches(
     n = new_df.sparkSession.sparkContext.defaultParallelism
     nb = nb.repartition(n, "band_id", "band_key")
     cb = cb.repartition(n, "band_id", "band_key")
-    if corpus_bucket_cap is not None:
-        w = Window.partitionBy("band_id", "band_key").orderBy("corpus_id")
-        cb = (
-            cb.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") <= corpus_bucket_cap)
-            .drop("_rn")
-        )
+    cb = cap_per_group(cb, ["band_id", "band_key"], "corpus_id", corpus_bucket_cap)
     cands = (
         nb.join(cb, ["band_id", "band_key"])
         .select("new_id", "corpus_id")
@@ -718,14 +730,7 @@ def simhash_candidate_pairs(
     # join to one task — same trap as _band_pairs; one reused exchange
     n = buckets.sparkSession.sparkContext.defaultParallelism
     buckets = buckets.repartition(n, "band_id", "band_key")
-    capped = buckets
-    if bucket_cap is not None:
-        w = Window.partitionBy("band_id", "band_key").orderBy(id_col)
-        capped = (
-            buckets.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") <= bucket_cap)
-            .drop("_rn")
-        )
+    capped = cap_per_group(buckets, ["band_id", "band_key"], id_col, bucket_cap)
     a = capped.select(
         F.col(id_col).alias("id_a"), F.col("sig_hi").alias("hi_a"),
         F.col("sig_lo").alias("lo_a"), "band_id", "band_key",

@@ -91,9 +91,11 @@ def annotator_agreement(
     annotator_col: str = "annotator_id",
     label_col: str = "label",
 ) -> DataFrame:
-    """Per-annotator consensus alignment: ``(annotator, n_items,
+    """Per-annotator consensus alignment: ``(annotator, n_votes,
     n_match, accuracy)`` — accuracy = fraction of this annotator's
-    votes that equal their item's majority label.
+    VOTES that equal their item's majority label (vote-weighted: a
+    raw resubmit stream with several votes on one (item, annotator)
+    counts each vote; dedupe upstream if item-weighting is wanted).
 
     The majority frame is items-sized (small side) and joins back to
     the vote stream on the item key; votes themselves shuffle once.
@@ -108,7 +110,7 @@ def annotator_agreement(
     )
     joined = votes.join(maj, "item")
     return joined.groupBy("annotator").agg(
-        F.count("*").alias("n_items"),
+        F.count("*").alias("n_votes"),
         F.sum(
             F.when(F.col("label") == F.col("majority_label"), 1).otherwise(0)
         ).alias("n_match"),
@@ -150,6 +152,12 @@ def fleiss_kappa_inputs(
         raise ValueError(
             "fleiss_kappa_inputs requires the same number of ratings per "
             f"item; saw min={design['n_min']} max={design['n_max']}"
+        )
+    if design["n_min"] < 2:
+        raise ValueError(
+            "fleiss_kappa_inputs requires >= 2 ratings per item (the "
+            "n(n-1) pair denominator is zero otherwise); saw "
+            f"n={design['n_min']}"
         )
     n = design["n_min"]
     n_items = design["n_items"]

@@ -51,17 +51,14 @@ def _name_tokens(df: DataFrame, id_col: str, name_col: str, side: str) -> DataFr
     )
 
 
-def blocked_candidates(
-    left: DataFrame,
-    right: DataFrame,
-    id_col: str = "rec_id",
-    name_col: str = "name",
-    max_token_df: int = 100,
+def _blocked_from_tokens(
+    lt: DataFrame, rt: DataFrame, max_token_df: int
 ) -> DataFrame:
-    """Distinct ``(left_id, right_id)`` pairs sharing >= 1 blocking
-    token (name tokens below the df cap on both sides)."""
-    lt = _name_tokens(left, id_col, name_col, "left")
-    rt = _name_tokens(right, id_col, name_col, "right")
+    """Block join over prebuilt ``(left_id, left_toks)`` /
+    ``(right_id, right_toks)`` frames — the shared core, so
+    :func:`link_records` tokenizes each side exactly ONCE (Catalyst
+    does not CSE independent subtrees; a second `_name_tokens` build
+    would re-scan and re-tokenize both tables)."""
     lx = lt.select("left_id", F.explode("left_toks").alias("tok"))
     rx = rt.select("right_id", F.explode("right_toks").alias("tok"))
     # stop-token rule: df computed per side on the compact (tok) frame
@@ -79,10 +76,24 @@ def blocked_candidates(
     # quadratic-OUTPUT block join by its small INPUT bytes (the
     # _band_pairs guard; a repartition placed after the ok-join is
     # optimized away as redundant and loses the guard)
-    n = left.sparkSession.sparkContext.defaultParallelism
+    n = lt.sparkSession.sparkContext.defaultParallelism
     lxb = lx.repartition(n, "tok").join(ok, "tok")
     rxb = rx.repartition(n, "tok").join(ok, "tok")
     return lxb.join(rxb, "tok").select("left_id", "right_id").distinct()
+
+
+def blocked_candidates(
+    left: DataFrame,
+    right: DataFrame,
+    id_col: str = "rec_id",
+    name_col: str = "name",
+    max_token_df: int = 100,
+) -> DataFrame:
+    """Distinct ``(left_id, right_id)`` pairs sharing >= 1 blocking
+    token (name tokens below the df cap on both sides)."""
+    lt = _name_tokens(left, id_col, name_col, "left")
+    rt = _name_tokens(right, id_col, name_col, "right")
+    return _blocked_from_tokens(lt, rt, max_token_df)
 
 
 def link_records(
@@ -108,9 +119,9 @@ def link_records(
     random" default).  Verdict thresholds compare on the ROUNDED
     score so both engines cut identically."""
     exact_cols = exact_cols or []
-    cands = blocked_candidates(left, right, id_col, name_col, max_token_df)
     lt = _name_tokens(left, id_col, name_col, "left")
     rt = _name_tokens(right, id_col, name_col, "right")
+    cands = _blocked_from_tokens(lt, rt, max_token_df)
     lf = left.select(
         F.col(id_col).alias("left_id"),
         *[F.col(c).alias(f"l_{c}") for c in exact_cols],

@@ -144,7 +144,9 @@ def _md5_plane_col(plane: int, dim: int) -> Column:
 
 
 def jl_scale(out_dim: int) -> float:
-    """Johnson–Lindenstrauss normalization for the LCG planes:
+    """Johnson–Lindenstrauss normalization for the md5-drawn projection
+    planes (:func:`md5_plane` — NOT :func:`lcg_plane`, whose correlated
+    strides are exactly what projection must avoid):
     ``1 / (sqrt(out_dim) * plane_component_std)`` where components are
     uniform on the 2001 integers [-1000, 1000] (variance (2001²-1)/12).
     With it, E[‖proj(x) − proj(y)‖²] = ‖x − y‖² — projected distances
@@ -357,14 +359,9 @@ def band_buckets(
         df.select(F.col(id_col), F.explode(F.array(*sig_cols)).alias("e"))
         .select(id_col, "e.band_id", "e.bucket")
     )
-    if bucket_cap is not None:
-        w = Window.partitionBy("band_id", "bucket").orderBy(id_col)
-        out = (
-            out.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") <= bucket_cap)
-            .drop("_rn")
-        )
-    return out
+    from .dedup import cap_per_group
+
+    return cap_per_group(out, ["band_id", "bucket"], id_col, bucket_cap)
 
 
 def cosine_pairs_above(

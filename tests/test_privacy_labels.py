@@ -121,6 +121,7 @@ def test_annotator_agreement(spark, votes):
     assert acc["ann4"]["accuracy"] == 1.0
     assert acc["ann1"]["n_match"] == 2
     assert acc["ann3"]["n_match"] == 1
+    assert all(r["n_votes"] == 3 for r in acc.values())
 
 
 def test_fleiss_kappa_vs_reference(spark, votes):
@@ -142,6 +143,14 @@ def test_fleiss_kappa_vs_reference(spark, votes):
     assert abs(row["p_o"] - p_o_ref) < 1e-6
     assert abs(row["p_e"] - p_e_ref) < 1e-6
     assert row["n_items"] == 3 and row["n_raters"] == 4
+
+
+def test_fleiss_kappa_rejects_single_rating(spark):
+    one = spark.createDataFrame(
+        [(1, "a", "x"), (2, "a", "y")], ["item_id", "annotator_id", "label"]
+    )
+    with pytest.raises(ValueError, match=">= 2 ratings"):
+        fleiss_kappa_inputs(one)
 
 
 def test_fleiss_kappa_rejects_ragged(spark, votes):
