@@ -2102,6 +2102,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         emb = _read(spark, sf, "embeddings")
         return hard_negative_pairs(emb, lo=0.1, hi=0.9, per_anchor=5)
 
+    def q_validate(spark, sf):
+        # data-contract validation gate: 4 row rules (one violated,
+        # one fail-closed on an injected NULL) + 2 uniqueness rules
+        # (one clean, one duplicated) — all in ONE scan, per-rule
+        # rows via the explode-of-structs profile pattern.
+        from skewer_spark.operators.validate import validation_report
+        ev = _read(spark, sf, "events")
+        # inject NULLs so the fail-closed branch is exercised: every
+        # 100th row loses its event_type
+        ev = ev.withColumn(
+            "event_type",
+            F.when(F.col("event_id") % 100 == 0, F.lit(None)).otherwise(
+                F.col("event_type")
+            ),
+        )
+        return validation_report(
+            ev,
+            row_rules=[
+                ("value_nonneg", F.col("value") >= 0),
+                ("value_below_400", F.col("value") < 400),
+                ("type_known", F.col("event_type").isin(
+                    "click", "error", "purchase", "signup", "view")),
+                ("ts_not_null", F.col("ts").isNotNull()),
+            ],
+            unique_cols=[["event_id"], ["user_id", "event_type"]],
+        )
+
     # ORDER MATTERS: the driver's correctness harness checks the FIRST
     # 50 entries only.  Every operator family must sit inside that
     # window, so near-duplicate variants (6 of the 8 encode variants —
@@ -2300,6 +2327,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_normalize": q_normalize,
         "q_key_skew": q_key_skew,
         "q_hard_neg": q_hard_neg,
+        "q_validate": q_validate,
     }
 
 
@@ -5317,5 +5345,47 @@ def oracle_sql() -> dict[str, str]:
                 ORDER BY cos_sim DESC, negative_id ASC) AS rank
               FROM both_dir
             ) WHERE rank <= 5
+        """,
+        # identical NULL injection + rule algebra; fail-closed NULL
+        # predicates, and the uniqueness count mirrors Spark's
+        # skip-any-null COUNT DISTINCT via a CASE-nulled tuple.
+        "q_validate": """
+            WITH ev AS (
+              SELECT event_id, ts, user_id, value,
+                CASE WHEN event_id % 100 = 0 THEN NULL
+                     ELSE event_type END AS event_type
+              FROM events
+            ), agg AS (
+              SELECT count(*)::BIGINT AS n,
+                sum(CASE WHEN coalesce(value >= 0, false)
+                    THEN 0 ELSE 1 END)::BIGINT AS v0,
+                sum(CASE WHEN coalesce(value < 400, false)
+                    THEN 0 ELSE 1 END)::BIGINT AS v1,
+                sum(CASE WHEN coalesce(event_type IN
+                    ('click','error','purchase','signup','view'), false)
+                    THEN 0 ELSE 1 END)::BIGINT AS v2,
+                sum(CASE WHEN ts IS NOT NULL THEN 0 ELSE 1 END)::BIGINT
+                  AS v3,
+                (count(*) - count(DISTINCT event_id))::BIGINT AS v4,
+                (count(*) - count(DISTINCT
+                  CASE WHEN user_id IS NOT NULL AND event_type IS NOT NULL
+                       THEN (user_id, event_type) END))::BIGINT AS v5
+              FROM ev
+            ), rules AS (
+              SELECT * FROM (VALUES
+                (0, 'value_nonneg'), (1, 'value_below_400'),
+                (2, 'type_known'), (3, 'ts_not_null'),
+                (4, 'unique:event_id'),
+                (5, 'unique:user_id,event_type')) r(i, rule)
+            ), vals AS (
+              SELECT rule, n,
+                CASE i WHEN 0 THEN v0 WHEN 1 THEN v1 WHEN 2 THEN v2
+                       WHEN 3 THEN v3 WHEN 4 THEN v4 ELSE v5 END AS nv
+              FROM rules, agg
+            )
+            SELECT rule, n AS n_rows, nv AS n_violations,
+              round(nv::DOUBLE / greatest(n, 1), 6) AS frac_violated,
+              nv = 0 AS passed
+            FROM vals
         """,
     }
