@@ -2129,6 +2129,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             unique_cols=[["event_id"], ["user_id", "event_type"]],
         )
 
+    def q_pmi(spark, sf):
+        # PMI-scored adjacent-bigram collocations over documents
+        # (Church & Hanks): occurrence-margin PMI with a min_count=20
+        # noise floor; the multi-word-expression / boilerplate-phrase
+        # detector of the curation stack.
+        from skewer_spark.operators.collocations import pmi_bigrams
+        docs = _read(spark, sf, "documents")
+        return pmi_bigrams(docs, min_count=20)
+
+    def q_snapshot_diff(spark, sf):
+        # content-hash snapshot diff (CDC EXTRACTION — the inverse of
+        # q_cdc_upsert's apply): old/new versions of the events table
+        # derived deterministically so added / removed / changed /
+        # unchanged all appear, incl. NULL-value transitions.
+        from skewer_spark.operators.diff import diff_summary, snapshot_diff
+        ev = _read(spark, sf, "events")
+        base = ev.select(
+            "event_id", "user_id",
+            F.when(F.col("event_id") % 13 == 0, F.lit(None))
+            .otherwise(F.col("event_type")).alias("event_type"),
+            "value",
+        )
+        old = base.filter(F.col("event_id") % 10 != 0)
+        new = base.filter(F.col("event_id") % 9 != 0).select(
+            "event_id", "user_id",
+            F.when(F.col("event_id") % 11 == 0, F.lit(None))
+            .otherwise(F.col("event_type")).alias("event_type"),
+            F.when(F.col("event_id") % 7 == 0, F.col("value") + 1)
+            .otherwise(F.col("value")).alias("value"),
+        )
+        return diff_summary(snapshot_diff(old, new, ["event_id"]))
+
     # ORDER MATTERS: the driver's correctness harness checks the FIRST
     # 50 entries only.  Every operator family must sit inside that
     # window, so near-duplicate variants (6 of the 8 encode variants —
@@ -2328,6 +2360,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_key_skew": q_key_skew,
         "q_hard_neg": q_hard_neg,
         "q_validate": q_validate,
+        "q_pmi": q_pmi,
+        "q_snapshot_diff": q_snapshot_diff,
     }
 
 
@@ -5387,5 +5421,82 @@ def oracle_sql() -> dict[str, str]:
               round(nv::DOUBLE / greatest(n, 1), 6) AS frac_violated,
               nv = 0 AS passed
             FROM vals
+        """,
+        # identical tokenizer, adjacent bigrams via index series,
+        # occurrence-margin PMI, min_count floor; log2 on both sides,
+        # 6-dp round.
+        "q_pmi": """
+            WITH wl AS (
+              SELECT list_filter(
+                string_split_regex(lower(text), '[^a-z0-9]+'),
+                x -> x <> '') AS w
+              FROM documents
+            ), uni AS (
+              SELECT unnest(w) AS tok FROM wl
+            ), un AS (
+              SELECT tok, count(*)::BIGINT AS n_tok FROM uni GROUP BY tok
+            ), bidx AS (
+              SELECT w, unnest(generate_series(1, len(w) - 1)) AS i
+              FROM wl WHERE len(w) >= 2
+            ), bg AS (
+              SELECT w[i] AS w1, w[i + 1] AS w2,
+                     count(*)::BIGINT AS n_pair
+              FROM bidx GROUP BY w[i], w[i + 1]
+            ), tot AS (
+              SELECT (SELECT count(*) FROM uni)::BIGINT AS n_uni_total,
+                     (SELECT count(*) FROM bidx)::BIGINT AS n_big_total
+            )
+            SELECT w1, w2, n_pair, a.n_tok AS n_w1, b.n_tok AS n_w2,
+              round(log2(
+                (n_pair::DOUBLE / n_big_total) /
+                ((a.n_tok::DOUBLE / n_uni_total) *
+                 (b.n_tok::DOUBLE / n_uni_total))), 6) AS pmi
+            FROM bg
+            JOIN un a ON a.tok = bg.w1
+            JOIN un b ON b.tok = bg.w2
+            CROSS JOIN tot
+            WHERE n_pair >= 20
+        """,
+        # identical old/new construction; presence-tagged unit-separator
+        # content hash (NULL never collides with '' or the tag), FULL
+        # OUTER on the key, verdict groupBy.
+        "q_snapshot_diff": """
+            WITH base AS (
+              SELECT event_id, user_id,
+                CASE WHEN event_id % 13 = 0 THEN NULL
+                     ELSE event_type END AS event_type,
+                value
+              FROM events
+            ), old AS (
+              SELECT event_id,
+                md5(concat_ws(chr(31),
+                  CASE WHEN user_id IS NULL THEN '0'
+                       ELSE '1' || user_id::VARCHAR END,
+                  CASE WHEN event_type IS NULL THEN '0'
+                       ELSE '1' || event_type END,
+                  CASE WHEN value IS NULL THEN '0'
+                       ELSE '1' || value::VARCHAR END)) AS h
+              FROM base WHERE event_id % 10 <> 0
+            ), neww AS (
+              SELECT event_id,
+                md5(concat_ws(chr(31),
+                  CASE WHEN user_id IS NULL THEN '0'
+                       ELSE '1' || user_id::VARCHAR END,
+                  CASE WHEN event_id % 11 = 0 OR event_type IS NULL
+                       THEN '0' ELSE '1' || event_type END,
+                  CASE WHEN value IS NULL THEN '0'
+                       ELSE '1' || (CASE WHEN event_id % 7 = 0
+                                    THEN value + 1 ELSE value
+                                    END)::VARCHAR END)) AS h
+              FROM base WHERE event_id % 9 <> 0
+            ), verdict AS (
+              SELECT CASE WHEN o.h IS NULL THEN 'added'
+                          WHEN n.h IS NULL THEN 'removed'
+                          WHEN o.h <> n.h THEN 'changed'
+                          ELSE 'unchanged' END AS status
+              FROM old o FULL OUTER JOIN neww n USING (event_id)
+            )
+            SELECT status, count(*)::BIGINT AS n_keys
+            FROM verdict GROUP BY status
         """,
     }
