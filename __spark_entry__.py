@@ -2161,6 +2161,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return diff_summary(snapshot_diff(old, new, ["event_id"]))
 
+    def q_sft_spans(spark, sf):
+        # SFT loss-mask layout over a transcript shape derived from
+        # events (conv = user, turn = event order, role = event_type,
+        # deterministic per-turn token counts): per-turn packed spans
+        # + the learn-on-assistant mask — the step between raw
+        # transcripts and supervised fine-tuning batches.
+        from skewer_spark.operators.pack import sft_turn_spans
+        ev = _read(spark, sf, "events")
+        t = ev.select(
+            F.col("user_id").alias("conv_id"),
+            F.col("event_id").alias("turn_idx"),
+            F.col("event_type").alias("role"),
+            F.array_join(
+                F.array_repeat(
+                    F.lit("tok"), (F.col("event_id") % 9 + 1).cast("int")
+                ),
+                " ",
+            ).alias("text"),
+        )
+        return sft_turn_spans(t, loss_roles=("purchase", "signup"))
+
     # ORDER MATTERS: the driver's correctness harness checks the FIRST
     # 50 entries only.  Every operator family must sit inside that
     # window, so near-duplicate variants (6 of the 8 encode variants —
@@ -2362,6 +2383,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_validate": q_validate,
         "q_pmi": q_pmi,
         "q_snapshot_diff": q_snapshot_diff,
+        "q_sft_spans": q_sft_spans,
     }
 
 
@@ -5498,5 +5520,27 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT status, count(*)::BIGINT AS n_keys
             FROM verdict GROUP BY status
+        """,
+        # identical token-count derivation (k tokens per turn) and the
+        # identical conv-partitioned running sum.
+        "q_sft_spans": """
+            WITH t AS (
+              SELECT user_id AS conv, event_id AS turn,
+                     event_type AS role,
+                     (event_id % 9 + 1)::BIGINT AS n_tok
+              FROM events
+            )
+            SELECT conv, turn, role,
+              coalesce(sum(n_tok) OVER (
+                PARTITION BY conv ORDER BY turn
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                0)::BIGINT AS start_tok,
+              (coalesce(sum(n_tok) OVER (
+                PARTITION BY conv ORDER BY turn
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               + n_tok)::BIGINT AS end_tok,
+              n_tok,
+              role IN ('purchase', 'signup') AS loss_mask
+            FROM t
         """,
     }

@@ -211,3 +211,63 @@ def chunk_documents(
             " ", F.slice("_toks", F.col("_start") + 1, chunk_tokens)
         ).alias("chunk_text"),
     )
+
+
+def sft_turn_spans(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+    loss_roles: tuple[str, ...] = ("assistant",),
+) -> DataFrame:
+    """SFT loss-mask layout: per turn, its token span inside the
+    conversation's packed sequence plus the loss mask — the data-prep
+    step between raw transcripts and supervised fine-tuning, where the
+    model must SEE every turn but only LEARN on the assistant's.
+
+    Returns ``(conv, turn, role, start_tok, end_tok, n_tok,
+    loss_mask)`` with ``start_tok`` = 0-based offset of the turn's
+    first token when the conversation's turns are concatenated in
+    ``order_col`` order, ``end_tok`` exclusive, and ``loss_mask`` true
+    iff ``role ∈ loss_roles``.  Token counts are whitespace tokens
+    (the :mod:`..functions.text` contract); swap in
+    ``apply_bpe_pandas`` lengths for tokenizer-exact spans.
+
+    Scale shape (the 100 TB contract): offsets are a running sum over
+    ONE window partitioned by ``conv`` — conversations are bounded
+    (they fit one task by definition of the transcript data model;
+    the hot-conv skew guard lives upstream in ``dedup_and_rank``),
+    so no corpus-global window and no prefix-sum machinery is needed
+    (contrast :func:`pack_sequences`, which packs ACROSS document
+    boundaries and therefore does need the distributed prefix sum).
+    An empty-but-present turn counts ONE token (the length-arithmetic
+    whitespace contract shared with the q_text_stats oracle); a NULL
+    text gets ``n_tok`` 0 and a degenerate (start == end) span —
+    either way the turn is never dropped (the route.py
+    no-message-lost stance)."""
+    from ..functions.text import token_count
+
+    w = (
+        Window.partitionBy("conv")
+        .orderBy("turn")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    n_tok = F.coalesce(token_count(text_col), F.lit(0))
+    out = df.select(
+        F.col(conv_col).alias("conv"),
+        F.col(order_col).alias("turn"),
+        F.col(role_col).alias("role"),
+        n_tok.cast("long").alias("n_tok"),
+    )
+    return out.select(
+        "conv",
+        "turn",
+        "role",
+        F.coalesce(F.sum("n_tok").over(w), F.lit(0)).alias("start_tok"),
+        (F.coalesce(F.sum("n_tok").over(w), F.lit(0)) + F.col("n_tok")).alias(
+            "end_tok"
+        ),
+        "n_tok",
+        F.col("role").isin(*loss_roles).alias("loss_mask"),
+    )
