@@ -2182,6 +2182,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return sft_turn_spans(t, loss_roles=("purchase", "signup"))
 
+    def q_rolling(spark, sf):
+        # per-key trailing-5 moving stats over the event stream
+        # (deterministic (ts, event_id) order — duplicate timestamps
+        # exist, so the tiebreak is part of the contract).
+        from skewer_spark.operators.temporal import rolling_stats
+        ev = _read(spark, sf, "events")
+        out = rolling_stats(
+            ev.select(
+                F.col("event_type").alias("key"), "ts", "event_id", "value"
+            ),
+            key_col="key", ts_col="ts", value_col="value",
+            window_rows=5, tiebreak_col="event_id",
+        )
+        return out.select(
+            "key",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_str"),
+            "event_id", "value", "roll_mean", "roll_min", "roll_max",
+            "roll_n",
+        )
+
     # ORDER MATTERS: the driver's correctness harness checks the FIRST
     # 50 entries only.  Every operator family must sit inside that
     # window, so near-duplicate variants (6 of the 8 encode variants —
@@ -2384,6 +2404,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pmi": q_pmi,
         "q_snapshot_diff": q_snapshot_diff,
         "q_sft_spans": q_sft_spans,
+        "q_rolling": q_rolling,
     }
 
 
@@ -5542,5 +5563,19 @@ def oracle_sql() -> dict[str, str]:
               n_tok,
               role IN ('purchase', 'signup') AS loss_mask
             FROM t
+        """,
+        # identical bounded ROWS frame + (ts, event_id) order.
+        "q_rolling": """
+            SELECT event_type AS key,
+              strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str,
+              event_id, value,
+              round(avg(value) OVER w, 6) AS roll_mean,
+              min(value) OVER w AS roll_min,
+              max(value) OVER w AS roll_max,
+              count(value) OVER w AS roll_n
+            FROM events
+            WINDOW w AS (
+              PARTITION BY event_type ORDER BY ts, event_id
+              ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
         """,
     }

@@ -322,3 +322,53 @@ def resample_locf(
         "value",
         "is_observed",
     )
+
+
+def rolling_stats(
+    df: DataFrame,
+    key_col: str = "key",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    window_rows: int = 5,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Per-key trailing-window smoothing: for each observation, the
+    mean/min/max/count over the last ``window_rows`` observations of
+    its key (current row inclusive) — the moving-average view every
+    telemetry dashboard derives from the raw stream, and the
+    denoising feature under :mod:`.anomaly`'s z-scores.
+
+    Returns the input keys/timestamps plus ``(roll_mean, roll_min,
+    roll_max, roll_n)``.  ``roll_n < window_rows`` at each key's head
+    (honest partial windows, never padded).  ``roll_mean`` rounded 6dp
+    (the cross-engine canonicalization contract); ordering is
+    ``(ts, tiebreak_col)`` — pass a unique tiebreak when timestamps
+    can collide, or window membership is nondeterministic and no
+    engine pair will agree.
+
+    Scale shape (the 100 TB contract): ONE exchange on the key, then a
+    bounded ROWS frame — O(window_rows) state per row, no
+    unbounded-preceding running state, no corpus-global window.  Skewed
+    keys: a single hot key's rows land in one task (the window
+    semantics require it); the upstream guard is the same coarse-time
+    sub-bucketing :func:`as_of_join` documents, applied when a key
+    exceeds task-sized row counts."""
+    order = [F.col(ts_col).asc()]
+    if tiebreak_col is not None:
+        order.append(F.col(tiebreak_col).asc())
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(*order)
+        .rowsBetween(-(window_rows - 1), Window.currentRow)
+    )
+    v = F.col(value_col).cast("double")
+    return df.select(
+        key_col,
+        ts_col,
+        *([tiebreak_col] if tiebreak_col else []),
+        value_col,
+        F.round(F.avg(v).over(w), 6).alias("roll_mean"),
+        F.min(v).over(w).alias("roll_min"),
+        F.max(v).over(w).alias("roll_max"),
+        F.count(v).over(w).alias("roll_n"),
+    )

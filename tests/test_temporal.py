@@ -136,3 +136,40 @@ def test_session_agg_gap_boundary(spark):
     assert counts == [3, 1]
     assert u1[0]["session_start"] == _ts(0) and u1[0]["session_last"] == _ts(19)
     assert len([r for r in rows if r["user_id"] == "u2"]) == 1
+
+
+def test_rolling_stats(spark):
+    from skewer_spark.operators.temporal import rolling_stats
+
+    rows = [
+        ("a", 1, 10.0), ("a", 2, 20.0), ("a", 3, 30.0), ("a", 4, 40.0),
+        ("b", 1, 5.0),
+    ]
+    df = spark.createDataFrame(rows, "key string, ts long, value double")
+    out = {(r["key"], r["ts"]): r for r in
+           rolling_stats(df, window_rows=3).collect()}
+    # head rows: honest partial windows
+    assert out[("a", 1)]["roll_n"] == 1 and out[("a", 1)]["roll_mean"] == 10.0
+    assert out[("a", 2)]["roll_n"] == 2 and out[("a", 2)]["roll_mean"] == 15.0
+    assert out[("a", 3)]["roll_mean"] == 20.0
+    # window slides: rows 2..4
+    assert out[("a", 4)]["roll_mean"] == 30.0
+    assert out[("a", 4)]["roll_min"] == 20.0 and out[("a", 4)]["roll_max"] == 40.0
+    # keys are independent
+    assert out[("b", 1)]["roll_n"] == 1
+
+
+def test_rolling_stats_bounded_frame_plan(spark):
+    from skewer_spark.operators.temporal import rolling_stats
+
+    df = spark.createDataFrame(
+        [("a", 1, 1.0)], "key string, ts long, value double"
+    )
+    plan = (
+        rolling_stats(df, window_rows=5)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # bounded ROWS frame, not unboundedpreceding running state
+    assert "specifiedwindowframe(RowFrame, -4, currentrow" in plan
+    assert "unboundedpreceding" not in plan.lower()
+    assert "hashpartitioning(key" in plan
