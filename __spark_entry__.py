@@ -2202,6 +2202,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "roll_n",
         )
 
+    def q_histogram(spark, sf):
+        # equi-width value histogram (data-derived bounds, max value
+        # counted in the last bin, out-of-range clamps not drops).
+        from skewer_spark.operators.profile import numeric_histogram
+        ev = _read(spark, sf, "events")
+        return numeric_histogram(ev, "value", bins=20)
+
+    def q_winsorize(spark, sf):
+        # percentile clipping of the value column at [p1, p99] — exact
+        # F.percentile thresholds (the q_token_pctl-proven
+        # quantile_cont pairing) broadcast back onto the stream.
+        from skewer_spark.operators.profile import winsorize
+        ev = _read(spark, sf, "events")
+        return winsorize(
+            ev.select("event_id", "value"), "value", p_lo=0.01, p_hi=0.99
+        )
+
     # ORDER MATTERS: the driver's correctness harness checks the FIRST
     # 50 entries only.  Every operator family must sit inside that
     # window, so near-duplicate variants (6 of the 8 encode variants —
@@ -2405,6 +2422,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_snapshot_diff": q_snapshot_diff,
         "q_sft_spans": q_sft_spans,
         "q_rolling": q_rolling,
+        "q_histogram": q_histogram,
+        "q_winsorize": q_winsorize,
     }
 
 
@@ -5577,5 +5596,39 @@ def oracle_sql() -> dict[str, str]:
             WINDOW w AS (
               PARTITION BY event_type ORDER BY ts, event_id
               ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+        """,
+        # identical double-precision bin arithmetic from the same
+        # data-derived bounds.
+        "q_histogram": """
+            WITH b AS (
+              SELECT min(value) AS lo, max(value) AS hi FROM events
+            ), c AS (
+              SELECT least(greatest(
+                       floor((value - lo) / ((hi - lo) / 20.0)), 0),
+                     19)::INT AS bin, lo, hi
+              FROM events, b WHERE value IS NOT NULL
+            ), g AS (
+              SELECT bin, any_value(lo) AS lo, any_value(hi) AS hi,
+                     count(*)::BIGINT AS n
+              FROM c GROUP BY bin
+            ), t AS (SELECT sum(n) AS tt FROM g)
+            SELECT bin,
+              round(lo + bin * ((hi - lo) / 20.0), 6) AS bin_lo,
+              round(lo + (bin + 1) * ((hi - lo) / 20.0), 6) AS bin_hi,
+              n, round(n::DOUBLE / tt, 6) AS frac
+            FROM g, t
+        """,
+        # exact quantile thresholds (quantile_cont == F.percentile),
+        # same clamp + flag algebra.
+        "q_winsorize": """
+            WITH th AS (
+              SELECT quantile_cont(value, 0.01) AS lo,
+                     quantile_cont(value, 0.99) AS hi
+              FROM events
+            )
+            SELECT event_id, value,
+              round(least(greatest(value, lo), hi), 6) AS value_w,
+              (value < lo OR value > hi) AS is_clipped
+            FROM events, th
         """,
     }

@@ -93,3 +93,93 @@ def profile_table(
         "e.column", "e.dtype", "n_rows", "e.n_nulls", "e.n_distinct",
         "e.min_value", "e.max_value",
     )
+
+
+def numeric_histogram(
+    df: DataFrame,
+    value_col: str,
+    bins: int = 20,
+    lo: float | None = None,
+    hi: float | None = None,
+) -> DataFrame:
+    """Equi-width histogram of a numeric column: one row per non-empty
+    bin — ``(bin, bin_lo, bin_hi, n, frac)``.
+
+    Bounds default to the column's min/max (ONE tiny aggregate
+    collected to the driver — the same driver-literal pattern as
+    ``sq8_scale``; pass explicit bounds to skip that scan when the
+    domain is known).  Values land in ``floor((v - lo)/width)`` clamped
+    to the last bin, so ``v == hi`` is counted, and out-of-range values
+    clamp to the edge bins rather than vanish (a histogram that drops
+    data lies about the distribution).  NULLs are excluded and
+    reported via :func:`profile_table`, not here.
+
+    Scale shape: bounds = one partial-aggregable min/max; binning is a
+    narrow map; counts are ONE partial-aggregable ``groupBy(bin)`` on
+    an integer key — two scans total with derived bounds, one with
+    explicit bounds."""
+    v = F.col(value_col).cast("double")
+    if lo is None or hi is None:
+        row = df.agg(
+            F.min(v).alias("lo"), F.max(v).alias("hi")
+        ).collect()[0]
+        lo = float(row["lo"]) if lo is None else lo
+        hi = float(row["hi"]) if hi is None else hi
+    if not hi > lo:
+        raise ValueError(f"degenerate histogram range [{lo}, {hi}]")
+    width = (hi - lo) / float(bins)
+    b = F.least(
+        F.greatest(
+            F.floor((v - F.lit(lo)) / F.lit(width)).cast("long"), F.lit(0)
+        ),
+        F.lit(bins - 1),
+    )
+    counts = (
+        df.filter(v.isNotNull())
+        .select(b.alias("bin"))
+        .groupBy("bin")
+        .agg(F.count("*").alias("n"))
+    )
+    total = counts.agg(F.sum("n").alias("_t"))
+    return counts.crossJoin(F.broadcast(total)).select(
+        F.col("bin").cast("int").alias("bin"),
+        F.round(F.lit(lo) + F.col("bin") * F.lit(width), 6).alias("bin_lo"),
+        F.round(F.lit(lo) + (F.col("bin") + 1) * F.lit(width), 6).alias(
+            "bin_hi"
+        ),
+        "n",
+        F.round(F.col("n").cast("double") / F.col("_t").cast("double"), 6)
+        .alias("frac"),
+    )
+
+
+def winsorize(
+    df: DataFrame,
+    value_col: str,
+    p_lo: float = 0.01,
+    p_hi: float = 0.99,
+    out_col: str = "value_w",
+) -> DataFrame:
+    """Percentile clipping (winsorization): values below the ``p_lo``
+    quantile or above the ``p_hi`` quantile are clamped to it, with an
+    ``is_clipped`` flag — the outlier guard applied to reward/score
+    columns before they become training weights.
+
+    Exact ``F.percentile`` thresholds (matches DuckDB quantile_cont
+    bit-for-bit — the q_token_pctl-proven pairing), joined back as a
+    broadcast 1-row frame so the corpus never reshuffles;
+    ``approx_percentile`` is the documented 100 TB swap (exact global
+    percentile buffers per-partition value lists).  Clipped values
+    rounded 6dp."""
+    v = F.col(value_col).cast("double")
+    th = df.agg(
+        F.percentile(v, F.lit(p_lo)).alias("_lo"),
+        F.percentile(v, F.lit(p_hi)).alias("_hi"),
+    )
+    out = df.crossJoin(F.broadcast(th))
+    clipped = F.least(F.greatest(v, F.col("_lo")), F.col("_hi"))
+    return out.select(
+        *df.columns,
+        F.round(clipped, 6).alias(out_col),
+        ((v < F.col("_lo")) | (v > F.col("_hi"))).alias("is_clipped"),
+    )

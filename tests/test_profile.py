@@ -62,3 +62,53 @@ def test_profile_single_scan(frame):
 def test_unknown_column_raises(frame):
     with pytest.raises(ValueError):
         profile_table(frame, cols=["nope"])
+
+
+def test_numeric_histogram(spark):
+    from skewer_spark.operators.profile import numeric_histogram
+
+    df = spark.createDataFrame([(float(i),) for i in range(100)], ["v"])
+    out = {r["bin"]: r for r in numeric_histogram(df, "v", bins=10).collect()}
+    # 0..99 over 10 bins of width 9.9: bin 0 holds 0..9.89 -> 10 values
+    assert len(out) == 10
+    assert sum(r["n"] for r in out.values()) == 100
+    # max value (99.0 == hi) clamps into the last bin, not dropped
+    assert out[9]["n"] >= 10
+    assert abs(out[0]["bin_lo"] - 0.0) < 1e-9
+    assert abs(out[9]["bin_hi"] - 99.0) < 1e-6
+    assert abs(sum(r["frac"] for r in out.values()) - 1.0) < 1e-4
+
+
+def test_numeric_histogram_explicit_bounds_and_clamp(spark):
+    from skewer_spark.operators.profile import numeric_histogram
+
+    df = spark.createDataFrame([(v,) for v in [-5.0, 0.5, 1.5, 99.0]], ["v"])
+    out = {r["bin"]: r["n"] for r in
+           numeric_histogram(df, "v", bins=2, lo=0.0, hi=2.0).collect()}
+    # -5 clamps to bin 0; 99 clamps to bin 1
+    assert out == {0: 2, 1: 2}
+
+
+def test_numeric_histogram_degenerate_range(spark):
+    import pytest as _pytest
+    from skewer_spark.operators.profile import numeric_histogram
+
+    df = spark.createDataFrame([(1.0,), (1.0,)], ["v"])
+    with _pytest.raises(ValueError, match="degenerate"):
+        numeric_histogram(df, "v")
+
+
+def test_winsorize(spark):
+    from skewer_spark.operators.profile import winsorize
+
+    vals = [float(i) for i in range(1, 100)] + [10000.0]
+    df = spark.createDataFrame([(v,) for v in vals], ["v"])
+    out = winsorize(df, "v", p_lo=0.05, p_hi=0.95).collect()
+    clipped = [r for r in out if r["is_clipped"]]
+    # the 10000 outlier must be clipped down
+    big = [r for r in out if r["v"] == 10000.0][0]
+    assert big["is_clipped"] and big["value_w"] < 100.0
+    # interior values untouched
+    mid = [r for r in out if r["v"] == 50.0][0]
+    assert not mid["is_clipped"] and mid["value_w"] == 50.0
+    assert 0 < len(clipped) < len(out)
