@@ -2219,6 +2219,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ev.select("event_id", "value"), "value", p_lo=0.01, p_hi=0.99
         )
 
+    def q_logreg(spark, sf):
+        # distributed logistic-regression training, audited: 2 exact
+        # integer-quantized batch-GD steps from zero weights over
+        # 4-dim embedding features — bit-reproducible under any
+        # partitioning (the kmeans_update contract), mirrored by an
+        # unrolled DuckDB replay (the q_pagerank pattern for
+        # iterative ops).
+        from skewer_spark.operators.train import (
+            logreg_gradient_step,
+            weights_frame,
+        )
+        emb = _read(spark, sf, "embeddings")
+        df = emb.select(
+            F.slice(F.col("embedding"), F.lit(1), F.lit(4)).alias("features"),
+            (F.col("vec_id") % 3 == 0).cast("int").alias("label"),
+        )
+        w = [0.0] * 4
+        for _ in range(2):
+            w = logreg_gradient_step(df, w, lr=0.5)
+        return weights_frame(spark, w)
+
     # ORDER MATTERS: the driver's correctness harness checks the FIRST
     # 50 entries only.  Every operator family must sit inside that
     # window, so near-duplicate variants (6 of the 8 encode variants —
@@ -2424,6 +2445,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_rolling": q_rolling,
         "q_histogram": q_histogram,
         "q_winsorize": q_winsorize,
+        "q_logreg": q_logreg,
     }
 
 
@@ -5630,5 +5652,42 @@ def oracle_sql() -> dict[str, str]:
               round(least(greatest(value, lo), hi), 6) AS value_w,
               (value < lo OR value > hi) AS is_clipped
             FROM events, th
+        """,
+        # unrolled 2-step replay: iter 1 from w=0 (p = 0.5 exactly, so
+        # the quantized sums are pure integers), iter 2 through the
+        # sigmoid; HALF-AWAY-FROM-ZERO rounding spelled out as
+        # floor(|v|+0.5) to pin both engines to Spark's round().
+        "q_logreg": """
+            WITH f AS (
+              SELECT list_transform(embedding[1:4], v -> v::DOUBLE) AS x,
+                     CASE WHEN vec_id % 3 = 0 THEN 1 ELSE 0 END AS y
+              FROM embeddings
+            ), n AS (SELECT count(*)::BIGINT AS cnt FROM f
+            ), c1 AS (
+              SELECT j,
+                (0.5 - y) * x[j] * 1048576.0 AS v
+              FROM f, (SELECT unnest(generate_series(1, 4)) AS j)
+            ), g1 AS (
+              SELECT j, sum(CASE WHEN v >= 0 THEN floor(v + 0.5)
+                            ELSE -floor(-v + 0.5) END)::BIGINT AS s
+              FROM c1 GROUP BY j
+            ), w1 AS (
+              SELECT j, 0.0 - 0.5 * ((s / 1048576.0) / cnt) AS w
+              FROM g1, n
+            ), lw AS (
+              SELECT list(w ORDER BY j) AS wv FROM w1
+            ), c2 AS (
+              SELECT j,
+                ((1.0 / (1.0 + exp(-list_dot_product(x, wv)))) - y)
+                  * x[j] * 1048576.0 AS v
+              FROM f, lw, (SELECT unnest(generate_series(1, 4)) AS j)
+            ), g2 AS (
+              SELECT j, sum(CASE WHEN v >= 0 THEN floor(v + 0.5)
+                            ELSE -floor(-v + 0.5) END)::BIGINT AS s
+              FROM c2 GROUP BY j
+            )
+            SELECT (w1.j - 1)::INT AS pos,
+              round(w1.w - 0.5 * ((g2.s / 1048576.0) / cnt), 6) AS weight
+            FROM w1 JOIN g2 ON w1.j = g2.j, n
         """,
     }
