@@ -2240,6 +2240,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             w = logreg_gradient_step(df, w, lr=0.5)
         return weights_frame(spark, w)
 
+    def q_threads(spark, sf):
+        # agent-trace threading over a transcript shape derived from
+        # events (click/view=user, signup/purchase=assistant,
+        # error=tool): reply-tree parents + user-message thread
+        # segmentation via pure window algebra.
+        from skewer_spark.operators.transcripts import thread_turns
+        ev = _read(spark, sf, "events")
+        t = ev.select(
+            F.col("user_id").alias("conv_id"),
+            F.col("event_id").alias("turn_idx"),
+            F.when(F.col("event_type").isin("click", "view"), "user")
+            .when(F.col("event_type").isin("signup", "purchase"), "assistant")
+            .otherwise("tool")
+            .alias("role"),
+        )
+        return thread_turns(t)
+
     # ORDER MATTERS: the driver's correctness harness checks the FIRST
     # 50 entries only.  Every operator family must sit inside that
     # window, so near-duplicate variants (6 of the 8 encode variants —
@@ -2446,6 +2463,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_histogram": q_histogram,
         "q_winsorize": q_winsorize,
         "q_logreg": q_logreg,
+        "q_threads": q_threads,
     }
 
 
@@ -5689,5 +5707,38 @@ def oracle_sql() -> dict[str, str]:
             SELECT (w1.j - 1)::INT AS pos,
               round(w1.w - 0.5 * ((g2.s / 1048576.0) / cnt), 6) AS weight
             FROM w1 JOIN g2 ON w1.j = g2.j, n
+        """,
+        # identical role->level map and window algebra (running
+        # max-turn per level + running user count).
+        "q_threads": """
+            WITH t AS (
+              SELECT user_id AS conv, event_id AS turn,
+                CASE WHEN event_type IN ('click', 'view') THEN 'user'
+                     WHEN event_type IN ('signup', 'purchase')
+                       THEN 'assistant'
+                     ELSE 'tool' END AS role
+              FROM events
+            ), l AS (
+              SELECT conv, turn, role,
+                CASE role WHEN 'user' THEN 0
+                          WHEN 'assistant' THEN 1 ELSE 2 END AS level
+              FROM t
+            )
+            SELECT conv, turn, role, level,
+              sum(CASE WHEN level = 0 THEN 1 ELSE 0 END) OVER cur
+                ::BIGINT AS thread_id,
+              CASE WHEN level = 0 THEN NULL
+                   WHEN level = 1 THEN
+                     max(CASE WHEN level = 0 THEN turn END) OVER prev
+                   ELSE coalesce(
+                     max(CASE WHEN level = 1 THEN turn END) OVER prev,
+                     max(CASE WHEN level = 0 THEN turn END) OVER prev)
+              END AS parent_turn
+            FROM l
+            WINDOW
+              prev AS (PARTITION BY conv ORDER BY turn
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+              cur AS (PARTITION BY conv ORDER BY turn
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         """,
     }

@@ -330,3 +330,84 @@ def context_windows(
         .filter(F.col("_n") == k)
         .drop("_n")
     )
+
+
+def thread_turns(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    role_col: str = "role",
+    level_map: dict[str, int] | None = None,
+) -> DataFrame:
+    """Reconstruct the reply/invocation tree of an agent transcript
+    from its flat turn stream: who each turn answers.
+
+    Roles map to LEVELS (default ``user=0 < assistant=1 < tool=2``);
+    a turn's parent is the most recent PRECEDING turn of the next
+    level up — a tool result hangs off the assistant call that issued
+    it, an assistant turn off the user message it answers (tool turns
+    fall back to the last user turn when no assistant precedes them —
+    never silently dropped).  ``thread_id`` segments the conversation
+    by user messages (running count of level-0 turns), giving each
+    request/response/tool-trace exchange one id — the unit RLHF
+    pair-extraction and agentic-trace datasets are built from.
+    Unmapped roles raise: a threading model that silently guesses a
+    level fabricates structure.
+
+    Returns ``(conv, turn, role, level, thread_id, parent_turn)``
+    (parent NULL for roots).
+
+    Scale shape (the 100 TB contract): three running aggregates over
+    ONE conv-partitioned window exchange (running max-turn per level +
+    running level-0 count) — no self-join, no recursion: the fixed
+    level hierarchy turns tree reconstruction into window algebra.
+    Conversations are task-bounded (the transcript data model);
+    deeper-than-3 hierarchies just extend the level map."""
+    level_map = level_map or {"user": 0, "assistant": 1, "tool": 2}
+    lvl = F.col(role_col)
+    expr = None
+    for role, level in level_map.items():
+        branch = (F.col(role_col) == role, F.lit(level))
+        expr = F.when(*branch) if expr is None else expr.when(*branch)
+    level = expr.otherwise(F.lit(None).cast("int"))
+    base = df.select(
+        F.col(conv_col).alias("conv"),
+        F.col(order_col).alias("turn"),
+        F.col(role_col).alias("role"),
+        level.alias("level"),
+    )
+    if base.filter(F.col("level").isNull()).limit(1).count() > 0:
+        bad = [
+            r["role"]
+            for r in base.filter(F.col("level").isNull())
+            .select("role").distinct().limit(5).collect()
+        ]
+        raise ValueError(f"thread_turns: unmapped roles {bad}")
+    prev = (
+        Window.partitionBy("conv")
+        .orderBy("turn")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cur = (
+        Window.partitionBy("conv")
+        .orderBy("turn")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    last_l0 = F.max(F.when(F.col("level") == 0, F.col("turn"))).over(prev)
+    last_l1 = F.max(F.when(F.col("level") == 1, F.col("turn"))).over(prev)
+    parent = (
+        F.when(F.col("level") == 0, F.lit(None).cast(base.schema["turn"].dataType))
+        .when(F.col("level") == 1, last_l0)
+        .otherwise(F.coalesce(last_l1, last_l0))
+    )
+    thread = F.sum(
+        F.when(F.col("level") == 0, 1).otherwise(0)
+    ).over(cur)
+    return base.select(
+        "conv",
+        "turn",
+        "role",
+        "level",
+        thread.cast("long").alias("thread_id"),
+        parent.alias("parent_turn"),
+    )

@@ -130,3 +130,42 @@ def test_sft_turn_spans_window_partitioned(spark):
     assert "Window" in plan
     assert "partitionBy" not in plan or True
     assert "hashpartitioning(conv" in plan
+
+
+def test_thread_turns(spark):
+    from skewer_spark.operators.transcripts import thread_turns
+
+    rows = [
+        ("c", 0, "user"),
+        ("c", 1, "assistant"),
+        ("c", 2, "tool"),
+        ("c", 3, "tool"),
+        ("c", 4, "assistant"),
+        ("c", 5, "user"),
+        ("c", 6, "assistant"),
+        ("d", 0, "tool"),       # orphan tool before any assistant/user
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, role string")
+    out = {(r["conv"], r["turn"]): r for r in thread_turns(df).collect()}
+    # parents: assistant -> last user; tool -> last assistant
+    assert out[("c", 0)]["parent_turn"] is None
+    assert out[("c", 1)]["parent_turn"] == 0
+    assert out[("c", 2)]["parent_turn"] == 1
+    assert out[("c", 3)]["parent_turn"] == 1
+    assert out[("c", 4)]["parent_turn"] == 0
+    assert out[("c", 6)]["parent_turn"] == 5
+    # threads segment by user turns
+    assert [out[("c", i)]["thread_id"] for i in range(7)] == [1, 1, 1, 1, 1, 2, 2]
+    # orphan tool: no parent candidates at all -> NULL root, kept
+    assert out[("d", 0)]["parent_turn"] is None
+    assert out[("d", 0)]["thread_id"] == 0
+
+
+def test_thread_turns_rejects_unmapped_role(spark):
+    from skewer_spark.operators.transcripts import thread_turns
+
+    df = spark.createDataFrame(
+        [("c", 0, "narrator")], "conv_id string, turn_idx int, role string"
+    )
+    with pytest.raises(ValueError, match="unmapped roles"):
+        thread_turns(df)
