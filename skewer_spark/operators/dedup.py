@@ -290,7 +290,15 @@ def incremental_minhash_matches(
       bucket's survivors, which is all a dup FLAG needs; the new side
       is never capped (every new doc must be judged);
     * signatures join back by id (two narrow hash joins) — band rows
-      stay ``(id, band_id, band_key)`` wide.
+      stay ``(id, band_id, band_key)`` wide.  Each side's signature
+      subtree appears twice in the plan (bucket branch + verify
+      branch): the token-explode SHUFFLE is deduped by ReusedExchange
+      at execution, only the final aggregate replays (the bounded
+      ``minhash_lsh_buckets`` trade-off; carrying the 128-hash
+      production signature through the band shuffle instead would cost
+      far more bytes than the replayed reduce).  In production the
+      corpus side is a stored table read, so the replay touches only
+      the new batch.
     """
     n_hashes = bands * rows_per_band
     new_sigs = minhash_signatures(new_df, text_col, id_col, n_hashes)
