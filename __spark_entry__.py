@@ -2257,6 +2257,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return thread_turns(t)
 
+    def q_join_size(spark, sf):
+        # exact pre-flight join-size estimate from the two key
+        # histograms (never running the join): even-id vs odd-id event
+        # halves joined on a 30-bucket user key.
+        from skewer_spark.operators.skew import join_size_estimate
+        ev = _read(spark, sf, "events")
+        keyed = ev.select((F.col("user_id") % 30).alias("ub"), "event_id")
+        left = keyed.filter(F.col("event_id") % 2 == 0)
+        right = keyed.filter(F.col("event_id") % 2 == 1)
+        return join_size_estimate(left, right, ["ub"], top_n=10)
+
     # ORDER MATTERS: the driver's correctness harness checks the FIRST
     # 50 entries only.  Every operator family must sit inside that
     # window, so near-duplicate variants (6 of the 8 encode variants —
@@ -2464,6 +2475,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_winsorize": q_winsorize,
         "q_logreg": q_logreg,
         "q_threads": q_threads,
+        "q_join_size": q_join_size,
     }
 
 
@@ -5740,5 +5752,32 @@ def oracle_sql() -> dict[str, str]:
                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
               cur AS (PARTITION BY conv ORDER BY turn
                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        """,
+        # identical histogram-product algebra with the (pairs DESC,
+        # key ASC) top-10 cut.
+        "q_join_size": """
+            WITH lc AS (
+              SELECT user_id % 30 AS ub, count(*)::BIGINT AS n_left
+              FROM events WHERE event_id % 2 = 0 GROUP BY user_id % 30
+            ), rc AS (
+              SELECT user_id % 30 AS ub, count(*)::BIGINT AS n_right
+              FROM events WHERE event_id % 2 = 1 GROUP BY user_id % 30
+            ), prod AS (
+              SELECT lc.ub, n_left, n_right,
+                     (n_left * n_right)::BIGINT AS pairs
+              FROM lc JOIN rc ON lc.ub = rc.ub
+            ), summary AS (
+              SELECT sum(pairs)::BIGINT AS total_pairs,
+                     count(*)::BIGINT AS n_join_keys
+              FROM prod
+            ), top AS (
+              SELECT *, row_number() OVER (ORDER BY pairs DESC, ub ASC)
+                AS rank
+              FROM prod QUALIFY rank <= 10
+            ), ts AS (SELECT sum(pairs)::BIGINT AS tp FROM top)
+            SELECT ub, n_left, n_right, pairs, rank::INT AS rank,
+              total_pairs, n_join_keys,
+              round(tp::DOUBLE / greatest(total_pairs, 1), 6) AS top_frac
+            FROM top, summary, ts
         """,
     }

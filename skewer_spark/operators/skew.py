@@ -91,3 +91,59 @@ def key_skew_report(
         F.round(entropy, 6).alias("entropy"),
         F.round(F.log2(F.col("n_keys").cast("double")), 6).alias("entropy_max"),
     )
+
+
+def join_size_estimate(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: list[str],
+    top_n: int = 10,
+) -> DataFrame:
+    """EXACT inner-equi-join output size, computed WITHOUT running the
+    join: ``|A ⋈ B| = Σ_k c_A(k)·c_B(k)`` over the two compact key
+    histograms.  The pre-flight check before committing a 100 TB join
+    — a blowup shows up here as a huge product on a handful of keys,
+    at the cost of two count aggregates instead of the join itself.
+
+    Returns the ``top_n`` largest-contribution keys with global
+    context: ``(*key_cols, n_left, n_right, pairs, rank, total_pairs,
+    n_join_keys, top_frac)`` — ``pairs`` = that key's output rows,
+    ``total_pairs`` the exact full join size, ``top_frac`` the share
+    the listed keys own (≈1 ⇒ the blowup is concentrated: salt those
+    keys or cap them, the :func:`~skewer_spark.operators.dedup.
+    cap_per_group` decision).
+
+    Scale shape: one partial-aggregable ``groupBy(key)`` per side, an
+    inner join of the two COMPACT count frames, TakeOrderedAndProject
+    top-k (plan shape shared with :func:`key_skew_report`), summary
+    broadcast back onto ≤ top_n rows."""
+    lc = left.groupBy(*key_cols).agg(F.count("*").alias("n_left"))
+    rc = right.groupBy(*key_cols).agg(F.count("*").alias("n_right"))
+    prod = lc.join(rc, key_cols).withColumn(
+        "pairs", F.col("n_left") * F.col("n_right")
+    )
+    summary = prod.agg(
+        F.sum("pairs").alias("total_pairs"),
+        F.count("*").alias("n_join_keys"),
+    )
+    order = [F.col("pairs").desc(), *[F.col(c).asc() for c in key_cols]]
+    top = prod.orderBy(*order).limit(top_n)
+    top = top.withColumn("rank", F.row_number().over(Window.orderBy(*order)))
+    out = top.crossJoin(F.broadcast(summary))
+    topsum = Window.partitionBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return out.select(
+        *key_cols,
+        "n_left",
+        "n_right",
+        "pairs",
+        "rank",
+        "total_pairs",
+        "n_join_keys",
+        F.round(
+            F.sum("pairs").over(topsum).cast("double")
+            / F.greatest(F.col("total_pairs"), F.lit(1)).cast("double"),
+            6,
+        ).alias("top_frac"),
+    )

@@ -84,3 +84,36 @@ def test_key_skew_plan_takeordered(spark, skewed):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "TakeOrderedAndProject" in plan
+
+
+def test_join_size_estimate(spark):
+    from skewer_spark.operators.skew import join_size_estimate
+
+    left = spark.createDataFrame(
+        [("hot", i) for i in range(100)] + [("a", 0), ("b", 0), ("only_l", 0)],
+        ["k", "x"],
+    )
+    right = spark.createDataFrame(
+        [("hot", i) for i in range(50)] + [("a", 0), ("c", 0)], ["k", "y"]
+    )
+    rows = join_size_estimate(left, right, ["k"], top_n=2).collect()
+    byrank = {r["rank"]: r for r in rows}
+    # exact full size: hot 100*50 + a 1*1 = 5001
+    assert byrank[1]["k"] == "hot" and byrank[1]["pairs"] == 5000
+    assert byrank[1]["total_pairs"] == 5001
+    assert byrank[1]["n_join_keys"] == 2  # only_l / b / c never join
+    # verify against the actual join
+    assert left.join(right, "k").count() == 5001
+    assert abs(byrank[1]["top_frac"] - 1.0) < 1e-9
+
+
+def test_join_size_estimate_plan(spark):
+    from skewer_spark.operators.skew import join_size_estimate
+
+    left = spark.createDataFrame([("a", 1)], ["k", "x"])
+    right = spark.createDataFrame([("a", 1)], ["k", "y"])
+    plan = (
+        join_size_estimate(left, right, ["k"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "TakeOrderedAndProject" in plan
