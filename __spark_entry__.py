@@ -5764,20 +5764,20 @@ def oracle_sql() -> dict[str, str]:
               FROM events WHERE event_id % 2 = 1 GROUP BY user_id % 30
             ), prod AS (
               SELECT lc.ub, n_left, n_right,
-                     (n_left * n_right)::BIGINT AS pairs
+                     n_left::DOUBLE * n_right::DOUBLE AS pairs
               FROM lc JOIN rc ON lc.ub = rc.ub
             ), summary AS (
-              SELECT sum(pairs)::BIGINT AS total_pairs,
+              SELECT sum(pairs) AS total_pairs,
                      count(*)::BIGINT AS n_join_keys
               FROM prod
             ), top AS (
               SELECT *, row_number() OVER (ORDER BY pairs DESC, ub ASC)
                 AS rank
               FROM prod QUALIFY rank <= 10
-            ), ts AS (SELECT sum(pairs)::BIGINT AS tp FROM top)
+            ), ts AS (SELECT sum(pairs) AS tp FROM top)
             SELECT ub, n_left, n_right, pairs, rank::INT AS rank,
               total_pairs, n_join_keys,
-              round(tp::DOUBLE / greatest(total_pairs, 1), 6) AS top_frac
+              round(tp / greatest(total_pairs, 1.0), 6) AS top_frac
             FROM top, summary, ts
         """,
     }

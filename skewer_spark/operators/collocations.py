@@ -45,7 +45,7 @@ def pmi_bigrams(
         .groupBy("tok")
         .agg(F.count("*").alias("n_tok"))
     )
-    big = (
+    big_all = (
         words.select(
             F.explode(
                 F.zip_with(
@@ -62,14 +62,15 @@ def pmi_bigrams(
         .select("p.w1", "p.w2")
         .groupBy("w1", "w2")
         .agg(F.count("*").alias("n_pair"))
-        .filter(F.col("n_pair") >= min_count)
     )
-    totals = uni.agg(
-        F.sum("n_tok").alias("n_uni_total")
-    ).crossJoin(
-        words.select(
-            F.greatest(F.size("w") - 1, F.lit(0)).alias("nb")
-        ).agg(F.sum("nb").alias("n_big_total"))
+    big = big_all.filter(F.col("n_pair") >= min_count)
+    # both corpus totals derive from the COMPACT count frames (the
+    # margin sums), never a third tokenization pass over the corpus —
+    # Catalyst does not CSE independent subtrees (the linkage.py
+    # lesson), so a words-based total would re-scan and re-regex
+    # everything
+    totals = uni.agg(F.sum("n_tok").alias("n_uni_total")).crossJoin(
+        big_all.agg(F.sum("n_pair").alias("n_big_total"))
     )
     u1 = uni.select(F.col("tok").alias("w1"), F.col("n_tok").alias("n_w1"))
     u2 = uni.select(F.col("tok").alias("w2"), F.col("n_tok").alias("n_w2"))

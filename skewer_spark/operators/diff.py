@@ -20,10 +20,13 @@ side riding each scan, ONE full-outer sort-merge join on the key
 partial-aggregable groupBy.  No window, no collect, no payload
 shuffle.
 
-NULL handling: each value is prefixed with a presence tag before
-hashing, so ``NULL`` vs empty-string vs the literal sentinel never
-collide, and column values are joined with an ASCII unit separator so
-``("ab","c")`` ≠ ``("a","bc")``.
+NULL handling / injectivity: each value serializes as
+``1<length>:<value>`` (NULL as ``0``) before the unit-separator join —
+the LENGTH PREFIX makes the encoding injective even when data itself
+contains the separator byte (``("a\\x1f1b", "c")`` vs
+``("a", "b\\x1f1c")`` produce different lengths, hence different
+hashes; a bare separator join would collide — the repo-wide
+sentinel-safety stance).
 """
 
 from __future__ import annotations
@@ -41,12 +44,14 @@ def row_content_hash(df: DataFrame, key_cols: list[str]) -> Column:
     value_cols = [c for c in df.columns if c not in key_cols]
     if not value_cols:
         raise ValueError("row_content_hash requires >= 1 non-key column")
-    parts = [
-        F.when(
-            F.col(c).isNull(), F.lit("0")
-        ).otherwise(F.concat(F.lit("1"), F.col(c).cast("string")))
-        for c in value_cols
-    ]
+    parts = []
+    for c in value_cols:
+        s = F.col(c).cast("string")
+        parts.append(
+            F.when(F.col(c).isNull(), F.lit("0")).otherwise(
+                F.concat(F.lit("1"), F.length(s).cast("string"), F.lit(":"), s)
+            )
+        )
     return F.md5(F.concat_ws(_SEP, *parts))
 
 

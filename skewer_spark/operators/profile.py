@@ -123,6 +123,10 @@ def numeric_histogram(
         row = df.agg(
             F.min(v).alias("lo"), F.max(v).alias("hi")
         ).collect()[0]
+        if row["lo"] is None or row["hi"] is None:
+            raise ValueError(
+                f"numeric_histogram: no non-null values in {value_col}"
+            )
         lo = float(row["lo"]) if lo is None else lo
         hi = float(row["hi"]) if hi is None else hi
     if not hi > lo:

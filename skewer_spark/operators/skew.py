@@ -119,8 +119,13 @@ def join_size_estimate(
     broadcast back onto ≤ top_n rows."""
     lc = left.groupBy(*key_cols).agg(F.count("*").alias("n_left"))
     rc = right.groupBy(*key_cols).agg(F.count("*").alias("n_right"))
+    # products in DOUBLE: two 4e9-row sides give 1.6e19 pairs, past
+    # int64 — in non-ANSI mode a BIGINT product would WRAP NEGATIVE and
+    # rank the blowup key last, green-lighting the very join this
+    # operator exists to flag; double loses ULPs above 2^53 but stays
+    # monotone
     prod = lc.join(rc, key_cols).withColumn(
-        "pairs", F.col("n_left") * F.col("n_right")
+        "pairs", F.col("n_left").cast("double") * F.col("n_right").cast("double")
     )
     summary = prod.agg(
         F.sum("pairs").alias("total_pairs"),
@@ -142,8 +147,8 @@ def join_size_estimate(
         "total_pairs",
         "n_join_keys",
         F.round(
-            F.sum("pairs").over(topsum).cast("double")
-            / F.greatest(F.col("total_pairs"), F.lit(1)).cast("double"),
+            F.sum("pairs").over(topsum)
+            / F.greatest(F.col("total_pairs"), F.lit(1.0)),
             6,
         ).alias("top_frac"),
     )

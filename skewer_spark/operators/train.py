@@ -80,7 +80,13 @@ def logreg_gradient_step(
         .agg(F.sum("_qg").alias("_sq"), F.count("*").alias("_n"))
         .collect()
     )
-    n_rows = df.count()
+    if not contrib:
+        # empty input: no data gradient, only the l2 decay applies
+        return [w - lr * l2 * w for w in weights]
+    # dense equal-length feature arrays: every dimension's row count IS
+    # the row count — no separate df.count() action (one scan per step,
+    # not two)
+    n_rows = max(r["_n"] for r in contrib)
     grads = [0.0] * dim
     for r in contrib:
         grads[r["_p"]] = (r["_sq"] / float(_QUANT)) / float(n_rows)

@@ -357,32 +357,39 @@ def thread_turns(
     Returns ``(conv, turn, role, level, thread_id, parent_turn)``
     (parent NULL for roots).
 
-    Scale shape (the 100 TB contract): three running aggregates over
-    ONE conv-partitioned window exchange (running max-turn per level +
-    running level-0 count) — no self-join, no recursion: the fixed
-    level hierarchy turns tree reconstruction into window algebra.
-    Conversations are task-bounded (the transcript data model);
-    deeper-than-3 hierarchies just extend the level map."""
+    Scale shape (the 100 TB contract): one running max-turn aggregate
+    PER LEVEL plus the running level-0 count, all over ONE
+    conv-partitioned window exchange — no self-join, no recursion: the
+    fixed level hierarchy turns tree reconstruction into window
+    algebra.  Conversations are task-bounded (the transcript data
+    model); deeper hierarchies just extend the level map (the parent
+    expression is built per level, so level k genuinely parents to
+    k-1 with a coalesce fallback down the chain — not a hardcoded
+    3-level special case)."""
     level_map = level_map or {"user": 0, "assistant": 1, "tool": 2}
-    lvl = F.col(role_col)
+    levels = sorted(set(level_map.values()))
+    if levels[0] != 0 or levels != list(range(len(levels))):
+        raise ValueError(
+            f"thread_turns: levels must be contiguous from 0, got {levels}"
+        )
     expr = None
     for role, level in level_map.items():
         branch = (F.col(role_col) == role, F.lit(level))
         expr = F.when(*branch) if expr is None else expr.when(*branch)
-    level = expr.otherwise(F.lit(None).cast("int"))
+    # unmapped roles fail AT EVALUATION (no eager corpus-scan probe —
+    # the operator stays lazy like the rest of the package), with the
+    # offending role in the message
+    level = expr.otherwise(
+        F.raise_error(
+            F.concat(F.lit("thread_turns: unmapped role "), F.col(role_col))
+        ).cast("int")
+    )
     base = df.select(
         F.col(conv_col).alias("conv"),
         F.col(order_col).alias("turn"),
         F.col(role_col).alias("role"),
         level.alias("level"),
     )
-    if base.filter(F.col("level").isNull()).limit(1).count() > 0:
-        bad = [
-            r["role"]
-            for r in base.filter(F.col("level").isNull())
-            .select("role").distinct().limit(5).collect()
-        ]
-        raise ValueError(f"thread_turns: unmapped roles {bad}")
     prev = (
         Window.partitionBy("conv")
         .orderBy("turn")
@@ -393,13 +400,17 @@ def thread_turns(
         .orderBy("turn")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    last_l0 = F.max(F.when(F.col("level") == 0, F.col("turn"))).over(prev)
-    last_l1 = F.max(F.when(F.col("level") == 1, F.col("turn"))).over(prev)
-    parent = (
-        F.when(F.col("level") == 0, F.lit(None).cast(base.schema["turn"].dataType))
-        .when(F.col("level") == 1, last_l0)
-        .otherwise(F.coalesce(last_l1, last_l0))
-    )
+    last_at = {
+        lv: F.max(F.when(F.col("level") == lv, F.col("turn"))).over(prev)
+        for lv in levels[:-1]
+    }
+    turn_type = base.schema["turn"].dataType
+    parent = F.when(F.col("level") == 0, F.lit(None).cast(turn_type))
+    for lv in levels[1:]:
+        # parent of a level-lv turn: last turn at lv-1, falling back
+        # down the chain to the conversation root
+        fallback = [last_at[j] for j in range(lv - 1, -1, -1)]
+        parent = parent.when(F.col("level") == lv, F.coalesce(*fallback))
     thread = F.sum(
         F.when(F.col("level") == 0, 1).otherwise(0)
     ).over(cur)

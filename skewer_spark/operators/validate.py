@@ -75,10 +75,18 @@ def validation_report(
         if approx:
             # HLL over the whole-tuple struct (a null FIELD still forms
             # a countable struct, so null keys are not violations in
-            # approx mode — ±1.6% dwarfs that distinction anyway)
+            # approx mode — ±1.6% dwarfs that distinction anyway).
+            # Clamped at 0: an HLL OVERestimate on a clean column would
+            # otherwise yield negative violations and fail the gate.
             dc = F.approx_count_distinct(F.struct(*cols))
-        else:
-            dc = F.count_distinct(*[F.col(c) for c in cols])
+            aggs.append(
+                F.greatest(F.count(F.lit(1)) - dc, F.lit(0)).alias(
+                    f"_v{len(names)}"
+                )
+            )
+            names.append("unique:" + ",".join(cols))
+            continue
+        dc = F.count_distinct(*[F.col(c) for c in cols])
         aggs.append((F.count(F.lit(1)) - dc).alias(f"_v{len(names)}"))
         names.append("unique:" + ",".join(cols))
     one = df.agg(*aggs)

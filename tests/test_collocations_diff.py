@@ -167,5 +167,26 @@ def test_thread_turns_rejects_unmapped_role(spark):
     df = spark.createDataFrame(
         [("c", 0, "narrator")], "conv_id string, turn_idx int, role string"
     )
-    with pytest.raises(ValueError, match="unmapped roles"):
-        thread_turns(df)
+    # lazy operator: the failure surfaces at evaluation, naming the role
+    with pytest.raises(Exception, match="unmapped role narrator"):
+        thread_turns(df).collect()
+    with pytest.raises(ValueError, match="contiguous"):
+        thread_turns(df, level_map={"user": 0, "tool": 2})
+
+
+def test_thread_turns_deep_hierarchy(spark):
+    from skewer_spark.operators.transcripts import thread_turns
+
+    rows = [
+        ("c", 0, "user"),
+        ("c", 1, "assistant"),
+        ("c", 2, "tool"),
+        ("c", 3, "subtool"),   # level 3 must parent to the TOOL turn
+        ("c", 4, "subtool"),
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, role string")
+    lm = {"user": 0, "assistant": 1, "tool": 2, "subtool": 3}
+    out = {r["turn"]: r for r in thread_turns(df, level_map=lm).collect()}
+    assert out[3]["parent_turn"] == 2
+    assert out[4]["parent_turn"] == 2
+    assert out[2]["parent_turn"] == 1 and out[1]["parent_turn"] == 0
