@@ -2268,6 +2268,179 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         right = keyed.filter(F.col("event_id") % 2 == 1)
         return join_size_estimate(left, right, ["ub"], top_n=10)
 
+    def q_compaction(spark, sf):
+        # Iceberg small-file compaction plan: per table partition,
+        # pack synthetic per-file byte totals into ~2 MB rewrite
+        # groups via the windowed next-fit-decreasing assignment.
+        from skewer_spark.operators.maintenance import compaction_plan
+        ev = _read(spark, sf, "events")
+        files = ev.groupBy(
+            (F.col("user_id") % 4).alias("part"),
+            (F.col("event_id") % 240).alias("file_id"),
+        ).agg(
+            (
+                F.count(F.lit(1)) * 1000
+                + F.sum(F.floor(F.col("value") * 100))
+            )
+            .cast("bigint")
+            .alias("bytes")
+        )
+        return compaction_plan(
+            files, ["part"], target_bytes=2_000_000
+        )
+
+    def q_zonemap(spark, sf):
+        # per-file zone maps over time-clustered daily files + the
+        # file-skip verdict for a 3-day BETWEEN scan (the parquet
+        # footer / Iceberg manifest pruning model, made measurable).
+        from skewer_spark.operators.maintenance import (
+            zonemap_skip,
+            zonemap_stats,
+        )
+        ev = _read(spark, sf, "events")
+        epoch = F.unix_timestamp(F.col("ts"))
+        keyed = ev.select(
+            F.floor(epoch / 86400).cast("bigint").alias("file_id"),
+            epoch.alias("v"),
+        )
+        zm = zonemap_stats(keyed, "file_id", "v")
+        # 2024-01-10 .. 2024-01-13 (exclusive) in epoch seconds
+        return zonemap_skip(zm, lo=1704844800, hi=1705103999)
+
+    def q_late_events(spark, sf):
+        # watermark late-event audit: arrival order = ingest offset
+        # (event_id), event time deterministically jittered backwards
+        # by (event_id % 37) minutes so a 10-minute watermark drops a
+        # measurable tail — per-hour on-time/late counts.
+        from skewer_spark.operators.temporal import late_event_audit
+        ev = _read(spark, sf, "events")
+        jittered = ev.select(
+            (F.col("user_id") % 8).alias("part"),
+            F.col("event_id").alias("arrival_id"),
+            # integer seconds: truncate first, so the jittered value
+            # round-trips the timestamp type exactly on both engines
+            F.timestamp_seconds(
+                F.unix_timestamp(F.col("ts"))
+                - (F.col("event_id") % 37) * 60
+            ).alias("ts"),
+        )
+        audited = late_event_audit(
+            jittered,
+            "part",
+            ts_col="ts",
+            arrival_col="arrival_id",
+            delay_seconds=600,
+            window_seconds=3600,
+        )
+        return audited.select(
+            F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "n_on_time",
+            "n_late",
+            "late_fraction",
+        )
+
+    def q_psi(spark, sf):
+        # population-stability drift between the even-id and odd-id
+        # halves of the value column: 10 fixed bins over [0, 500),
+        # per-bin contributions + the corpus PSI total on every row.
+        from skewer_spark.operators.diff import psi_drift
+        ev = _read(spark, sf, "events")
+        ref = ev.filter(F.col("event_id") % 2 == 0)
+        cur = ev.filter(F.col("event_id") % 2 == 1)
+        return psi_drift(ref, cur, "value", lo=0.0, hi=500.0, n_bins=10)
+
+    def q_cohort(spark, sf):
+        # weekly cohort retention matrix over user activity: first
+        # epoch-week per user × active-week offset.
+        from skewer_spark.operators.funnel import cohort_retention
+        ev = _read(spark, sf, "events")
+        out = cohort_retention(
+            ev, key="user_id", ts_col="ts", period_seconds=604800,
+            max_offset=12,
+        )
+        return out.select(
+            F.date_format("cohort_start", "yyyy-MM-dd HH:mm:ss").alias(
+                "cohort_start"
+            ),
+            "offset",
+            "n_active",
+            "cohort_size",
+            "retention",
+        )
+
+    def q_transitions(spark, sf):
+        # first-order Markov transition matrix between consecutive
+        # event types of each user's offset-ordered stream (the
+        # tool→next-tool usage graph in the transcript shape).
+        from skewer_spark.operators.funnel import transition_matrix
+        ev = _read(spark, sf, "events")
+        return transition_matrix(
+            ev, key="user_id", order_col="event_id", state_col="event_type"
+        )
+
+    def q_pref_pairs(spark, sf):
+        # DPO-style preference-pair mining: responses grouped by a
+        # 2000-way prompt key, chosen = best score, rejected = worst,
+        # zero-margin prompts dropped.
+        from skewer_spark.operators.preference import preference_pairs
+        ev = _read(spark, sf, "events")
+        resp = ev.select(
+            (F.col("event_id") % 2000).alias("prompt_id"),
+            F.col("event_id").alias("resp_id"),
+            F.col("value").alias("score"),
+        )
+        return preference_pairs(resp)
+
+    def q_bradley_terry(spark, sf):
+        # Bradley-Terry strengths over event-type duels: consecutive
+        # events of a user duel, higher value wins; two exact MM
+        # iterations on the reduced pair-count frame.
+        from pyspark.sql import Window
+
+        from skewer_spark.operators.preference import bradley_terry
+        ev = _read(spark, sf, "events")
+        w = Window.partitionBy("user_id").orderBy(F.col("event_id").asc())
+        duels = (
+            ev.select(
+                F.col("event_type").alias("a"),
+                F.lead("event_type").over(w).alias("b"),
+                F.col("value").alias("va"),
+                F.lead("value").over(w).alias("vb"),
+            )
+            .filter(
+                F.col("b").isNotNull()
+                & (F.col("a") != F.col("b"))
+                & (F.col("va") != F.col("vb"))
+            )
+            .select(
+                F.when(F.col("va") > F.col("vb"), F.col("a"))
+                .otherwise(F.col("b"))
+                .alias("winner"),
+                F.when(F.col("va") > F.col("vb"), F.col("b"))
+                .otherwise(F.col("a"))
+                .alias("loser"),
+            )
+        )
+        return bradley_terry(duels, iters=2)
+
+    def q_tree_depth(spark, sf):
+        # pointer-doubling forest resolution: every node's root and
+        # depth in O(log depth) self-joins; parents form 8 binary
+        # trees (ids < 8 are roots, parent = id DIV 2 otherwise), so
+        # depth ~ log2(n) and the DuckDB recursive-CTE oracle walks
+        # the same forest one hop at a time.
+        from skewer_spark.operators.graph import tree_root_depth
+        ev = _read(spark, sf, "events")
+        nodes = ev.select(
+            F.col("event_id").alias("id"),
+            F.when(F.col("event_id") < 8, F.lit(None).cast("bigint"))
+            .otherwise(F.expr("event_id DIV 2"))
+            .alias("parent"),
+        )
+        return tree_root_depth(nodes)
+
     # ORDER MATTERS: the driver's correctness harness checks the FIRST
     # 50 entries only.  Every operator family must sit inside that
     # window, so near-duplicate variants (6 of the 8 encode variants —
@@ -2307,11 +2480,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_setsim_exact": q_setsim_exact,
         "q_semdedup": q_semdedup,
         "q_ivf_topk": q_ivf_topk,
-        "q_sq8_topk": q_sq8_topk,
+        "q_tree_depth": q_tree_depth,
         "q_classifier": q_classifier,
         "q_text_stats": q_text_stats,
         "q_dedup_substr": q_dedup_substr,
-        "q_url_filter": q_url_filter,
+        "q_bradley_terry": q_bradley_terry,
         "q_incr_dedup": q_incr_dedup,
         "q_json_schema": q_json_schema,
         "q_pii_redact": q_pii_redact,
@@ -2323,7 +2496,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_asof_enrich": q_asof_enrich,
         "q_session_agg": q_session_agg,
         "q_domain_quantile": q_domain_quantile,
-        "q_bm25_search": q_bm25_search,
+        "q_late_events": q_late_events,
         "q_funnel": q_funnel,
         "q_range_join": q_range_join,
         "q_seq_ngrams": q_seq_ngrams,
@@ -2378,6 +2551,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (parse family keeps rfc3164/rfc5424/json/protobuf; VARIANT
         # schema inference is a NEW family).  All four demotees were
         # driver-green in r02.
+        # r3 third-session swaps: q_sq8_topk demoted for q_tree_depth
+        # (quantized-search family keeps q_ivf_topk + q_semdedup
+        # in-window; pointer-doubling forest resolution is a NEW
+        # iterative family with a recursive-CTE oracle), q_url_filter
+        # for q_bradley_terry (URL family keeps q_url_canon; pairwise
+        # preference aggregation is a NEW iterative family), and
+        # q_bm25_search for q_late_events (lexical search rides
+        # q_hybrid_search's BM25 leg in-window; watermark late-event
+        # accounting is the NEW streaming-audit family).
+        "q_sq8_topk": q_sq8_topk,
+        "q_url_filter": q_url_filter,
+        "q_bm25_search": q_bm25_search,
         "q_cms_heavy": q_cms_heavy,
         "q_simhash_pairs": q_simhash_pairs,
         "q_embed_neardup": q_embed_neardup,
@@ -2476,6 +2661,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_logreg": q_logreg,
         "q_threads": q_threads,
         "q_join_size": q_join_size,
+        "q_compaction": q_compaction,
+        "q_zonemap": q_zonemap,
+        "q_psi": q_psi,
+        "q_cohort": q_cohort,
+        "q_transitions": q_transitions,
+        "q_pref_pairs": q_pref_pairs,
     }
 
 
@@ -5779,5 +5970,264 @@ def oracle_sql() -> dict[str, str]:
               total_pairs, n_join_keys,
               round(tp / greatest(total_pairs, 1.0), 6) AS top_frac
             FROM top, summary, ts
+        """,
+        # identical windowed next-fit-decreasing assignment: running
+        # bytes before each file, integer-divided by the 2 MB target.
+        "q_compaction": """
+            WITH f AS (
+              SELECT user_id % 4 AS part, event_id % 240 AS file_id,
+                (count(*) * 1000 + sum(floor(value * 100)))::BIGINT
+                  AS bytes
+              FROM events GROUP BY 1, 2
+            ), p AS (
+              SELECT part, file_id, bytes,
+                floor((sum(bytes) OVER (PARTITION BY part
+                    ORDER BY bytes DESC, file_id ASC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  - bytes) / 2000000.0)::BIGINT AS grp
+              FROM f
+            )
+            SELECT part, file_id, bytes, grp,
+              sum(bytes) OVER (PARTITION BY part, grp)::BIGINT
+                AS grp_bytes,
+              count(*) OVER (PARTITION BY part, grp)::BIGINT
+                AS grp_files
+            FROM p
+        """,
+        # same daily-file zone maps + disjoint-range skip test over
+        # integer epoch seconds.
+        "q_zonemap": """
+            WITH k AS (
+              SELECT floor(floor(epoch(ts)) / 86400)::BIGINT AS file_id,
+                     floor(epoch(ts))::BIGINT AS v
+              FROM events
+            ), zm AS (
+              SELECT file_id, min(v) AS min_v, max(v) AS max_v,
+                     count(*)::BIGINT AS n_rows
+              FROM k GROUP BY file_id
+            ), fl AS (
+              SELECT file_id, min_v, max_v, n_rows,
+                (CASE WHEN max_v < 1704844800 OR min_v > 1705103999
+                  THEN 1 ELSE 0 END)::INT AS skipped
+              FROM zm
+            ), t AS (
+              SELECT sum(skipped)::BIGINT AS n_files_skipped,
+                round(sum(n_rows * skipped)
+                  / greatest(sum(n_rows), 1)::DOUBLE, 6)
+                  AS skip_fraction
+              FROM fl
+            )
+            SELECT file_id, min_v, max_v, n_rows, skipped,
+                   n_files_skipped, skip_fraction
+            FROM fl, t
+        """,
+        # identical per-partition running-max watermark over arrival
+        # order with the same integer-second jitter.
+        "q_late_events": """
+            WITH t AS (
+              SELECT user_id % 8 AS p, event_id AS arrival,
+                floor(epoch(ts)) - (event_id % 37) * 60 AS tss
+              FROM events
+            ), fl AS (
+              SELECT floor(tss / 3600)::BIGINT AS w,
+                CASE WHEN max(tss) OVER (PARTITION BY p ORDER BY arrival
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  - 600 > tss THEN 1 ELSE 0 END AS late
+              FROM t
+            ), g AS (
+              SELECT w, sum(1 - late)::BIGINT AS n_on_time,
+                     sum(late)::BIGINT AS n_late
+              FROM fl GROUP BY w
+            )
+            SELECT strftime(to_timestamp(w * 3600),
+                '%Y-%m-%d %H:%M:%S') AS window_start,
+              n_on_time, n_late,
+              round(n_late / greatest(n_on_time + n_late, 1)::DOUBLE, 6)
+                AS late_fraction
+            FROM g
+        """,
+        # identical clamped equi-width bins, epsilon smoothing, and
+        # rounding points.
+        "q_psi": """
+            WITH b AS (
+              SELECT least(greatest(floor(value / 50.0), 0), 9)::INT
+                  AS bin,
+                CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END AS is_ref
+              FROM events
+            ), r AS (
+              SELECT bin, count(*)::BIGINT AS n_ref
+              FROM b WHERE is_ref = 1 GROUP BY bin
+            ), c AS (
+              SELECT bin, count(*)::BIGINT AS n_cur
+              FROM b WHERE is_ref = 0 GROUP BY bin
+            ), j AS (
+              SELECT coalesce(r.bin, c.bin) AS bin,
+                coalesce(n_ref, 0) AS n_ref,
+                coalesce(n_cur, 0) AS n_cur
+              FROM r FULL OUTER JOIN c ON r.bin = c.bin
+            ), tr AS (SELECT sum(n_ref) AS t_ref FROM r),
+            tc AS (SELECT sum(n_cur) AS t_cur FROM c),
+            pb AS (
+              SELECT bin, n_ref, n_cur,
+                greatest(n_ref / greatest(t_ref, 1)::DOUBLE, 0.000001)
+                  AS praw_ref,
+                greatest(n_cur / greatest(t_cur, 1)::DOUBLE, 0.000001)
+                  AS praw_cur
+              FROM j, tr, tc
+            ), o1 AS (
+              SELECT bin, n_ref, n_cur,
+                round(praw_ref, 6) AS p_ref,
+                round(praw_cur, 6) AS p_cur,
+                round((praw_cur - praw_ref) * ln(praw_cur / praw_ref),
+                  6) AS contrib
+              FROM pb
+            ), tt AS (
+              SELECT round(sum(contrib), 6) AS psi_total FROM o1
+            )
+            SELECT bin, n_ref, n_cur, p_ref, p_cur, contrib, psi_total
+            FROM o1, tt
+        """,
+        # identical epoch-anchored weekly periods, per-key first
+        # period, offset matrix, broadcast cohort sizes.
+        "q_cohort": """
+            WITH a AS (
+              SELECT DISTINCT user_id AS k,
+                floor(epoch(ts) / 604800)::BIGINT AS p
+              FROM events
+            ), f AS (SELECT k, min(p) AS c FROM a GROUP BY k),
+            s AS (
+              SELECT c, count(*)::BIGINT AS cohort_size FROM f GROUP BY c
+            ), m AS (
+              SELECT f.c, (a.p - f.c) AS off,
+                count(*)::BIGINT AS n_active
+              FROM a JOIN f USING (k)
+              WHERE a.p - f.c <= 12 GROUP BY 1, 2
+            )
+            SELECT strftime(to_timestamp(m.c * 604800),
+                '%Y-%m-%d %H:%M:%S') AS cohort_start,
+              off::INT AS "offset", n_active, cohort_size,
+              round(n_active / cohort_size::DOUBLE, 6) AS retention
+            FROM m JOIN s ON m.c = s.c
+        """,
+        # identical lead-window transition pairs + row normalization.
+        "q_transitions": """
+            WITH t AS (
+              SELECT event_type AS state,
+                lead(event_type) OVER (PARTITION BY user_id
+                  ORDER BY event_id) AS next_state
+              FROM events
+            ), p AS (
+              SELECT state, next_state, count(*)::BIGINT AS n
+              FROM t WHERE next_state IS NOT NULL GROUP BY 1, 2
+            ), o AS (SELECT state, sum(n) AS tot FROM p GROUP BY state)
+            SELECT p.state, next_state, n,
+              round(n / tot::DOUBLE, 6) AS prob
+            FROM p JOIN o ON p.state = o.state
+        """,
+        # identical double-ranked extremes with id tiebreaks and the
+        # zero-margin drop.
+        "q_pref_pairs": """
+            WITH r AS (
+              SELECT event_id % 2000 AS prompt_id, event_id AS resp_id,
+                value::DOUBLE AS s
+              FROM events
+            ), w AS (
+              SELECT prompt_id, resp_id, s,
+                row_number() OVER (PARTITION BY prompt_id
+                  ORDER BY s DESC, resp_id ASC) AS rb,
+                row_number() OVER (PARTITION BY prompt_id
+                  ORDER BY s ASC, resp_id ASC) AS rw
+              FROM r
+            ), g AS (
+              SELECT prompt_id,
+                max(CASE WHEN rb = 1 THEN resp_id END) AS chosen_id,
+                max(CASE WHEN rb = 1 THEN s END) AS cs,
+                max(CASE WHEN rw = 1 THEN resp_id END) AS rejected_id,
+                max(CASE WHEN rw = 1 THEN s END) AS rs
+              FROM w WHERE rb = 1 OR rw = 1 GROUP BY prompt_id
+            )
+            SELECT prompt_id, chosen_id, rejected_id,
+              round(cs, 6) AS chosen_score,
+              round(rs, 6) AS rejected_score,
+              round(cs - rs, 6) AS margin
+            FROM g WHERE cs > rs
+        """,
+        # identical duel construction and two 6dp-quantized MM
+        # iterations over the reduced pair-count frame.
+        "q_bradley_terry": """
+            WITH seq AS (
+              SELECT event_type AS a, lead(event_type) OVER w AS b,
+                value AS va, lead(value) OVER w AS vb
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+            ), d AS (
+              SELECT CASE WHEN va > vb THEN a ELSE b END AS winner,
+                CASE WHEN va > vb THEN b ELSE a END AS loser
+              FROM seq
+              WHERE b IS NOT NULL AND a <> b AND va <> vb
+            ), dir AS (
+              SELECT winner AS item, loser AS opp,
+                count(*)::BIGINT AS w
+              FROM d GROUP BY 1, 2
+            ), pair AS (
+              SELECT item, opp, sum(wv)::BIGINT AS wins_vs,
+                sum(nv)::BIGINT AS n_vs
+              FROM (
+                SELECT item, opp, w AS wv, w AS nv FROM dir
+                UNION ALL
+                SELECT opp AS item, item AS opp, 0 AS wv, w AS nv
+                FROM dir
+              ) GROUP BY 1, 2
+            ), tot AS (
+              SELECT item, sum(wins_vs)::BIGINT AS n_wins,
+                sum(n_vs)::BIGINT AS n_duels
+              FROM pair GROUP BY item
+            ), nn AS (SELECT count(*)::BIGINT AS cnt FROM tot),
+            s0 AS (SELECT item, round(1.0 / cnt, 6) AS s FROM tot, nn),
+            d1 AS (
+              SELECT p.item, sum(p.n_vs / (si.s + sj.s)) AS dn
+              FROM pair p JOIN s0 si ON p.item = si.item
+              JOIN s0 sj ON p.opp = sj.item GROUP BY 1
+            ), r1 AS (
+              SELECT t.item, t.n_wins / greatest(dn, 1e-12) AS raw
+              FROM tot t JOIN d1 ON t.item = d1.item
+            ), z1 AS (SELECT sum(raw) AS z FROM r1),
+            s1 AS (
+              SELECT item, round(raw / greatest(z, 1e-12), 6) AS s
+              FROM r1, z1
+            ), d2 AS (
+              SELECT p.item, sum(p.n_vs / (si.s + sj.s)) AS dn
+              FROM pair p JOIN s1 si ON p.item = si.item
+              JOIN s1 sj ON p.opp = sj.item GROUP BY 1
+            ), r2 AS (
+              SELECT t.item, t.n_wins / greatest(dn, 1e-12) AS raw
+              FROM tot t JOIN d2 ON t.item = d2.item
+            ), z2 AS (SELECT sum(raw) AS z FROM r2),
+            s2 AS (
+              SELECT item, round(raw / greatest(z, 1e-12), 6)
+                  AS strength
+              FROM r2, z2
+            )
+            SELECT t.item, t.n_wins, t.n_duels, s2.strength
+            FROM tot t JOIN s2 ON t.item = s2.item
+        """,
+        # same forest, walked one hop at a time by the recursive CTE
+        # (the Spark side resolves it in O(log depth) doubling joins).
+        "q_tree_depth": """
+            WITH RECURSIVE t AS (
+              SELECT event_id AS id,
+                CASE WHEN event_id < 8 THEN NULL
+                     ELSE event_id // 2 END AS parent
+              FROM events
+            ), r AS (
+              SELECT id, id AS cur, 0 AS depth FROM t
+              UNION ALL
+              SELECT r.id, t2.parent AS cur, r.depth + 1
+              FROM r JOIN t t2 ON r.cur = t2.id
+              WHERE t2.parent IS NOT NULL
+            )
+            SELECT id, arg_max(cur, depth) AS root,
+              max(depth)::BIGINT AS depth
+            FROM r GROUP BY id
         """,
     }

@@ -87,3 +87,75 @@ def diff_summary(diff: DataFrame) -> DataFrame:
     """``(status, n_keys)`` — one partial-aggregable reduce over the
     verdict frame."""
     return diff.groupBy("status").agg(F.count("*").alias("n_keys"))
+
+
+def psi_drift(
+    ref: DataFrame,
+    cur: DataFrame,
+    value_col: str,
+    lo: float,
+    hi: float,
+    n_bins: int = 10,
+    epsilon: float = 1e-6,
+) -> DataFrame:
+    """Population Stability Index between two batches of a numeric
+    column — the standard scored-distribution drift gate (PSI < 0.1
+    stable, 0.1–0.25 moderate shift, > 0.25 retrain/alert).
+
+    Companion to :func:`snapshot_diff` (which detects per-ROW change):
+    PSI detects DISTRIBUTION change with no key at all — yesterday's
+    quality-score batch vs today's, reference-window teacher scores vs
+    the live window.  Fixed equi-width bins over ``[lo, hi]`` with
+    both tails clamped into the edge bins (bin 0 and ``n_bins-1``), so
+    the binning is data-independent and two engines agree exactly.
+
+    ``contrib = (p_cur - p_ref) * ln(p_cur / p_ref)`` per bin with
+    ``epsilon`` smoothing on empty bins; ``psi_total`` (the sum over
+    bins) rides every row.  Fractions and contributions are rounded
+    6dp — the repo's cross-engine float canonicalization contract.
+
+    Scale shape: each side is one partial-aggregable
+    groupBy(bin) — 10^12 rows reduce map-side to ``n_bins`` counts —
+    then all remaining algebra runs on two n_bins-row frames
+    (broadcast-joined).  Nothing wide ever shuffles.
+    """
+    width = (hi - lo) / n_bins
+
+    def _binned(df: DataFrame, out: str) -> DataFrame:
+        b = F.floor((F.col(value_col).cast("double") - F.lit(lo)) / width)
+        b = F.least(F.greatest(b, F.lit(0)), F.lit(n_bins - 1))
+        return df.groupBy(b.cast("int").alias("bin")).agg(
+            F.count(F.lit(1)).alias(out)
+        )
+
+    r = _binned(ref, "_n_ref")
+    c = _binned(cur, "_n_cur")
+    joined = (
+        r.join(c, "bin", "full_outer")
+        .na.fill({"_n_ref": 0, "_n_cur": 0})
+        .crossJoin(
+            F.broadcast(
+                r.agg(F.sum("_n_ref").alias("_t_ref")).crossJoin(
+                    c.agg(F.sum("_n_cur").alias("_t_cur"))
+                )
+            )
+        )
+    )
+    p_ref = F.greatest(
+        F.col("_n_ref") / F.greatest(F.col("_t_ref"), F.lit(1)),
+        F.lit(epsilon),
+    )
+    p_cur = F.greatest(
+        F.col("_n_cur") / F.greatest(F.col("_t_cur"), F.lit(1)),
+        F.lit(epsilon),
+    )
+    per_bin = joined.select(
+        "bin",
+        F.col("_n_ref").alias("n_ref"),
+        F.col("_n_cur").alias("n_cur"),
+        F.round(p_ref, 6).alias("p_ref"),
+        F.round(p_cur, 6).alias("p_cur"),
+        F.round((p_cur - p_ref) * F.log(p_cur / p_ref), 6).alias("contrib"),
+    )
+    total = per_bin.agg(F.round(F.sum("contrib"), 6).alias("psi_total"))
+    return per_bin.crossJoin(F.broadcast(total))

@@ -90,3 +90,111 @@ def funnel_counts(
     return counts.select(
         F.explode(F.array(*rows)).alias("r")
     ).select("r.step", "r.step_name", "r.n_reached", "r.conversion")
+
+
+def cohort_retention(
+    df: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    period_seconds: int = 7 * 86400,
+    max_offset: int = 12,
+) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-seen period ×
+    how many were active again k periods later.
+
+    The aggregate view behind every "retention curve" dashboard, and —
+    in the training-data shape — the contributor-churn view over a
+    transcript corpus (cohort = week a conv_id first appears).
+
+    Fixed-width periods (``floor(epoch / period_seconds)``, epoch-
+    anchored, never calendar-aware) keep the bucketing engine-exact.
+
+    Output: ``(cohort_start, offset, n_active, cohort_size,
+    retention)`` for offsets 0..``max_offset`` with n_active > 0;
+    ``retention`` = n_active / cohort size, rounded 6dp.  offset-0
+    rows carry retention 1.0 by construction.
+
+    Scale shape: period assignment is a projection; the per-key first
+    period is one partial-aggregable ``groupBy(key).min``; the matrix
+    is a second groupBy on the (cohort, offset) pairs of the key-level
+    DISTINCT activity set.  Everything shuffles compact (key, int)
+    rows — 10^12 events reduce to |keys| × active-periods before the
+    matrix agg.  The cohort-size join is a broadcast (≤ thousands of
+    cohort rows)."""
+    p = F.floor(
+        (F.unix_micros(F.col(ts_col).cast("timestamp")) / F.lit(1e6))
+        / period_seconds
+    ).cast("bigint")
+    activity = (
+        df.select(F.col(key).alias("_k"), p.alias("_p"))
+        .groupBy("_k", "_p")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .drop("_n")
+    )
+    first = activity.groupBy("_k").agg(F.min("_p").alias("_cohort"))
+    sizes = first.groupBy("_cohort").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    joined = activity.join(first, "_k").select(
+        "_cohort", (F.col("_p") - F.col("_cohort")).alias("offset")
+    )
+    matrix = (
+        joined.filter(F.col("offset") <= max_offset)
+        .groupBy("_cohort", "offset")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+    return matrix.join(F.broadcast(sizes), "_cohort").select(
+        F.timestamp_seconds(F.col("_cohort") * period_seconds).alias(
+            "cohort_start"
+        ),
+        F.col("offset").cast("int").alias("offset"),
+        "n_active",
+        "cohort_size",
+        F.round(F.col("n_active") / F.col("cohort_size"), 6).alias(
+            "retention"
+        ),
+    )
+
+
+def transition_matrix(
+    df: DataFrame,
+    key: str = "user_id",
+    order_col: str = "event_id",
+    state_col: str = "event_type",
+) -> DataFrame:
+    """First-order Markov transition counts/probabilities between
+    consecutive states of each key's ordered sequence.
+
+    In the agent-transcript shape this is the tool→next-tool usage
+    graph (which tool follows a search, how often an error retries);
+    in the log shape, the status-code flow.  Complements
+    :func:`funnel_milestones` (fixed expected order) by LEARNING the
+    order from data.
+
+    Output: ``(state, next_state, n, prob)`` where ``prob`` row-
+    normalizes over the outgoing state, rounded 6dp.  Sequence ends
+    emit no transition (no synthetic terminal state).
+
+    Scale shape: ONE exchange for the per-key ``lead`` window (compact
+    (key, order, state) rows), then one partial-aggregable groupBy on
+    the state pair — the |states|² result is tiny by construction.
+    The row-normalizer joins back as a broadcast."""
+    w = Window.partitionBy(key).orderBy(F.col(order_col).asc())
+    pairs = (
+        df.select(
+            F.col(key),
+            F.col(order_col),
+            F.col(state_col).alias("state"),
+            F.lead(state_col).over(w).alias("next_state"),
+        )
+        .filter(F.col("next_state").isNotNull())
+        .groupBy("state", "next_state")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    outgoing = pairs.groupBy("state").agg(F.sum("n").alias("_out"))
+    return pairs.join(F.broadcast(outgoing), "state").select(
+        "state",
+        "next_state",
+        "n",
+        F.round(F.col("n") / F.col("_out"), 6).alias("prob"),
+    )

@@ -132,3 +132,102 @@ def pagerank(
         nodes.unpersist()
         sinks.unpersist()
     return out
+
+
+def tree_root_depth(
+    nodes: DataFrame,
+    id_col: str = "id",
+    parent_col: str = "parent",
+    max_rounds: int = 20,
+) -> DataFrame:
+    """Resolve every node of a parent-pointer forest to its root and
+    depth via pointer doubling (path doubling): ``(id, root, depth)``.
+
+    The arbitrary-depth generalization of
+    :func:`skewer_spark.operators.transcripts.thread_turns` (whose
+    reply trees are bounded at depth 2 by the role hierarchy): agent
+    traces with nested tool invocations, quote/reply chains, and URL
+    redirect graphs all form forests whose depth nobody bounds up
+    front.  Roots are rows with NULL ``parent_col``.
+
+    Algorithm — each node keeps a pointer ``ptr`` (initially its
+    parent; roots point at themselves) and the hop distance ``d``
+    already covered.  Each round self-joins the frame on
+    ``a.ptr = b.id`` and composes: ``ptr ← b.ptr``, ``d ← d + b.d``
+    once ``b`` is resolved-to-root, doubling the resolved-path length
+    every round.  A forest of depth D resolves in ⌈log2 D⌉ + 1
+    rounds — ``max_rounds=20`` covers depth 2^20; the loop exits early
+    via a scalar convergence probe (count of unresolved nodes, the
+    only driver-side value).
+
+    This is the whole point vs the naive one-hop walk: 10^12 turns
+    with chain depth 10^4 would need 10^4 sequential joins one hop at
+    a time; doubling needs 15.  Per round: ONE hash self-join on the
+    pointer plus a projection, compact (id, ptr, long, bool) rows.
+    Loop discipline per :func:`pagerank`: persist each round's frame,
+    release the superseded one, eager ``localCheckpoint`` every 4
+    rounds to cut lineage (the frame is referenced twice per round —
+    plan doubles per round otherwise), final result detached via one
+    eager checkpoint so every loop cache releases on return.
+
+    Cycles (corrupt parent pointers) never resolve and are emitted
+    with ``root = NULL, depth = NULL`` after ``max_rounds`` rather
+    than looping forever — fail-visible, mirroring
+    ``validate.validate_frame``'s quarantine stance.
+    """
+    cur = nodes.select(
+        F.col(id_col).alias("id"),
+        F.coalesce(F.col(parent_col), F.col(id_col)).alias("ptr"),
+        F.when(F.col(parent_col).isNull(), F.lit(0))
+        .otherwise(F.lit(1))
+        .cast("long")
+        .alias("d"),
+        F.col(parent_col).isNull().alias("done"),
+    ).persist()
+    try:
+        for i in range(int(max_rounds)):
+            pending = cur.filter(~F.col("done")).count()
+            if pending == 0:
+                break
+            nxt = (
+                cur.alias("a")
+                .join(
+                    cur.select(
+                        F.col("id").alias("_bid"),
+                        F.col("ptr").alias("_bptr"),
+                        F.col("d").alias("_bd"),
+                        F.col("done").alias("_bdone"),
+                    ).alias("b"),
+                    F.col("a.ptr") == F.col("_bid"),
+                    "left",
+                )
+                .select(
+                    F.col("a.id").alias("id"),
+                    F.when(F.col("a.done"), F.col("a.ptr"))
+                    .otherwise(F.coalesce(F.col("_bptr"), F.col("a.ptr")))
+                    .alias("ptr"),
+                    F.when(F.col("a.done"), F.col("a.d"))
+                    .otherwise(F.col("a.d") + F.coalesce(F.col("_bd"), F.lit(0)))
+                    .alias("d"),
+                    (
+                        F.col("a.done")
+                        | F.coalesce(F.col("_bdone"), F.lit(False))
+                    ).alias("done"),
+                )
+                .persist()
+            )
+            nxt.count()  # materialize before releasing the old frame
+            if (i + 1) % 4 == 0:
+                cp = nxt.localCheckpoint(eager=True)
+                nxt.unpersist()
+                nxt = cp
+            cur.unpersist()
+            cur = nxt
+        out = cur.select(
+            "id",
+            F.when(F.col("done"), F.col("ptr")).alias("root"),
+            F.when(F.col("done"), F.col("d")).alias("depth"),
+        ).localCheckpoint(eager=True)
+    finally:
+        cur.unpersist()
+    return out

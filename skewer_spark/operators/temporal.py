@@ -372,3 +372,69 @@ def rolling_stats(
         F.max(v).over(w).alias("roll_max"),
         F.count(v).over(w).alias("roll_n"),
     )
+
+
+def late_event_audit(
+    df: DataFrame,
+    partition_col: str,
+    ts_col: str = "ts",
+    arrival_col: str = "arrival_id",
+    delay_seconds: int = 300,
+    window_seconds: int = 3600,
+) -> DataFrame:
+    """Batch replay of Structured Streaming's watermark accounting:
+    per event-time window, how many events would have been on time vs
+    dropped-late under ``withWatermark(ts, delay)``.
+
+    Streaming semantics being audited: each source partition advances
+    its own watermark to ``max(event time seen so far) - delay``; an
+    event is late iff its event time is already below its partition's
+    watermark when it ARRIVES.  Arrival order within a partition is
+    ``arrival_col`` (in the log-pipeline shape, the ingest offset —
+    monotone per source, never wall-clock).  The first event of a
+    partition is never late (no watermark exists yet), matching
+    Spark's "watermark starts at 0" behavior.
+
+    Output: one row per event-time window with ``n_on_time``,
+    ``n_late``, ``late_fraction`` — the audit that decides whether a
+    5-minute watermark silently drops 0.01% or 7% of a source before
+    anyone commits to it in production.
+
+    Scale shape: ONE exchange on the source partition key for the
+    running max (a bounded-state sequential scan per partition —
+    exactly the state the streaming engine itself keeps), then one
+    partial-aggregable groupBy(window).  The running max runs over
+    arrival order, so a hot source is a single sorted task: real
+    deployments shard hot sources upstream (the same guard
+    :func:`as_of_join` documents)."""
+    w = (
+        Window.partitionBy(partition_col)
+        .orderBy(F.col(arrival_col).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    # NTZ-safe exact epoch seconds (micros never lose precision)
+    ts_s = F.unix_micros(F.col(ts_col).cast("timestamp")) / F.lit(1e6)
+    wm = F.max(ts_s).over(w) - F.lit(float(delay_seconds))
+    flagged = df.select(
+        F.floor(ts_s / window_seconds).cast("bigint").alias("_w"),
+        F.when(wm.isNotNull() & (ts_s < wm), 1).otherwise(0).alias("_late"),
+    )
+    return (
+        flagged.groupBy("_w")
+        .agg(
+            F.sum(1 - F.col("_late")).alias("n_on_time"),
+            F.sum("_late").alias("n_late"),
+        )
+        .select(
+            F.timestamp_seconds(F.col("_w") * window_seconds).alias(
+                "window_start"
+            ),
+            "n_on_time",
+            "n_late",
+            F.round(
+                F.col("n_late")
+                / F.greatest(F.col("n_on_time") + F.col("n_late"), F.lit(1)),
+                6,
+            ).alias("late_fraction"),
+        )
+    )
