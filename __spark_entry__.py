@@ -2441,6 +2441,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return tree_root_depth(nodes)
 
+    def q_range_bounds(spark, sf):
+        # range-partitioner planning: exact 8-way percentile cuts on
+        # the value column + per-range row counts proving balance.
+        from skewer_spark.operators.layout import range_partition_plan
+        ev = _read(spark, sf, "events")
+        return range_partition_plan(ev, "value", n_partitions=8)
+
+    def q_orphan_files(spark, sf):
+        # orphan-file detection: listing = 300 synthetic files, live
+        # manifest = the 80% with file_id % 5 != 0, 3-day age guard
+        # against in-flight commits, clock = the listing's own max
+        # mtime (determinism contract).
+        from skewer_spark.operators.maintenance import orphan_files
+        ev = _read(spark, sf, "events")
+        # contiguous 40-event blocks so file mtimes spread over the
+        # table's whole time range (events arrive time-ordered)
+        listing = ev.groupBy(
+            F.expr("event_id DIV 40").alias("file_id")
+        ).agg(
+            (F.count(F.lit(1)) * 500 + F.sum("user_id"))
+            .cast("bigint")
+            .alias("bytes"),
+            F.max("ts").alias("mtime"),
+        )
+        manifest = listing.filter(F.col("file_id") % 5 != 0).select(
+            "file_id"
+        )
+        return orphan_files(listing, manifest)
+
+    def q_snap_expiry(spark, sf):
+        # snapshot-retention plan: keep newest 5 + everything within
+        # 7 days of the log's own head; the rest marked expirable.
+        from skewer_spark.operators.maintenance import snapshot_expiry
+        ev = _read(spark, sf, "events")
+        snaps = ev.groupBy(
+            (F.col("event_id") % 40).alias("snapshot_id")
+        ).agg(F.max("ts").alias("committed_ts"))
+        return snapshot_expiry(snaps, keep_last=5, keep_seconds=7 * 86400)
+
     # ORDER MATTERS: the driver's correctness harness checks the FIRST
     # 50 entries only.  Every operator family must sit inside that
     # window, so near-duplicate variants (6 of the 8 encode variants —
@@ -2667,6 +2706,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_cohort": q_cohort,
         "q_transitions": q_transitions,
         "q_pref_pairs": q_pref_pairs,
+        "q_range_bounds": q_range_bounds,
+        "q_orphan_files": q_orphan_files,
+        "q_snap_expiry": q_snap_expiry,
     }
 
 
@@ -6229,5 +6271,74 @@ def oracle_sql() -> dict[str, str]:
             SELECT id, arg_max(cur, depth) AS root,
               max(depth)::BIGINT AS depth
             FROM r GROUP BY id
+        """,
+        # identical exact quantile_cont boundaries (rounded 6dp) and
+        # strictly-below assignment.
+        "q_range_bounds": """
+            WITH b AS (
+              SELECT list_transform(
+                quantile_cont(value, [0.125, 0.25, 0.375, 0.5,
+                                      0.625, 0.75, 0.875]),
+                x -> round(x, 6)) AS bl
+              FROM events
+            ), a AS (
+              SELECT len(list_filter(bl, x -> value > x)) AS pid, bl
+              FROM events, b
+            ), c AS (
+              SELECT pid, bl, count(*)::BIGINT AS n_rows
+              FROM a GROUP BY pid, bl
+            ), t AS (SELECT sum(n_rows) AS tt FROM c)
+            SELECT pid::INT AS pid, n_rows,
+              round(n_rows / tt::DOUBLE, 6) AS frac,
+              CASE WHEN pid > 0 THEN bl[pid] END AS lo_bound,
+              CASE WHEN pid < 7 THEN bl[pid + 1] END AS hi_bound
+            FROM c, t
+        """,
+        # identical anti-join vs the live manifest, listing-clock age
+        # guard, and reclaim totals.
+        "q_orphan_files": """
+            WITH l AS (
+              SELECT event_id // 40 AS file_id,
+                (count(*) * 500 + sum(user_id))::BIGINT AS bytes,
+                max(ts) AS mtime
+              FROM events GROUP BY 1
+            ), nw AS (SELECT max(epoch(mtime)) AS nwv FROM l),
+            o AS (
+              SELECT l.file_id, l.bytes,
+                floor(nwv - epoch(mtime))::BIGINT AS age_seconds
+              FROM l, nw
+              WHERE l.file_id % 5 = 0
+                AND floor(nwv - epoch(mtime)) >= 259200
+            ), t AS (
+              SELECT count(*)::BIGINT AS n_orphans,
+                coalesce(sum(bytes), 0)::BIGINT AS reclaim_bytes
+              FROM o
+            )
+            SELECT file_id, bytes, age_seconds, n_orphans,
+                   reclaim_bytes
+            FROM o, t
+        """,
+        # identical newest-5-or-7-days retention with (cts, id DESC)
+        # rank ties.
+        "q_snap_expiry": """
+            WITH s AS (
+              SELECT event_id % 40 AS snapshot_id, max(ts) AS cts
+              FROM events GROUP BY 1
+            ), nw AS (SELECT max(epoch(cts)) AS nwv FROM s),
+            r AS (
+              SELECT snapshot_id, cts,
+                row_number() OVER (ORDER BY cts DESC,
+                                   snapshot_id DESC) AS rk,
+                epoch(cts) AS tss
+              FROM s
+            )
+            SELECT snapshot_id,
+              strftime(date_trunc('second', cts),
+                '%Y-%m-%d %H:%M:%S') AS committed_ts,
+              rk::INT AS recency_rank,
+              floor(nwv - tss)::BIGINT AS age_seconds,
+              (CASE WHEN rk <= 5 OR nwv - tss <= 604800
+                THEN 0 ELSE 1 END)::INT AS expire
+            FROM r, nw
         """,
     }

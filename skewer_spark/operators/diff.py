@@ -130,14 +130,17 @@ def psi_drift(
 
     r = _binned(ref, "_n_ref")
     c = _binned(cur, "_n_cur")
-    joined = (
-        r.join(c, "bin", "full_outer")
-        .na.fill({"_n_ref": 0, "_n_cur": 0})
-        .crossJoin(
-            F.broadcast(
-                r.agg(F.sum("_n_ref").alias("_t_ref")).crossJoin(
-                    c.agg(F.sum("_n_cur").alias("_t_cur"))
-                )
+    merged = r.join(c, "bin", "full_outer").na.fill(
+        {"_n_ref": 0, "_n_cur": 0}
+    )
+    # totals from the already-reduced n_bins-row frame — each input
+    # side is scanned exactly ONCE (totals off the raw sides would
+    # rescan the corpus)
+    joined = merged.crossJoin(
+        F.broadcast(
+            merged.agg(
+                F.sum("_n_ref").alias("_t_ref"),
+                F.sum("_n_cur").alias("_t_cur"),
             )
         )
     )

@@ -184,3 +184,71 @@ def write_bucketed(
         w = w.option("path", path)
     w.saveAsTable(table)
     return table
+
+
+def range_partition_plan(
+    df: DataFrame,
+    key_col: str,
+    n_partitions: int = 8,
+) -> DataFrame:
+    """Range-partitioner boundary planning: the percentile boundaries
+    a global sort/write would use, plus the per-range row counts that
+    prove they balance.
+
+    This is the explicit version of what ``repartitionByRange`` does
+    internally with reservoir sampling — computed exactly and
+    deterministically so the layout decision (how many output ranges,
+    where the cuts land, whether a hot key swamps one range) is
+    auditable BEFORE paying for the 100 TB sort.  Iceberg
+    ``sort_order`` planning and Spark's own exchange both consume
+    boundaries of exactly this shape.
+
+    Semantics: boundaries are the exact ``i/n`` quantiles
+    (``F.percentile`` — the DuckDB ``quantile_cont``-proven pairing,
+    rounded 6dp; ``approx_percentile`` is the documented 100 TB swap),
+    and a row belongs to partition ``#{boundaries strictly below its
+    key}`` — keys equal to a boundary go LEFT, so every engine that
+    agrees on the rounded boundaries agrees on the assignment.
+
+    Output: one row per non-empty range — ``(pid, n_rows, frac,
+    lo_bound, hi_bound)`` where the outer bounds are NULL (unbounded).
+
+    Scale shape: one exact-percentile aggregate (1-row broadcast),
+    assignment as a pure projection (``size(filter(...))`` over the
+    n-1 element boundary array literal — codegen, no join per row),
+    one partial-aggregable groupBy(pid).  The corpus never reshuffles
+    on the key; only compact (pid, count) rows move.
+    """
+    v = F.col(key_col).cast("double")
+    fracs = [i / n_partitions for i in range(1, n_partitions)]
+    bounds = df.agg(
+        F.array(
+            *[F.round(F.percentile(v, F.lit(p)), 6) for p in fracs]
+        ).alias("_bnds")
+    )
+    assigned = (
+        df.crossJoin(F.broadcast(bounds))
+        .select(
+            F.size(F.filter("_bnds", lambda b: v > b)).alias("pid"),
+            F.col("_bnds"),
+        )
+    )
+    counts = assigned.groupBy("pid", "_bnds").agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+    total = counts.agg(F.sum("n_rows").alias("_t"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            F.col("pid").cast("int").alias("pid"),
+            "n_rows",
+            F.round(F.col("n_rows") / F.col("_t"), 6).alias("frac"),
+            F.when(
+                F.col("pid") > 0, F.col("_bnds")[F.col("pid") - 1]
+            ).alias("lo_bound"),
+            F.when(
+                F.col("pid") < n_partitions - 1,
+                F.col("_bnds")[F.col("pid")],
+            ).alias("hi_bound"),
+        )
+    )

@@ -129,3 +129,136 @@ def zonemap_skip(
     )
     # 1-row broadcast cross join: every file row carries the summary.
     return flagged.crossJoin(F.broadcast(totals))
+
+
+def orphan_files(
+    listing: DataFrame,
+    manifest: DataFrame,
+    path_col: str = "file_id",
+    bytes_col: str = "bytes",
+    mtime_col: str = "mtime",
+    min_age_seconds: int = 3 * 86400,
+    now_epoch: int | None = None,
+) -> DataFrame:
+    """Orphan-file detection: files present in the storage listing but
+    referenced by NO live snapshot manifest, old enough to be outside
+    any in-flight commit window (Iceberg's remove_orphan_files).
+
+    ``now`` derives from the LISTING's own max mtime when not given —
+    the repo-wide "now() substitutions use the data's own clock"
+    determinism contract.  The age guard is the correctness-critical
+    part: a file written by an uncommitted concurrent writer looks
+    orphaned until its commit lands, so anything younger than
+    ``min_age_seconds`` is never flagged.
+
+    Output: one row per orphan with its bytes/age plus corpus totals
+    (``n_orphans``, ``reclaim_bytes``) riding every row via a 1-row
+    broadcast — the number a storage bill actually cares about.
+
+    Scale shape: ONE left-anti hash join of the listing against the
+    manifest's distinct path set (compact keys both sides; the
+    manifest side of a healthy table is far smaller than the listing
+    and broadcastable), then a projection + tiny total.  No windows,
+    no payload shuffle.
+    """
+    live = manifest.select(F.col(path_col)).distinct()
+    now_f = (
+        F.lit(float(now_epoch))
+        if now_epoch is not None
+        else F.unix_micros(F.max(F.col(mtime_col)).cast("timestamp"))
+        / F.lit(1e6)
+    )
+    clock = listing.agg(now_f.alias("_now"))
+    aged = (
+        listing.join(F.broadcast(live), path_col, "left_anti")
+        .crossJoin(F.broadcast(clock))
+        .select(
+            F.col(path_col),
+            F.col(bytes_col),
+            F.floor(
+                F.col("_now")
+                - F.unix_micros(F.col(mtime_col).cast("timestamp"))
+                / F.lit(1e6)
+            )
+            .cast("bigint")
+            .alias("age_seconds"),
+        )
+        .filter(F.col("age_seconds") >= min_age_seconds)
+    )
+    totals = aged.agg(
+        F.count(F.lit(1)).alias("n_orphans"),
+        F.coalesce(F.sum(bytes_col), F.lit(0)).cast("bigint").alias(
+            "reclaim_bytes"
+        ),
+    )
+    return aged.crossJoin(F.broadcast(totals))
+
+
+def snapshot_expiry(
+    snapshots: DataFrame,
+    snapshot_col: str = "snapshot_id",
+    committed_col: str = "committed_ts",
+    keep_last: int = 5,
+    keep_seconds: int = 7 * 86400,
+    now_epoch: int | None = None,
+) -> DataFrame:
+    """Snapshot-retention plan (Iceberg expire_snapshots): keep the
+    newest ``keep_last`` snapshots plus everything committed within
+    ``keep_seconds`` of now; the rest are expirable.
+
+    ``now`` = the log's own max commit time unless pinned (same
+    determinism contract as :func:`orphan_files`).  Both criteria are
+    OR'd — the belt-and-suspenders default real tables run with, so a
+    stalled writer can still roll back and a hot table doesn't hoard
+    history.  Ties on the commit time break by snapshot id (newest-id
+    wins) so two engines rank identically.
+
+    Output: every snapshot with its ``recency_rank``, ``age_seconds``
+    and ``expire`` verdict (int 0/1 — the plan, not the deletion).
+
+    Scale shape: the snapshot log is metadata-sized (thousands of
+    rows at worst) — one window over a single exchange plus a 1-row
+    broadcast clock.  Trivial by design; it exists so the MAINTENANCE
+    decision is itself testable, versioned pipeline code instead of
+    an ops runbook.
+    """
+    ts_s = (
+        F.unix_micros(F.col(committed_col).cast("timestamp")) / F.lit(1e6)
+    )
+    now_f = (
+        F.lit(float(now_epoch))
+        if now_epoch is not None
+        else F.max(ts_s)
+    )
+    clock = snapshots.agg(now_f.alias("_now"))
+    w = Window.orderBy(
+        F.col(committed_col).desc(), F.col(snapshot_col).desc()
+    )
+    ranked = (
+        snapshots.select(
+            F.col(snapshot_col),
+            F.col(committed_col),
+            F.row_number().over(w).alias("recency_rank"),
+            ts_s.alias("_ts"),
+        )
+        .crossJoin(F.broadcast(clock))
+        .select(
+            snapshot_col,
+            F.date_format(committed_col, "yyyy-MM-dd HH:mm:ss").alias(
+                "committed_ts"
+            ),
+            "recency_rank",
+            F.floor(F.col("_now") - F.col("_ts")).cast("bigint").alias(
+                "age_seconds"
+            ),
+            F.when(
+                (F.col("recency_rank") <= keep_last)
+                | (F.col("_now") - F.col("_ts") <= keep_seconds),
+                0,
+            )
+            .otherwise(1)
+            .cast("int")
+            .alias("expire"),
+        )
+    )
+    return ranked

@@ -121,15 +121,19 @@ def bradley_terry(
         forward.unionByName(reverse)
         .groupBy("item", "opp")
         .agg(F.sum("_w").alias("wins_vs"), F.sum(F.col("_w") + F.col("_l")).alias("n_vs"))
+        .persist()
     )
     totals = pair.groupBy("item").agg(
         F.sum("wins_vs").alias("n_wins"), F.sum("n_vs").alias("n_duels")
-    )
+    ).persist()
+    # materializes BOTH cached frames (totals builds on pair), so the
+    # raw duel log reduces exactly once and the MM loop below never
+    # touches it again
     n_items = totals.count()
     s = totals.select(
         "item", F.lit(round(1.0 / max(n_items, 1), 6)).alias("strength")
     )
-    for _ in range(iters):
+    for it in range(iters):
         si = s.select(
             F.col("item"), F.col("strength").alias("_si")
         )
@@ -159,6 +163,16 @@ def bradley_terry(
                 "strength"
             ),
         )
-    return totals.join(s, "item").select(
-        "item", "n_wins", "n_duels", "strength"
+        if (it + 1) % 4 == 0 and it + 1 < iters:
+            # each iteration references the strength frame twice, so
+            # the logical plan doubles per round — cut lineage on the
+            # tiny |items|-row frame (pagerank discipline)
+            s = s.localCheckpoint(eager=True)
+    out = (
+        totals.join(s, "item")
+        .select("item", "n_wins", "n_duels", "strength")
+        .localCheckpoint(eager=True)  # detach from the loop caches
     )
+    pair.unpersist()
+    totals.unpersist()
+    return out

@@ -18,6 +18,7 @@ from skewer_spark.operators.funnel import (
 from skewer_spark.operators.graph import tree_root_depth
 from skewer_spark.operators.maintenance import (
     compaction_plan,
+    orphan_files,
     zonemap_skip,
     zonemap_stats,
 )
@@ -289,3 +290,72 @@ def test_tree_root_depth_releases_caches(spark):
     # result's own checkpoint RDDs (final + the every-4-rounds lineage
     # cut it builds on) may remain — same contract as pagerank
     assert len(after - before) <= 2
+
+
+# ------------------------------------------------- orphan files / snapshots
+
+
+def test_orphan_files_age_guard_and_totals(spark):
+    listing = spark.createDataFrame([
+        Row(file_id=1, bytes=100, mtime=_ts(0)),            # old orphan
+        Row(file_id=2, bytes=200, mtime=_ts(0)),            # live
+        Row(file_id=3, bytes=400, mtime=_ts(9 * 86400)),    # young orphan
+        Row(file_id=4, bytes=800, mtime=_ts(10 * 86400)),   # clock head
+    ])
+    manifest = spark.createDataFrame([Row(file_id=2), Row(file_id=4)])
+    out = orphan_files(listing, manifest,
+                       min_age_seconds=3 * 86400).collect()
+    # file 3 is only 1 day old vs the listing clock (day 10) → spared
+    assert {r.file_id for r in out} == {1}
+    assert out[0].n_orphans == 1 and out[0].reclaim_bytes == 100
+    assert out[0].age_seconds == 10 * 86400
+
+
+def test_orphan_files_empty_is_zero_totals(spark):
+    listing = spark.createDataFrame(
+        [Row(file_id=1, bytes=100, mtime=_ts(0))]
+    )
+    manifest = spark.createDataFrame([Row(file_id=1)])
+    assert orphan_files(listing, manifest).count() == 0
+
+
+def test_snapshot_expiry_keeps_recent_and_last_n(spark):
+    from skewer_spark.operators.maintenance import snapshot_expiry
+    day = 86400
+    snaps = spark.createDataFrame([
+        Row(snapshot_id=i, committed_ts=_ts(i * day)) for i in range(10)
+    ])
+    out = {r.snapshot_id: r for r in snapshot_expiry(
+        snaps, keep_last=2, keep_seconds=3 * day,
+    ).collect()}
+    # clock = day 9; within-3-days keeps 6..9; last-2 keeps 8, 9
+    assert all(out[i].expire == 0 for i in (6, 7, 8, 9))
+    assert all(out[i].expire == 1 for i in range(6))
+    assert out[9].recency_rank == 1 and out[0].recency_rank == 10
+    assert out[0].age_seconds == 9 * day
+
+
+# ------------------------------------------------------------- range bounds
+
+
+def test_range_partition_plan_balances(spark):
+    from skewer_spark.operators.layout import range_partition_plan
+    df = spark.createDataFrame([Row(v=float(i)) for i in range(800)])
+    out = sorted(range_partition_plan(df, "v", n_partitions=8).collect(),
+                 key=lambda r: r.pid)
+    assert [r.pid for r in out] == list(range(8))
+    assert sum(r.n_rows for r in out) == 800
+    # exact percentiles on a uniform ramp → perfectly balanced ranges
+    assert all(abs(r.n_rows - 100) <= 1 for r in out)
+    assert out[0].lo_bound is None and out[7].hi_bound is None
+    # boundaries are shared edges: partition i's hi == i+1's lo
+    for i in range(7):
+        assert out[i].hi_bound == out[i + 1].lo_bound
+    # boundary keys go LEFT: a row equal to a boundary stays in the
+    # lower range
+    eq = spark.createDataFrame(
+        [Row(v=1.0)] * 4 + [Row(v=2.0)] * 4
+    )
+    parts = {r.pid: r.n_rows for r in
+             range_partition_plan(eq, "v", n_partitions=2).collect()}
+    assert parts[0] == 4 and parts[1] == 4
