@@ -2480,6 +2480,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).agg(F.max("ts").alias("committed_ts"))
         return snapshot_expiry(snaps, keep_last=5, keep_seconds=7 * 86400)
 
+    def q_salted_agg(spark, sf):
+        # two-stage salted hot-key aggregation == plain GROUP BY (the
+        # oracle IS the unsalted form — associativity proof by hash);
+        # integer-valued doubles so the two-stage sum is bit-exact.
+        from skewer_spark.operators.skew import salted_agg
+        ev = _read(spark, sf, "events")
+        keyed = ev.select(
+            "user_id", F.floor(F.col("value") * 100).cast("double").alias("v")
+        )
+        return salted_agg(keyed, ["user_id"], "v", n_salts=16)
+
     # ORDER MATTERS: the driver's correctness harness checks the FIRST
     # 50 entries only.  Every operator family must sit inside that
     # window, so near-duplicate variants (6 of the 8 encode variants —
@@ -2709,6 +2720,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_range_bounds": q_range_bounds,
         "q_orphan_files": q_orphan_files,
         "q_snap_expiry": q_snap_expiry,
+        "q_salted_agg": q_salted_agg,
     }
 
 
@@ -6340,5 +6352,18 @@ def oracle_sql() -> dict[str, str]:
               (CASE WHEN rk <= 5 OR nwv - tss <= 604800
                 THEN 0 ELSE 1 END)::INT AS expire
             FROM r, nw
+        """,
+        # the UNSALTED form — identical results prove the two-stage
+        # salted reduction exact (integer-valued doubles, no float
+        # summation-order hazard).
+        "q_salted_agg": """
+            WITH k AS (
+              SELECT user_id, floor(value * 100) AS v FROM events
+            )
+            SELECT user_id, count(*)::BIGINT AS n_rows,
+              round(sum(v), 6) AS sum_v,
+              min(v) AS min_v, max(v) AS max_v,
+              round(sum(v) / count(*), 6) AS avg_v
+            FROM k GROUP BY user_id
         """,
     }

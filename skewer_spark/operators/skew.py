@@ -152,3 +152,61 @@ def join_size_estimate(
             6,
         ).alias("top_frac"),
     )
+
+
+def salted_agg(
+    df: DataFrame,
+    key_cols: list[str],
+    value_col: str,
+    n_salts: int = 16,
+    salt_col: str | None = None,
+) -> DataFrame:
+    """Two-stage salted aggregation: per-key count/sum/min/max that a
+    single hot key cannot bottleneck.
+
+    The generic form of the skew discipline `enrich.dedup_and_rank`
+    applies to hot conversations: stage 1 groups by ``(key, salt)`` so
+    a key holding 10% of 10^12 rows spreads over ``n_salts`` reducers;
+    stage 2 re-reduces the ``n_salts`` partial rows per key to finals.
+    count/sum/min/max are all associative, so the two-stage result is
+    EXACTLY the one-stage result — the paired oracle is a plain
+    GROUP BY, which is the point: same answer, bounded per-task work.
+
+    The salt mixes the row's value hash with its physical partition id
+    — a hot key whose values are all IDENTICAL (the common log shape)
+    still spreads.  The salt influences only WHERE partials compute,
+    never the result (associative re-reduce), so salt nondeterminism
+    is harmless — the repo determinism contract binds results, and the
+    oracle equality holds for any salt assignment by construction.
+    Pass ``salt_col`` to reuse an existing shard column instead.
+    Note partial-aggregation (map-side combine) already handles skew
+    for THESE metrics when Catalyst plans it; the explicit salt stage
+    is the pattern needed the moment the agg is NOT map-combinable
+    (exact distincts, collect_list, percentile buffers) — this
+    operator pins the shape with the simple metrics so the plan test
+    can assert both exchanges stay partial-aggregable.
+
+    Output: one row per key: ``(key…, n_rows, sum_v, min_v, max_v,
+    avg_v)`` with sum/avg rounded 6dp.
+    """
+    v = F.col(value_col).cast("double")
+    salt = (
+        F.col(salt_col)
+        if salt_col is not None
+        else F.pmod(F.hash(v, F.spark_partition_id()), F.lit(n_salts))
+    )
+    partial = df.groupBy(
+        *[F.col(c) for c in key_cols], salt.alias("_salt")
+    ).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(v).alias("_s"),
+        F.min(v).alias("_mn"),
+        F.max(v).alias("_mx"),
+    )
+    return partial.groupBy(*key_cols).agg(
+        F.sum("_n").alias("n_rows"),
+        F.round(F.sum("_s"), 6).alias("sum_v"),
+        F.min("_mn").alias("min_v"),
+        F.max("_mx").alias("max_v"),
+        F.round(F.sum("_s") / F.sum("_n"), 6).alias("avg_v"),
+    )

@@ -83,3 +83,22 @@ def test_driver_entry_smoke(spark):
     # re-running yields the identical schema (driver checks stability)
     assert em.entry(spark).columns == cols
     assert len(rows) > 0  # the fixture is non-empty, so the rollup is too
+
+
+def test_queries_oracle_parity_and_window():
+    """Every registered query has an oracle pair (the driver-compare
+    contract), names are unique, and the first-50 driver window holds
+    exactly 50 distinct entries."""
+    import __spark_entry__ as entry
+
+    q = list(entry.queries().keys())
+    o = set(entry.oracle_sql().keys())
+    assert len(q) == len(set(q))
+    assert set(q) == o, (set(q) - o, o - set(q))
+    assert len(q) >= 50
+    window = q[:50]
+    # the strongest representative per family sits in-window; at
+    # minimum the flagship parse/route/aggregate legs must be there
+    for must in ("q_window_rank", "q_parse_rfc3164", "q_sink_counts",
+                 "q_windowed_agg", "q_filter_fourway"):
+        assert must in window, must

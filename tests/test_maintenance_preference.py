@@ -359,3 +359,24 @@ def test_range_partition_plan_balances(spark):
     parts = {r.pid: r.n_rows for r in
              range_partition_plan(eq, "v", n_partitions=2).collect()}
     assert parts[0] == 4 and parts[1] == 4
+
+
+# ---------------------------------------------------------------- salted agg
+
+
+def test_salted_agg_equals_plain_groupby(spark):
+    from skewer_spark.operators.skew import salted_agg
+    rows = [Row(k=i % 3, v=float((i * 7) % 11)) for i in range(200)]
+    df = spark.createDataFrame(rows)
+    got = {r.k: r for r in salted_agg(df, ["k"], "v", n_salts=8).collect()}
+    want = {r.k: r for r in df.groupBy("k").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("v"), 6).alias("sum_v"),
+        F.min("v").alias("min_v"),
+        F.max("v").alias("max_v"),
+        F.round(F.sum("v") / F.count(F.lit(1)), 6).alias("avg_v"),
+    ).collect()}
+    assert set(got) == set(want)
+    for k in got:
+        for f in ("n_rows", "sum_v", "min_v", "max_v", "avg_v"):
+            assert getattr(got[k], f) == getattr(want[k], f), (k, f)

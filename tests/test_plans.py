@@ -403,3 +403,106 @@ def test_sq8_scoring_is_narrow_take_ordered(spark):
     plan = _plan(sq8_topk(emb, [1.0, 0.0, 0.25], k=5))
     assert "TakeOrderedAndProject" in plan, plan
     assert "Exchange" not in plan, plan
+
+
+def test_psi_single_scan_per_side(spark):
+    from skewer_spark.operators.diff import psi_drift
+
+    ref = spark.range(100).select(
+        (F.col("id") % 10).cast("double").alias("v")
+    )
+    cur = spark.range(100).select(
+        (F.col("id") % 7).cast("double").alias("v")
+    )
+    df = psi_drift(ref, cur, "v", lo=0.0, hi=10.0)
+    df.collect()
+    # totals come off the reduced bin frame: each side's range scan
+    # appears once live, the second reference is a reused exchange
+    # (canonicalized reuse materializes at runtime — assert on the
+    # executed adaptive plan, the rate_anomalies pattern)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in plan
+    # the only sort-merge join allowed is the FULL OUTER bin merge —
+    # it runs on the two already-reduced n_bins-row frames (full
+    # outer cannot broadcast); the corpus itself never joins
+    assert plan.count("SortMergeJoin FullOuter") <= 1
+    assert plan.count("SortMergeJoin Inner") == 0
+
+
+def test_preference_pairs_single_exchange(spark):
+    from skewer_spark.operators.preference import preference_pairs
+
+    df = spark.range(100).select(
+        (F.col("id") % 10).alias("prompt_id"),
+        F.col("id").alias("resp_id"),
+        (F.col("id") % 13).cast("double").alias("score"),
+    )
+    plan = _plan(preference_pairs(df), "simple")
+    # both extreme ranks + the groupBy ride ONE prompt-keyed exchange
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_transition_matrix_normalizer_is_broadcast(spark):
+    from skewer_spark.operators.funnel import transition_matrix
+
+    df = spark.range(100).select(
+        (F.col("id") % 5).alias("user_id"),
+        F.col("id").alias("event_id"),
+        (F.col("id") % 3).cast("string").alias("event_type"),
+    )
+    plan = _plan(transition_matrix(df), "simple")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_compaction_plan_single_window_exchange(spark):
+    from skewer_spark.operators.maintenance import compaction_plan
+
+    files = spark.range(100).select(
+        (F.col("id") % 4).alias("part"),
+        F.col("id").alias("file_id"),
+        (F.col("id") % 17 * 100).alias("bytes"),
+    )
+    plan = _plan(compaction_plan(files, ["part"]), "simple")
+    # the running sum and both group totals share the partition-keyed
+    # exchange; nothing reshuffles a second time
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_range_partition_assignment_has_no_join_per_row(spark):
+    from skewer_spark.operators.layout import range_partition_plan
+
+    df = spark.range(1000).select(F.col("id").cast("double").alias("v"))
+    plan = _plan(range_partition_plan(df, "v", n_partitions=8), "simple")
+    # boundary array rides a broadcast nested-loop of a 1-row frame;
+    # the corpus is never hash-exchanged on the key itself
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_orphan_join_is_broadcast_anti(spark):
+    from skewer_spark.operators.maintenance import orphan_files
+
+    listing = spark.range(100).select(
+        F.col("id").alias("file_id"),
+        (F.col("id") * 10).alias("bytes"),
+        F.timestamp_seconds(F.col("id") * 86400).alias("mtime"),
+    )
+    manifest = listing.filter(F.col("file_id") % 3 == 0).select("file_id")
+    plan = _plan(orphan_files(listing, manifest), "simple")
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_salted_agg_two_partial_aggregable_exchanges(spark):
+    from skewer_spark.operators.skew import salted_agg
+
+    df = spark.range(1000).select(
+        (F.col("id") % 3).alias("k"),
+        (F.col("id") % 7).cast("double").alias("v"),
+    )
+    plan = _plan(salted_agg(df, ["k"], "v"), "simple")
+    # stage 1 exchanges on (key, salt), stage 2 on key — exactly two,
+    # each fed by a map-side partial HashAggregate
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert plan.count("HashAggregate") >= 4
