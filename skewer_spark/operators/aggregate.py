@@ -130,3 +130,124 @@ def windowed_counts(routed: DataFrame, window: str = "1 hour") -> DataFrame:
             "sink", "severity_name", "tool", "n_messages",
         )
     )
+
+
+def time_rollup(
+    df: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Hour / day / week rollups of count+sum in ONE corpus scan via
+    GROUPING SETS — the multi-granularity dashboard feed.
+
+    Three separate GROUP BYs would scan the table three times; the
+    grouping-sets plan expands each row into its three bucket rows
+    AFTER the narrow projection, and every set partial-aggregates
+    map-side, so 10^12 rows pay one scan + one compact-key exchange
+    (the `metric_grouping_sets` pattern applied to time).  Buckets are
+    epoch-anchored (never calendar-aware) so any engine agrees on the
+    cuts.
+
+    Output: ``(level, bucket_start, n_events, sum_v)`` with ``level``
+    ∈ {hour, day, week}; sum rounded 6dp.
+    """
+    e = F.unix_micros(F.col(ts_col).cast("timestamp")) / F.lit(1e6)
+    v = F.col(value_col).cast("double")
+    binned = df.select(
+        F.floor(e / 3600).cast("bigint").alias("_h"),
+        F.floor(e / 86400).cast("bigint").alias("_d"),
+        F.floor(e / 604800).cast("bigint").alias("_w"),
+        v.alias("_v"),
+    )
+    rolled = binned.groupingSets(
+        [["_h"], ["_d"], ["_w"]], "_h", "_d", "_w"
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("_v"), 6).alias("sum_v"),
+        F.grouping_id().alias("_gid"),
+    )
+    # grouping_id bit = 1 when the column is aggregated-away; column
+    # order (_h, _d, _w) → hour-set 0b011, day-set 0b101, week 0b110
+    return rolled.select(
+        F.when(F.col("_gid") == 3, "hour")
+        .when(F.col("_gid") == 5, "day")
+        .otherwise("week")
+        .alias("level"),
+        F.date_format(
+            F.timestamp_seconds(
+                F.when(F.col("_gid") == 3, F.col("_h") * 3600)
+                .when(F.col("_gid") == 5, F.col("_d") * 86400)
+                .otherwise(F.col("_w") * 604800)
+            ),
+            "yyyy-MM-dd HH:mm:ss",
+        ).alias("bucket_start"),
+        "n_events",
+        "sum_v",
+    )
+
+
+def agg_state(
+    df: DataFrame,
+    key_cols: list[str],
+    value_col: str,
+) -> DataFrame:
+    """Mergeable per-key aggregate state: ``(key…, n_rows, sum_v,
+    min_v, max_v)`` — the stored half of incremental view
+    maintenance.  One partial-aggregable groupBy."""
+    v = F.col(value_col).cast("double")
+    return df.groupBy(*[F.col(c) for c in key_cols]).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(v).alias("sum_v"),
+        F.min(v).alias("min_v"),
+        F.max(v).alias("max_v"),
+    )
+
+
+def merge_agg_state(
+    state: DataFrame,
+    delta: DataFrame,
+    key_cols: list[str],
+) -> DataFrame:
+    """Merge two :func:`agg_state` frames — incremental view
+    maintenance: yesterday's committed state + today's micro-batch
+    state == the full recompute, without rescanning history.
+
+    count/sum/min/max are associative+commutative, so the merge is a
+    full-outer join on the key with field-wise combine (NULL side =
+    absent key).  sum rounded 6dp at EMIT time only (the stored state
+    keeps full precision so repeated merges don't accumulate rounding).
+
+    Scale shape: the 10^12-row history is touched NEVER — both inputs
+    are already key-cardinality frames; one compact full-outer join.
+    The same layout Structured Streaming keeps in its state store,
+    here as explicit, resumable table rows (plans/checkpoint bucket
+    pattern).
+    """
+    a = state.select(
+        *[F.col(c) for c in key_cols],
+        F.col("n_rows").alias("_n1"),
+        F.col("sum_v").alias("_s1"),
+        F.col("min_v").alias("_mn1"),
+        F.col("max_v").alias("_mx1"),
+    )
+    b = delta.select(
+        *[F.col(c) for c in key_cols],
+        F.col("n_rows").alias("_n2"),
+        F.col("sum_v").alias("_s2"),
+        F.col("min_v").alias("_mn2"),
+        F.col("max_v").alias("_mx2"),
+    )
+    j = a.join(b, key_cols, "full_outer")
+    return j.select(
+        *key_cols,
+        (F.coalesce(F.col("_n1"), F.lit(0)) + F.coalesce(F.col("_n2"), F.lit(0))).alias("n_rows"),
+        (F.coalesce(F.col("_s1"), F.lit(0.0)) + F.coalesce(F.col("_s2"), F.lit(0.0))).alias("sum_v"),
+        F.least(
+            F.coalesce(F.col("_mn1"), F.col("_mn2")),
+            F.coalesce(F.col("_mn2"), F.col("_mn1")),
+        ).alias("min_v"),
+        F.greatest(
+            F.coalesce(F.col("_mx1"), F.col("_mx2")),
+            F.coalesce(F.col("_mx2"), F.col("_mx1")),
+        ).alias("max_v"),
+    )

@@ -231,3 +231,96 @@ def tree_root_depth(
     finally:
         cur.unpersist()
     return out
+
+
+def triangle_counts(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Per-node triangle participation counts plus the global total —
+    the local-clustering signal link-graph curation uses to separate
+    organic communities from link farms (spam rings are near-cliques;
+    scraped link lists are stars with zero closure).
+
+    Algorithm (degree-ordered edge orientation, the standard
+    distributed formulation): deduplicate to undirected canonical
+    edges, orient every edge from its lower-(degree, id) endpoint to
+    the higher one, then close wedges with two hash joins:
+    ``e1(a,b) ⋈ e2(b,c) ⋈ e3(a,c)``.  Orientation is the whole scale
+    story — every triangle materializes exactly ONCE (no 6x
+    duplication, no per-triangle dedup), and each wedge pivot fans out
+    only over its HIGHER-degree neighbors, bounding intermediate
+    wedges at O(m^1.5) regardless of skew; a celebrity node of degree
+    10^6 generates no wedges at all from its low side.  Per-node
+    counts come from exploding each triangle's three members into a
+    partial-aggregable groupBy.
+
+    Output: ``(node, n_triangles)`` for every node on ≥1 edge (zero
+    rows included), with ``total_triangles`` riding each row via a
+    1-row broadcast.
+    """
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .filter(F.col("u").isNotNull() & F.col("v").isNotNull())
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("u").alias("n"))
+        .unionAll(und.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    du = deg.select(F.col("n").alias("u"), F.col("d").alias("_du"))
+    dv = deg.select(F.col("n").alias("v"), F.col("d").alias("_dv"))
+    # orient low-(degree, id) → high-(degree, id)
+    lo_first = (F.col("_du") < F.col("_dv")) | (
+        (F.col("_du") == F.col("_dv")) & (F.col("u") < F.col("v"))
+    )
+    # oriented feeds THREE differently-keyed exchanges (e1 on b, e2 on
+    # its a, e3 on the closure pair) — persist it or the dedup+degree
+    # subtree recomputes per use; same for tris (per-node + total).
+    oriented = (
+        und.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(lo_first, F.col("u")).otherwise(F.col("v")).alias("a"),
+            F.when(lo_first, F.col("v")).otherwise(F.col("u")).alias("b"),
+        )
+        .persist()
+    )
+    e1 = oriented.select(F.col("a"), F.col("b"))
+    e2 = oriented.select(F.col("a").alias("b"), F.col("b").alias("c"))
+    e3 = oriented.select(F.col("a").alias("ta"), F.col("b").alias("tc"))
+    tris = (
+        e1.join(e2, "b")
+        .join(
+            e3,
+            (F.col("a") == F.col("ta")) & (F.col("c") == F.col("tc")),
+            "inner",
+        )
+        .select("a", "b", "c")
+        .persist()
+    )
+    per_node = (
+        tris.select(
+            F.explode(F.array(F.col("a"), F.col("b"), F.col("c"))).alias(
+                "node"
+            )
+        )
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    nodes = deg.select(F.col("n").alias("node"))
+    filled = nodes.join(per_node, "node", "left").na.fill(
+        {"n_triangles": 0}
+    )
+    total = tris.agg(F.count(F.lit(1)).alias("total_triangles"))
+    out = filled.crossJoin(F.broadcast(total)).localCheckpoint(eager=True)
+    tris.unpersist()
+    oriented.unpersist()
+    return out

@@ -65,3 +65,46 @@ def test_pagerank_releases_caches(spark):
     # at most the result's own checkpoint RDD is new; the edge/node/
     # sink frames and every iteration's rank frame are released
     assert len(after - before) <= 1
+
+
+def test_triangle_counts_known_graph(spark):
+    from skewer_spark.operators.graph import triangle_counts
+
+    # triangle 1-2-3, pendant 3-4, isolated edge 5-6; duplicate and
+    # reversed edges must not inflate counts
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (1, 3), (3, 4), (5, 6), (6, 5)],
+        "src long, dst long",
+    )
+    out = {r.node: r for r in triangle_counts(edges).collect()}
+    assert out[1].n_triangles == 1
+    assert out[2].n_triangles == 1
+    assert out[3].n_triangles == 1
+    assert out[4].n_triangles == 0
+    assert out[5].n_triangles == 0
+    assert out[1].total_triangles == 1
+    assert set(out) == {1, 2, 3, 4, 5, 6}
+
+
+def test_triangle_counts_k4(spark):
+    from itertools import combinations
+
+    from skewer_spark.operators.graph import triangle_counts
+
+    edges = spark.createDataFrame(
+        [(a, b) for a, b in combinations(range(4), 2)],
+        "src long, dst long",
+    )
+    out = {r.node: r for r in triangle_counts(edges).collect()}
+    assert all(out[n].n_triangles == 3 for n in range(4))
+    assert out[0].total_triangles == 4
+
+
+def test_triangle_counts_self_loops_ignored(spark):
+    from skewer_spark.operators.graph import triangle_counts
+
+    edges = spark.createDataFrame(
+        [(1, 1), (1, 2), (2, 3), (3, 1)], "src long, dst long"
+    )
+    out = {r.node: r for r in triangle_counts(edges).collect()}
+    assert out[1].total_triangles == 1

@@ -380,3 +380,71 @@ def test_salted_agg_equals_plain_groupby(spark):
     for k in got:
         for f in ("n_rows", "sum_v", "min_v", "max_v", "avg_v"):
             assert getattr(got[k], f) == getattr(want[k], f), (k, f)
+
+
+# ------------------------------------------------------ rollup / state merge
+
+
+def test_time_rollup_levels_are_consistent(spark):
+    from skewer_spark.operators.aggregate import time_rollup
+    rows = [Row(ts=_ts(i * 1800), v=float(i)) for i in range(96)]  # 2 days
+    out = time_rollup(spark.createDataFrame(rows), value_col="v").collect()
+    by_level: dict[str, list] = {}
+    for r in out:
+        by_level.setdefault(r.level, []).append(r)
+    total = sum(float(i) for i in range(96))
+    # every granularity accounts for every event exactly once
+    for level in ("hour", "day", "week"):
+        assert sum(r.n_events for r in by_level[level]) == 96
+        assert abs(sum(r.sum_v for r in by_level[level]) - total) < 1e-6
+    assert len(by_level["hour"]) == 48
+    assert len(by_level["day"]) == 2
+
+
+def test_merge_agg_state_equals_recompute(spark):
+    from skewer_spark.operators.aggregate import agg_state, merge_agg_state
+    rows = [Row(k=i % 5, batch=i % 2, v=float((i * 3) % 13))
+            for i in range(100)]
+    # key 5 exists only in the delta, key 6 only in the state
+    rows += [Row(k=5, batch=1, v=42.0), Row(k=6, batch=0, v=-7.0)]
+    df = spark.createDataFrame(rows)
+    state = agg_state(df.filter(F.col("batch") == 0), ["k"], "v")
+    delta = agg_state(df.filter(F.col("batch") == 1), ["k"], "v")
+    merged = {r.k: r for r in
+              merge_agg_state(state, delta, ["k"]).collect()}
+    want = {r.k: r for r in agg_state(df, ["k"], "v").collect()}
+    assert set(merged) == set(want)
+    for k in want:
+        assert merged[k].n_rows == want[k].n_rows, k
+        assert abs(merged[k].sum_v - want[k].sum_v) < 1e-9, k
+        assert merged[k].min_v == want[k].min_v, k
+        assert merged[k].max_v == want[k].max_v, k
+
+
+def test_tree_root_depth_random_forests_vs_python(spark):
+    """Seeded randomized forests: pointer doubling must agree with a
+    per-node Python walk on every shape (multiple roots, mixed
+    depths, stars, chains)."""
+    import random
+    rng = random.Random(0xC0FFEE)
+    for trial in range(4):
+        n = rng.randrange(30, 120)
+        parent: dict[int, int | None] = {}
+        for i in range(n):
+            # earlier-id parents only → guaranteed acyclic forest
+            parent[i] = rng.randrange(i) if i and rng.random() < 0.9 \
+                else None
+        rows = [Row(id=i, parent=parent[i]) for i in range(n)]
+        got = {r.id: (r.root, r.depth) for r in tree_root_depth(
+            spark.createDataFrame(rows, "id long, parent long")
+        ).collect()}
+
+        def walk(i):
+            d = 0
+            while parent[i] is not None:
+                i = parent[i]
+                d += 1
+            return i, d
+
+        for i in range(n):
+            assert got[i] == walk(i), (trial, i)

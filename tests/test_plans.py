@@ -506,3 +506,17 @@ def test_salted_agg_two_partial_aggregable_exchanges(spark):
     # each fed by a map-side partial HashAggregate
     assert plan.count("Exchange hashpartitioning") == 2
     assert plan.count("HashAggregate") >= 4
+
+
+def test_time_rollup_single_scan_expand(spark):
+    from skewer_spark.operators.aggregate import time_rollup
+
+    df = spark.range(100).select(
+        F.timestamp_seconds(F.col("id") * 1000).alias("ts"),
+        (F.col("id") % 7).cast("double").alias("value"),
+    )
+    plan = _plan(time_rollup(df), "simple")
+    # grouping sets = ONE scan + one Expand; three separate GROUP BYs
+    # would triple-scan (three Range/Scan nodes)
+    assert plan.count("Expand") == 1
+    assert plan.count("Range") == 1
