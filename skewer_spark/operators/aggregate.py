@@ -242,12 +242,8 @@ def merge_agg_state(
         *key_cols,
         (F.coalesce(F.col("_n1"), F.lit(0)) + F.coalesce(F.col("_n2"), F.lit(0))).alias("n_rows"),
         (F.coalesce(F.col("_s1"), F.lit(0.0)) + F.coalesce(F.col("_s2"), F.lit(0.0))).alias("sum_v"),
-        F.least(
-            F.coalesce(F.col("_mn1"), F.col("_mn2")),
-            F.coalesce(F.col("_mn2"), F.col("_mn1")),
-        ).alias("min_v"),
-        F.greatest(
-            F.coalesce(F.col("_mx1"), F.col("_mx2")),
-            F.coalesce(F.col("_mx2"), F.col("_mx1")),
-        ).alias("max_v"),
+        # least/greatest skip NULL arguments (null only if ALL are
+        # null) — exactly the absent-key semantics wanted
+        F.least(F.col("_mn1"), F.col("_mn2")).alias("min_v"),
+        F.greatest(F.col("_mx1"), F.col("_mx2")).alias("max_v"),
     )

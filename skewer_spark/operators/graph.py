@@ -269,11 +269,14 @@ def triangle_counts(
         .filter(F.col("u").isNotNull() & F.col("v").isNotNull())
         .distinct()
     )
+    # deg feeds both orientation joins AND the zero-fill node list —
+    # persist it or the dedup+degree subtree recomputes per use
     deg = (
         und.select(F.col("u").alias("n"))
         .unionAll(und.select(F.col("v").alias("n")))
         .groupBy("n")
         .agg(F.count(F.lit(1)).alias("d"))
+        .persist()
     )
     du = deg.select(F.col("n").alias("u"), F.col("d").alias("_du"))
     dv = deg.select(F.col("n").alias("v"), F.col("d").alias("_dv"))
@@ -293,34 +296,43 @@ def triangle_counts(
         )
         .persist()
     )
-    e1 = oriented.select(F.col("a"), F.col("b"))
-    e2 = oriented.select(F.col("a").alias("b"), F.col("b").alias("c"))
-    e3 = oriented.select(F.col("a").alias("ta"), F.col("b").alias("tc"))
-    tris = (
-        e1.join(e2, "b")
-        .join(
-            e3,
-            (F.col("a") == F.col("ta")) & (F.col("c") == F.col("tc")),
-            "inner",
-        )
-        .select("a", "b", "c")
-        .persist()
-    )
-    per_node = (
-        tris.select(
-            F.explode(F.array(F.col("a"), F.col("b"), F.col("c"))).alias(
-                "node"
+    tris = None
+    try:
+        e1 = oriented.select(F.col("a"), F.col("b"))
+        e2 = oriented.select(F.col("a").alias("b"), F.col("b").alias("c"))
+        e3 = oriented.select(F.col("a").alias("ta"), F.col("b").alias("tc"))
+        tris = (
+            e1.join(e2, "b")
+            .join(
+                e3,
+                (F.col("a") == F.col("ta")) & (F.col("c") == F.col("tc")),
+                "inner",
             )
+            .select("a", "b", "c")
+            .persist()
         )
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).alias("n_triangles"))
-    )
-    nodes = deg.select(F.col("n").alias("node"))
-    filled = nodes.join(per_node, "node", "left").na.fill(
-        {"n_triangles": 0}
-    )
-    total = tris.agg(F.count(F.lit(1)).alias("total_triangles"))
-    out = filled.crossJoin(F.broadcast(total)).localCheckpoint(eager=True)
-    tris.unpersist()
-    oriented.unpersist()
+        per_node = (
+            tris.select(
+                F.explode(
+                    F.array(F.col("a"), F.col("b"), F.col("c"))
+                ).alias("node")
+            )
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("n_triangles"))
+        )
+        nodes = deg.select(F.col("n").alias("node"))
+        filled = nodes.join(per_node, "node", "left").na.fill(
+            {"n_triangles": 0}
+        )
+        total = tris.agg(F.count(F.lit(1)).alias("total_triangles"))
+        out = filled.crossJoin(F.broadcast(total)).localCheckpoint(
+            eager=True
+        )
+    finally:
+        # release even when the wedge join throws (dense-graph OOM):
+        # a leaked cache pins heap for the whole single-JVM session
+        if tris is not None:
+            tris.unpersist()
+        oriented.unpersist()
+        deg.unpersist()
     return out

@@ -46,8 +46,17 @@ def preference_pairs(
     back by id downstream, never ride this shuffle.
     """
     w = Window.partitionBy(prompt_col)
-    best = w.orderBy(F.col(score_col).desc(), F.col(resp_col).asc())
-    worst = w.orderBy(F.col(score_col).asc(), F.col(resp_col).asc())
+    # nulls rank LAST in both directions (Spark's bare asc() is
+    # nulls-first, which would elect a NULL-scored response as the
+    # rejected extreme and silently drop the prompt — and diverge
+    # from DuckDB's nulls-last default the first time a teacher
+    # score is missing)
+    best = w.orderBy(
+        F.col(score_col).desc_nulls_last(), F.col(resp_col).asc()
+    )
+    worst = w.orderBy(
+        F.col(score_col).asc_nulls_last(), F.col(resp_col).asc()
+    )
     ranked = df.select(
         F.col(prompt_col),
         F.col(resp_col),
@@ -130,49 +139,53 @@ def bradley_terry(
     # raw duel log reduces exactly once and the MM loop below never
     # touches it again
     n_items = totals.count()
-    s = totals.select(
-        "item", F.lit(round(1.0 / max(n_items, 1), 6)).alias("strength")
-    )
-    for it in range(iters):
-        si = s.select(
-            F.col("item"), F.col("strength").alias("_si")
+    try:
+        s = totals.select(
+            "item",
+            F.lit(round(1.0 / max(n_items, 1), 6)).alias("strength"),
         )
-        sj = s.select(
-            F.col("item").alias("opp"), F.col("strength").alias("_sj")
-        )
-        denom = (
-            pair.join(F.broadcast(si), "item")
-            .join(F.broadcast(sj), "opp")
-            .groupBy("item")
-            .agg(
-                F.sum(
-                    F.col("n_vs") / (F.col("_si") + F.col("_sj"))
-                ).alias("_denom")
+        for it in range(iters):
+            si = s.select(
+                F.col("item"), F.col("strength").alias("_si")
             )
+            sj = s.select(
+                F.col("item").alias("opp"), F.col("strength").alias("_sj")
+            )
+            denom = (
+                pair.join(F.broadcast(si), "item")
+                .join(F.broadcast(sj), "opp")
+                .groupBy("item")
+                .agg(
+                    F.sum(
+                        F.col("n_vs") / (F.col("_si") + F.col("_sj"))
+                    ).alias("_denom")
+                )
+            )
+            raw = totals.join(denom, "item").select(
+                "item",
+                (F.col("n_wins") / F.greatest(F.col("_denom"), F.lit(1e-12))).alias(
+                    "_raw"
+                ),
+            )
+            z = raw.agg(F.sum("_raw").alias("_z"))
+            s = raw.crossJoin(F.broadcast(z)).select(
+                "item",
+                F.round(F.col("_raw") / F.greatest(F.col("_z"), F.lit(1e-12)), 6).alias(
+                    "strength"
+                ),
+            )
+            if (it + 1) % 4 == 0 and it + 1 < iters:
+                # each iteration references the strength frame twice, so
+                # the logical plan doubles per round — cut lineage on the
+                # tiny |items|-row frame (pagerank discipline)
+                s = s.localCheckpoint(eager=True)
+        out = (
+            totals.join(s, "item")
+            .select("item", "n_wins", "n_duels", "strength")
+            .localCheckpoint(eager=True)  # detach from the loop caches
         )
-        raw = totals.join(denom, "item").select(
-            "item",
-            (F.col("n_wins") / F.greatest(F.col("_denom"), F.lit(1e-12))).alias(
-                "_raw"
-            ),
-        )
-        z = raw.agg(F.sum("_raw").alias("_z"))
-        s = raw.crossJoin(F.broadcast(z)).select(
-            "item",
-            F.round(F.col("_raw") / F.greatest(F.col("_z"), F.lit(1e-12)), 6).alias(
-                "strength"
-            ),
-        )
-        if (it + 1) % 4 == 0 and it + 1 < iters:
-            # each iteration references the strength frame twice, so
-            # the logical plan doubles per round — cut lineage on the
-            # tiny |items|-row frame (pagerank discipline)
-            s = s.localCheckpoint(eager=True)
-    out = (
-        totals.join(s, "item")
-        .select("item", "n_wins", "n_duels", "strength")
-        .localCheckpoint(eager=True)  # detach from the loop caches
-    )
-    pair.unpersist()
-    totals.unpersist()
+    finally:
+        # release even when an MM action throws mid-loop
+        pair.unpersist()
+        totals.unpersist()
     return out
