@@ -2530,6 +2530,67 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "max_v",
         )
 
+    def q_cidr_enrich(spark, sf):
+        # longest-prefix-match CIDR enrich: range join rewritten as a
+        # /16-bucket-expanded broadcast EQUI join + residual filter —
+        # never a BroadcastNestedLoopJoin.  IPs synthesized from
+        # event_id hit nested prefixes (/8⊃/12⊃/16⊃/24), gaps, and two
+        # forced deep-nest branches.
+        from skewer_spark.operators.ipnet import cidr_enrich, demo_cidr_table
+        ev = _read(spark, sf, "events")
+        eid = F.col("event_id")
+        o2 = (eid % 256).cast("string")
+        o3 = (F.expr("event_id DIV 7") % 256).cast("string")
+        o4 = (F.expr("event_id DIV 49") % 256).cast("string")
+        o1 = F.element_at(
+            F.array(*[F.lit(v) for v in ("10", "10", "10", "100", "172", "192", "198")]),
+            (eid % 7 + 1).cast("int"),
+        )
+        ip = (
+            F.when(eid % 100 == 0, F.concat_ws(".", F.lit("10"), F.lit("32"), F.lit("7"), o4))
+            .when(eid % 101 == 0, F.concat_ws(".", F.lit("192"), F.lit("168"), F.lit("150"), o4))
+            .otherwise(F.concat_ws(".", o1, o2, o3, o4))
+        )
+        probe = ev.select("event_id", ip.alias("ip"))
+        out = cidr_enrich(probe, demo_cidr_table(spark), ip_col="ip")
+        return out.select(
+            "event_id",
+            "ip",
+            "matched_cidr",
+            F.col("prefix_len").cast("bigint").alias("prefix_len"),
+            "net_name",
+            "net_class",
+        )
+
+    def q_trend(spark, sf):
+        # per-user least-squares telemetry trend from EXACT integer
+        # moment sums (order-independent; the closed forms evaluate in
+        # double once per key from identical integers on any engine)
+        from skewer_spark.operators.aggregate import linear_trend
+        ev = _read(spark, sf, "events")
+        pts = ev.select(
+            "user_id",
+            (
+                F.expr("unix_micros(cast(ts as timestamp)) DIV 1000000")
+                - F.lit(1704067200)
+            ).alias("x"),
+            F.floor(F.col("value") * 1000).cast("bigint").alias("y"),
+        )
+        return linear_trend(pts, ["user_id"], "x", "y")
+
+    def q_intervals(spark, sf):
+        # gaps-and-islands: merge overlapping maintenance-window-style
+        # intervals per key via running-max window + one groupBy
+        from skewer_spark.operators.temporal import coalesce_intervals
+        ev = _read(spark, sf, "events")
+        s = (F.col("event_id") * 7919) % 50000
+        iv = ev.select(
+            (F.col("user_id") % 20).alias("grp"),
+            s.alias("start"),
+            (s + F.col("event_id") % 97 + 1).alias("end"),
+        )
+        return coalesce_intervals(iv, ["grp"], "start", "end")
+
     def q_triangles(spark, sf):
         # degree-ordered triangle counting over a 61-node residue
         # graph — every triangle materializes once, wedges bounded
@@ -2599,7 +2660,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_domain_quantile": q_domain_quantile,
         "q_late_events": q_late_events,
         "q_funnel": q_funnel,
-        "q_range_join": q_range_join,
+        # r3 fourth-session swap: q_range_join demoted for
+        # q_cidr_enrich — same interval-join family, and the CIDR op is
+        # the scale-superior shape (range join rewritten as a
+        # prefix-expanded broadcast equi join with longest-prefix
+        # winner agg); q_range_join stays oracle-paired in the tail.
+        "q_cidr_enrich": q_cidr_enrich,
         "q_seq_ngrams": q_seq_ngrams,
         "q_url_canon": q_url_canon,
         "q_rate_anomaly": q_rate_anomaly,
@@ -2775,6 +2841,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_time_rollup": q_time_rollup,
         "q_incr_agg": q_incr_agg,
         "q_triangles": q_triangles,
+        "q_range_join": q_range_join,
+        "q_trend": q_trend,
+        "q_intervals": q_intervals,
     }
 
 
@@ -6498,5 +6567,124 @@ def oracle_sql() -> dict[str, str]:
               coalesce(n_triangles, 0)::BIGINT AS n_triangles,
               total_triangles
             FROM deg LEFT JOIN pn ON deg.n = pn.node, tot
+        """,
+        "q_cidr_enrich": """
+            WITH ips AS (
+              SELECT event_id,
+                CASE
+                  WHEN event_id % 100 = 0 THEN
+                    '10.32.7.' || ((event_id // 49) % 256)::VARCHAR
+                  WHEN event_id % 101 = 0 THEN
+                    '192.168.150.' || ((event_id // 49) % 256)::VARCHAR
+                  ELSE
+                    (['10','10','10','100','172','192','198'])[(event_id % 7)::INT + 1]
+                    || '.' || (event_id % 256)::VARCHAR
+                    || '.' || ((event_id // 7) % 256)::VARCHAR
+                    || '.' || ((event_id // 49) % 256)::VARCHAR
+                END AS ip
+              FROM events
+            ), dim AS (
+              SELECT * FROM (VALUES
+                ('10.0.0.0/8', 'corp', 'rfc1918'),
+                ('10.32.0.0/12', 'corp-west', 'rfc1918'),
+                ('10.32.0.0/16', 'corp-west-dc1', 'rfc1918'),
+                ('10.32.7.0/24', 'corp-west-dc1-mgmt', 'rfc1918'),
+                ('172.16.0.0/12', 'corp-legacy', 'rfc1918'),
+                ('192.168.0.0/16', 'lab', 'rfc1918'),
+                ('192.168.144.0/20', 'lab-gpu', 'rfc1918'),
+                ('100.64.0.0/10', 'cgnat', 'shared'),
+                ('198.51.100.0/24', 'testnet2', 'doc'),
+                ('203.0.113.0/24', 'testnet3', 'doc')
+              ) AS t(cidr, net_name, net_class)
+            ), bounds AS (
+              SELECT cidr, net_name, net_class,
+                split_part(cidr, '/', 2)::INT AS prefix_len,
+                (split_part(split_part(cidr,'/',1),'.',1)::BIGINT * 16777216
+                 + split_part(split_part(cidr,'/',1),'.',2)::BIGINT * 65536
+                 + split_part(split_part(cidr,'/',1),'.',3)::BIGINT * 256
+                 + split_part(split_part(cidr,'/',1),'.',4)::BIGINT) AS base,
+                (1::BIGINT << (32 - split_part(cidr,'/',2)::INT)) AS block
+              FROM dim
+            ), nets AS (
+              SELECT cidr, net_name, net_class, prefix_len,
+                base - base % block AS net_start,
+                base - base % block + block - 1 AS net_end
+              FROM bounds
+            ), probed AS (
+              SELECT event_id, ip,
+                (split_part(ip,'.',1)::BIGINT * 16777216
+                 + split_part(ip,'.',2)::BIGINT * 65536
+                 + split_part(ip,'.',3)::BIGINT * 256
+                 + split_part(ip,'.',4)::BIGINT) AS ip_long
+              FROM ips
+            )
+            SELECT p.event_id, p.ip, n.cidr AS matched_cidr,
+              n.prefix_len::BIGINT AS prefix_len, n.net_name, n.net_class
+            FROM probed p LEFT JOIN nets n
+              ON p.ip_long BETWEEN n.net_start AND n.net_end
+            QUALIFY row_number() OVER (
+              PARTITION BY p.event_id
+              ORDER BY n.prefix_len DESC NULLS LAST, n.cidr ASC NULLS LAST
+            ) = 1
+        """,
+        "q_trend": """
+            WITH pts AS (
+              SELECT user_id,
+                epoch_us(ts) // 1000000 - 1704067200 AS x,
+                floor(value * 1000)::BIGINT AS y
+              FROM events
+            ), s AS (
+              SELECT user_id,
+                count(*)::BIGINT AS n,
+                sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+                sum(x*y)::BIGINT AS sxy,
+                sum(x*x)::BIGINT AS sxx, sum(y*y)::BIGINT AS syy
+              FROM pts GROUP BY user_id
+            ), d AS (
+              SELECT user_id, n,
+                n::DOUBLE AS nd, sx::DOUBLE AS sxd, sy::DOUBLE AS syd,
+                sxy::DOUBLE AS sxyd, sxx::DOUBLE AS sxxd, syy::DOUBLE AS syyd
+              FROM s
+            ), m AS (
+              SELECT user_id, n,
+                nd * sxyd - sxd * syd AS cov_n,
+                nd * sxxd - sxd * sxd AS varx_n,
+                nd * syyd - syd * syd AS vary_n,
+                sxd, syd, nd
+              FROM d
+            )
+            SELECT user_id, n AS n_points,
+              round(CASE WHEN varx_n > 0 THEN cov_n / varx_n END, 6) AS slope,
+              round(CASE WHEN varx_n > 0
+                THEN (syd - (cov_n / varx_n) * sxd) / nd END, 6) AS intercept,
+              round(CASE WHEN varx_n > 0 AND vary_n > 0
+                THEN cov_n * cov_n / (varx_n * vary_n) END, 6) AS r2
+            FROM m
+        """,
+        "q_intervals": """
+            WITH iv AS (
+              SELECT user_id % 20 AS grp,
+                (event_id * 7919) % 50000 AS s,
+                (event_id * 7919) % 50000 + event_id % 97 + 1 AS e
+              FROM events
+            ), tagged AS (
+              SELECT grp, s, e,
+                CASE WHEN max(e) OVER w IS NULL OR s > max(e) OVER w
+                  THEN 1 ELSE 0 END AS opener
+              FROM iv
+              WINDOW w AS (PARTITION BY grp ORDER BY s, e
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+            ), isl AS (
+              SELECT grp, s, e,
+                sum(opener) OVER (PARTITION BY grp ORDER BY s, e
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                )::BIGINT AS island
+              FROM tagged
+            )
+            SELECT grp, island,
+              min(s) AS island_start, max(e) AS island_end,
+              count(*)::BIGINT AS n_intervals,
+              max(e) - min(s) AS covered
+            FROM isl GROUP BY grp, island
         """,
     }

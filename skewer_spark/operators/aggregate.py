@@ -247,3 +247,76 @@ def merge_agg_state(
         F.least(F.col("_mn1"), F.col("_mn2")).alias("min_v"),
         F.greatest(F.col("_mx1"), F.col("_mx2")).alias("max_v"),
     )
+
+
+def linear_trend(
+    df: DataFrame,
+    key_cols: list[str],
+    x_col: str,
+    y_col: str,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Per-key least-squares trend (slope / intercept / r²) from EXACT
+    integer sums — the telemetry "is this host's error rate climbing"
+    primitive over the metric tables of SURVEY §2.7.
+
+    Why not ``regr_slope``: the built-in accumulates doubles in
+    partition order, so the last ulps of the result depend on the
+    physical plan — unacceptable for an engine whose correctness gate
+    is a cross-engine value hash, and for resumable jobs that must
+    reproduce byte-identical outputs (plans/checkpoint contract).
+    Instead the inputs are required to be integers (callers scale
+    fixed-point: ``floor(value * 1000)``), the five moment sums
+    ``n, Σx, Σy, Σxy, Σx²`` reduce as BIGINT — associative, exact, and
+    order-independent — and the closed forms
+
+        slope = (nΣxy − ΣxΣy) / (nΣx² − (Σx)²)
+        intercept = (Σy − slope·Σx) / n
+        r² = (nΣxy − ΣxΣy)² / ((nΣx² − (Σx)²)(nΣy² − (Σy)²))
+
+    evaluate in double once per KEY, from identical integers on any
+    engine.  One partial-aggregable groupBy, key-width shuffle rows.
+
+    Overflow discipline: callers pass x relative to a fixed epoch so
+    ``Σx²`` fits BIGINT (x ≤ 3·10⁶s ≈ a month of seconds and 10⁶
+    rows/key ⇒ Σx² ≤ 9·10¹⁸, the BIGINT edge — shift the epoch or
+    bucket time coarser for longer spans; the expression raises on
+    overflow rather than wrapping, per ANSI mode).
+
+    Degenerate keys (n == 1 or zero x-variance) emit NULL slope /
+    intercept / r², matching SQL ``regr_*`` semantics.
+    """
+    x = F.col(x_col).cast("bigint")
+    y = F.col(y_col).cast("bigint")
+    sums = df.groupBy(*[F.col(c) for c in key_cols]).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(x).alias("_sx"),
+        F.sum(y).alias("_sy"),
+        F.sum(x * y).alias("_sxy"),
+        F.sum(x * x).alias("_sxx"),
+        F.sum(y * y).alias("_syy"),
+    )
+    n = F.col("_n").cast("double")
+    sx = F.col("_sx").cast("double")
+    sy = F.col("_sy").cast("double")
+    sxy = F.col("_sxy").cast("double")
+    sxx = F.col("_sxx").cast("double")
+    syy = F.col("_syy").cast("double")
+    cov_n = n * sxy - sx * sy
+    varx_n = n * sxx - sx * sx
+    vary_n = n * syy - sy * sy
+    slope = F.when(varx_n > 0, cov_n / varx_n)
+    return sums.select(
+        *key_cols,
+        F.col("_n").alias("n_points"),
+        F.round(slope, round_dp).alias("slope"),
+        F.round(F.when(varx_n > 0, (sy - (cov_n / varx_n) * sx) / n), round_dp).alias(
+            "intercept"
+        ),
+        F.round(
+            F.when(
+                (varx_n > 0) & (vary_n > 0), cov_n * cov_n / (varx_n * vary_n)
+            ),
+            round_dp,
+        ).alias("r2"),
+    )

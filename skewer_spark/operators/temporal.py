@@ -438,3 +438,63 @@ def late_event_audit(
             ).alias("late_fraction"),
         )
     )
+
+
+def coalesce_intervals(
+    df: DataFrame,
+    key_cols: list[str],
+    start_col: str = "start",
+    end_col: str = "end",
+) -> DataFrame:
+    """Merge overlapping/touching intervals per key (gaps-and-islands).
+
+    The downtime/coverage primitive sessionization can't express:
+    :func:`session_agg` merges *points* within a gap, this merges
+    *ranges* — maintenance windows, mute intervals, per-host outage
+    spans — into their connected unions.  Inclusive-end semantics:
+    ``[1,5]`` and ``[5,9]`` touch and merge; ``[1,5]`` and ``[6,9]``
+    merge only if they touch exactly (end + adjacency is the caller's
+    unit choice; here touching means ``next.start <= running_end``).
+
+    One shuffle, pure window algebra: sort each key by start, carry a
+    running ``max(end)`` over preceding rows; a row opens a new island
+    iff its start exceeds that running max.  Island ids are the
+    running count of openers — then ONE groupBy emits each island's
+    bounds, member count, and covered length.  Works on any orderable
+    numeric/timestamp pair; exact on integers.
+
+    Hot keys: the per-key sort lands on one task — for a key holding a
+    material fraction of all rows, pre-bucket by coarse time and merge
+    the per-bucket boundary islands, exactly the
+    ``enrich.dedup_and_rank`` bucketing pattern.
+    """
+    s = F.col(start_col).cast("bigint")
+    e = F.col(end_col).cast("bigint")
+    w = Window.partitionBy(*key_cols).orderBy(
+        s.asc(), e.asc()
+    )
+    prev_max_end = F.max(e).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    opener = F.when(
+        prev_max_end.isNull() | (s > prev_max_end), F.lit(1)
+    ).otherwise(F.lit(0))
+    tagged = df.select(
+        *[F.col(c) for c in key_cols],
+        s.alias("_s"),
+        e.alias("_e"),
+        F.sum(opener)
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("_island"),
+    )
+    return (
+        tagged.groupBy(*key_cols, F.col("_island").alias("island"))
+        .agg(
+            F.min("_s").alias("island_start"),
+            F.max("_e").alias("island_end"),
+            F.count(F.lit(1)).alias("n_intervals"),
+        )
+        .withColumn(
+            "covered", F.col("island_end") - F.col("island_start")
+        )
+    )
