@@ -2591,6 +2591,54 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return coalesce_intervals(iv, ["grp"], "start", "end")
 
+    def q_radius_pairs(spark, sf):
+        # exact radius self-join via integer grid bucketing (3×3
+        # neighbor-cell equi join — never a cross join); integer
+        # dist² metric so the compare is exact on both engines
+        from skewer_spark.operators.spatial import radius_pairs
+        ev = _read(spark, sf, "events")
+        eid = F.col("event_id")
+        pts = ev.select(
+            eid.alias("pid"),
+            ((eid * 7919) % 20000).alias("x"),
+            # quadratic residue decorrelates y from the linear x (two
+            # linear congruential coords share a lattice whose min
+            # distance exceeds any useful radius)
+            (((eid * eid) % 104729) % 20000).alias("y"),
+        )
+        return radius_pairs(pts, "pid", "x", "y", radius=25)
+
+    def q_entropy(spark, sf):
+        # per-user Shannon entropy of the event-type mix (source
+        # diversity signal); only integer counts cross the shuffle
+        from skewer_spark.operators.profile import category_entropy
+        ev = _read(spark, sf, "events")
+        return category_entropy(ev, ["user_id"], "event_type")
+
+    def q_evolve(spark, sf):
+        # schema-evolution reconcile: an old int-metric snapshot and a
+        # new double-metric snapshot with an added column union under
+        # the widened schema; absent columns read as typed NULLs
+        from skewer_spark.operators.evolve import reconcile_frames
+        ev = _read(spark, sf, "events")
+        a = ev.filter(F.col("event_id") % 2 == 0).select(
+            "event_id",
+            F.floor(F.col("value") * 100).cast("int").alias("metric"),
+            F.col("event_type").alias("note"),
+        )
+        b = ev.filter(F.col("event_id") % 2 == 1).select(
+            "event_id",
+            (F.col("value") * 100).alias("metric"),
+            F.lit("b").alias("origin"),
+        )
+        out = reconcile_frames([a, b])
+        return out.select(
+            "event_id",
+            F.round(F.col("metric"), 6).alias("metric"),
+            "note",
+            "origin",
+        )
+
     def q_triangles(spark, sf):
         # degree-ordered triangle counting over a 61-node residue
         # graph — every triangle materializes once, wedges bounded
@@ -2844,6 +2892,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_range_join": q_range_join,
         "q_trend": q_trend,
         "q_intervals": q_intervals,
+        "q_radius_pairs": q_radius_pairs,
+        "q_entropy": q_entropy,
+        "q_evolve": q_evolve,
     }
 
 
@@ -6686,5 +6737,53 @@ def oracle_sql() -> dict[str, str]:
               count(*)::BIGINT AS n_intervals,
               max(e) - min(s) AS covered
             FROM isl GROUP BY grp, island
+        """,
+        "q_radius_pairs": """
+            WITH pts AS (
+              SELECT event_id AS pid,
+                (event_id * 7919) % 20000 AS x,
+                ((event_id * event_id) % 104729) % 20000 AS y
+              FROM events
+            )
+            SELECT a.pid AS id_a, b.pid AS id_b,
+              (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+                AS dist_sq
+            FROM pts a JOIN pts b
+              ON a.pid < b.pid
+              AND b.x BETWEEN a.x - 25 AND a.x + 25
+              AND b.y BETWEEN a.y - 25 AND a.y + 25
+            WHERE (a.x - b.x) * (a.x - b.x)
+                + (a.y - b.y) * (a.y - b.y) <= 625
+        """,
+        "q_entropy": """
+            WITH counts AS (
+              SELECT user_id,
+                coalesce(event_type, chr(0) || 'null') AS cat,
+                count(*)::BIGINT AS c
+              FROM events GROUP BY user_id, cat
+            ), agg AS (
+              SELECT user_id,
+                sum(c)::BIGINT AS n_rows,
+                count(*)::BIGINT AS n_cats,
+                sum(c::DOUBLE * ln(c::DOUBLE)) AS clogc
+              FROM counts GROUP BY user_id
+            )
+            SELECT user_id, n_rows, n_cats,
+              round(ln(n_rows::DOUBLE) - clogc / n_rows::DOUBLE, 6)
+                AS entropy,
+              round(CASE WHEN n_cats > 1 THEN
+                (ln(n_rows::DOUBLE) - clogc / n_rows::DOUBLE)
+                  / ln(n_cats::DOUBLE) END, 6) AS norm_entropy
+            FROM agg
+        """,
+        "q_evolve": """
+            SELECT event_id,
+              round(floor(value * 100)::INT::DOUBLE, 6) AS metric,
+              event_type AS note, NULL::VARCHAR AS origin
+            FROM events WHERE event_id % 2 = 0
+            UNION ALL
+            SELECT event_id, round(value * 100, 6),
+              NULL::VARCHAR, 'b'
+            FROM events WHERE event_id % 2 = 1
         """,
     }

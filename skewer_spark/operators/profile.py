@@ -187,3 +187,58 @@ def winsorize(
         F.round(clipped, 6).alias(out_col),
         ((v < F.col("_lo")) | (v > F.col("_hi"))).alias("is_clipped"),
     )
+
+
+def category_entropy(
+    df: DataFrame,
+    key_cols: list[str],
+    cat_col: str,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Per-key Shannon entropy of a categorical column — the source
+    diversity signal mixture curation keys on (a domain whose docs all
+    come from one crawl source scores 0; uniform across k sources
+    scores ln k), and the per-conversation tool-diversity metric on
+    the transcript table.
+
+    Two partial-aggregable groupBys on compact keys:
+    ``(key, cat) → c`` then ``key → Σ``, with the algebraic identity
+
+        H = ln(n) − (Σ c·ln c) / n
+
+    so only integer counts cross the shuffle and the log form needs no
+    per-category probability column.  ``norm_entropy`` divides by
+    ``ln(n_cats)`` (NULL for a single category — 0/0), giving the
+    scale-free [0,1] evenness score.
+
+    NULL categories count as a real level (explicitly coalesced to a
+    sentinel) — a column going silently null IS a diversity collapse,
+    which is exactly what this metric exists to flag.
+    """
+    cat = F.coalesce(F.col(cat_col).cast("string"), F.lit("\x00null"))
+    counts = (
+        df.select(*[F.col(c) for c in key_cols], cat.alias("_cat"))
+        .groupBy(*key_cols, "_cat")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    c = F.col("_c").cast("double")
+    agg = counts.groupBy(*[F.col(k) for k in key_cols]).agg(
+        F.sum("_c").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_cats"),
+        F.sum(c * F.log(c)).alias("_clogc"),
+    )
+    n = F.col("n_rows").cast("double")
+    h = F.log(n) - F.col("_clogc") / n
+    return agg.select(
+        *key_cols,
+        "n_rows",
+        "n_cats",
+        F.round(h, round_dp).alias("entropy"),
+        F.round(
+            F.when(
+                F.col("n_cats") > 1,
+                h / F.log(F.col("n_cats").cast("double")),
+            ),
+            round_dp,
+        ).alias("norm_entropy"),
+    )
