@@ -2639,6 +2639,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "origin",
         )
 
+    def q_topk_group(spark, sf):
+        # exact per-group top-k via two-stage salted k-arrays — no
+        # full per-group sort, hot groups bounded at k·n_salts partials
+        from skewer_spark.operators.skew import salted_topk
+        ev = _read(spark, sf, "events")
+        return salted_topk(
+            ev.select("user_id", "event_id", "value"),
+            ["user_id"],
+            "value",
+            "event_id",
+            k=10,
+        )
+
+    def q_calibration(spark, sf):
+        # reliability-curve bins for a [0,1] score; dyadic scores
+        # (k/1024) make every sum exact regardless of add order
+        from skewer_spark.operators.train import calibration_bins
+        ev = _read(spark, sf, "events")
+        scored = ev.select(
+            ((F.col("event_id") % 1024) / F.lit(1024.0)).alias("score"),
+            F.when(F.col("event_id") % 3 == 0, F.lit(1.0))
+            .otherwise(F.lit(0.0))
+            .alias("label"),
+        )
+        return calibration_bins(scored, "score", "label", n_bins=10)
+
     def q_triangles(spark, sf):
         # degree-ordered triangle counting over a 61-node residue
         # graph — every triangle materializes once, wedges bounded
@@ -2895,6 +2921,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_radius_pairs": q_radius_pairs,
         "q_entropy": q_entropy,
         "q_evolve": q_evolve,
+        "q_topk_group": q_topk_group,
+        "q_calibration": q_calibration,
     }
 
 
@@ -6785,5 +6813,32 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, round(value * 100, 6),
               NULL::VARCHAR, 'b'
             FROM events WHERE event_id % 2 = 1
+        """,
+        "q_topk_group": """
+            SELECT user_id,
+              row_number() OVER (
+                PARTITION BY user_id
+                ORDER BY value DESC, event_id ASC
+              )::INT AS rank,
+              event_id, value
+            FROM events
+            QUALIFY rank <= 10
+        """,
+        "q_calibration": """
+            WITH scored AS (
+              SELECT (event_id % 1024) / 1024.0 AS score,
+                CASE WHEN event_id % 3 = 0 THEN 1.0 ELSE 0.0 END AS label
+              FROM events
+            ), agg AS (
+              SELECT least(floor(score * 10)::INT, 9) AS bin,
+                count(*)::BIGINT AS n,
+                sum(score) AS ss, sum(label) AS sy
+              FROM scored GROUP BY bin
+            )
+            SELECT bin, n,
+              round(ss / n::DOUBLE, 6) AS mean_score,
+              round(sy / n::DOUBLE, 6) AS pos_rate,
+              round(sy / n::DOUBLE - ss / n::DOUBLE, 6) AS gap
+            FROM agg
         """,
     }

@@ -210,3 +210,67 @@ def salted_agg(
         F.max("_mx").alias("max_v"),
         F.round(F.sum("_s") / F.sum("_n"), 6).alias("avg_v"),
     )
+
+
+def salted_topk(
+    df: DataFrame,
+    key_cols: list[str],
+    value_col: str,
+    id_col: str,
+    k: int = 10,
+    n_salts: int = 16,
+) -> DataFrame:
+    """Exact per-group top-k WITHOUT a full per-group sort — the "top
+    k docs per domain by quality score" primitive at 10^12 rows.
+
+    The window formulation (``row_number() over (partition by key
+    order by v desc)``) sorts EVERY row of every group and puts each
+    whole group on one task — a hot group is both a straggler and a
+    spill.  Top-k is associative, so it two-stages like
+    :func:`salted_agg`:
+
+    * stage 1 groups by ``(key, salt)`` and keeps each partial's top-k
+      as a sorted k-array (``slice(array_sort(collect_list(...)))`` —
+      bounded at k·n_salts rows per key, never the group's row count);
+    * stage 2 flattens the ≤ n_salts arrays per key and re-takes the
+      global top-k on ≤ k·n_salts elements — driver-grade work per
+      key, fully parallel across keys.
+
+    Exactness: every global top-k element is in its salt's top-k, so
+    stage 2 sees all of them.  Determinism: ties order by
+    ``(v DESC, id ASC)``; the salt only routes partials
+    (associativity, see salted_agg).  Output explodes back to rows
+    ``(key…, rank, id, v)``, rank 1-based.
+
+    Caveat: stage 1's ``collect_list`` holds one group-partial's rows
+    in the agg buffer before slicing; the salt bounds that at
+    |group|/n_salts.  For extreme groups raise ``n_salts`` (or
+    pre-slice with an extra salt tier) — the knob the docstring of
+    key_skew_report exists to inform.
+    """
+    v = F.col(value_col).cast("double")
+    salt = F.pmod(F.hash(F.col(id_col)), F.lit(n_salts))
+    # sort ascending on (-v, id): highest value first, id tie-break
+    item = F.struct((-v).alias("nv"), F.col(id_col).alias("id"))
+    partial = (
+        df.groupBy(*[F.col(c) for c in key_cols], salt.alias("_salt"))
+        .agg(
+            F.slice(
+                F.array_sort(F.collect_list(item)), 1, k
+            ).alias("_top")
+        )
+    )
+    merged = partial.groupBy(*[F.col(c) for c in key_cols]).agg(
+        F.slice(
+            F.array_sort(F.flatten(F.collect_list(F.col("_top")))), 1, k
+        ).alias("_top")
+    )
+    exploded = merged.select(
+        *key_cols, F.posexplode(F.col("_top")).alias("_pos", "_e")
+    )
+    return exploded.select(
+        *key_cols,
+        (F.col("_pos") + 1).cast("int").alias("rank"),
+        F.col("_e.id").alias(id_col),
+        (-F.col("_e.nv")).alias(value_col),
+    )

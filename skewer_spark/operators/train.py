@@ -129,3 +129,46 @@ def weights_frame(spark, weights: list[float]) -> DataFrame:
     return spark.createDataFrame(
         [(i, round(w, 6)) for i, w in enumerate(weights)], "pos int, weight double"
     )
+
+
+def calibration_bins(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Reliability-curve bins for a [0,1] classifier score — the audit
+    that must run before :func:`logreg_predict` scores gate a corpus
+    (a quality classifier that says 0.9 but is right 60% of the time
+    silently reshapes the training mix).
+
+    Equal-width bins on the score (``floor(score·n)``, top edge
+    clamped into the last bin); per bin: count, mean predicted score,
+    observed positive rate, and the signed gap (observed − predicted
+    — positive means the model is under-confident there).  The
+    weighted mean |gap| over bins is the standard ECE; emitting the
+    per-bin rows (not just the scalar) keeps the diagnosis:
+    WHICH score region is miscalibrated.
+
+    One partial-aggregable groupBy on a ≤ n_bins-cardinality key —
+    free at any scale.  Sums accumulate the raw doubles; rounding at
+    emit only.
+    """
+    s = F.col(score_col).cast("double")
+    y = F.col(label_col).cast("double")
+    b = F.least(
+        F.floor(s * n_bins).cast("int"), F.lit(n_bins - 1)
+    )
+    agg = df.groupBy(b.alias("bin")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(s).alias("_ss"),
+        F.sum(y).alias("_sy"),
+    )
+    n = F.col("n").cast("double")
+    return agg.select(
+        "bin",
+        "n",
+        F.round(F.col("_ss") / n, 6).alias("mean_score"),
+        F.round(F.col("_sy") / n, 6).alias("pos_rate"),
+        F.round(F.col("_sy") / n - F.col("_ss") / n, 6).alias("gap"),
+    )
