@@ -158,3 +158,43 @@ def normalize_for_dedup(c: str = "text") -> Column:
     out = F.regexp_replace(out, r"[0-9]", "0")
     out = F.regexp_replace(out, r"[^a-z0 ]+", " ")
     return F.trim(F.regexp_replace(out, r"\s+", " "))
+
+
+def char_entropy(c: str = "text") -> Column:
+    """Per-document character-level Shannon entropy (bits/char).
+
+    The compressibility proxy quality gates use (CCNet/RefinedWeb
+    family): machine-generated or template spam sits far below natural
+    text (~3.5-4.5 bits/char for English), single-char floods near 0.
+
+    O(n log n) per row and zero shuffle: ``array_sort`` the chars, find
+    run STARTS by adjacent inequality, run lengths by differencing the
+    start positions, then one ``aggregate`` fold for -Σ p·log2 p — the
+    same sorted-run-length shape as ``scrub.top_word_ratio`` (the
+    O(distinct × total) transform/filter formulation is a straggler
+    generator on pathological rows; VERDICT r02 #4).  All codegen'd
+    higher-order expressions, no Python, exact-mirrorable in the
+    DuckDB oracle via generate_series + list lambdas.
+    """
+    t = F.col(c)
+    chars = F.filter(F.split(t, ""), lambda x: x != "")
+    srt = F.array_sort(chars)
+    n = F.size(srt)
+    starts = F.filter(
+        F.sequence(F.lit(1), n),
+        lambda i: (i == F.lit(1))
+        | (F.element_at(srt, i) != F.element_at(srt, i - 1)),
+    )
+    ends = F.concat(
+        F.slice(starts, 2, F.greatest(F.size(starts) - 1, F.lit(0))),
+        F.array(n + 1),
+    )
+    lens = F.zip_with(starts, ends, lambda s, e: e - s)
+    h = -F.aggregate(
+        lens,
+        F.lit(0.0),
+        lambda acc, l: acc
+        + (l.cast("double") / n.cast("double"))
+        * F.log2(l.cast("double") / n.cast("double")),
+    )
+    return F.when(n > 0, F.round(h, 4)).otherwise(F.lit(0.0))

@@ -1,0 +1,109 @@
+"""Corpus-level repeated-n-gram detection (C4-style excision signal).
+
+Within-document repetition lives in ``functions/scrub.py`` (Gopher A1
+ratios); THIS module is the cross-document signal: an n-gram is "hot"
+when it appears in at least ``min_docs`` distinct documents, and a
+document is flagged when too many of its n-grams are hot — the C4
+pipeline's "remove any document containing a repeated span" rule,
+re-expressed as two map-side-combinable aggregations instead of a
+corpus-wide suffix structure.
+
+Scale shape (the whole point at 10^12 grams):
+
+* The gram shuffle key is ``xxhash64(gram)`` — an 8-byte int instead of
+  a ~20-40 byte 3-word string, so both shuffles move compact fixed
+  width keys and the groupBy combines map-side.  Collision bound: for
+  G distinct grams the expected number of colliding PAIRS is
+  ~G²/2^65 — at G = 10^12 that is ~0.03 pairs corpus-wide, and a
+  collision only ever *overcounts* a gram's document frequency (it can
+  never hide a genuinely hot gram).  The sf0.01 oracle joins on the
+  gram string itself and hash-matches exactly (no collisions at ~10^5
+  grams, p < 10^-9).
+* Per-document grams are DISTINCT before exploding (document frequency,
+  not occurrence count) — a degenerate looping document contributes
+  each gram once, so one pathological writer cannot promote its own
+  spam to "hot" alone.
+* Two shuffles total: gram→doc-frequency (ints, partial agg) and the
+  hot-set semi-join back onto the exploded grams (ints again); the
+  text column never shuffles.  The hot set is usually tiny (that is
+  what "hot" means) and auto-broadcasts under AQE.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _distinct_grams(text_col: str, n: int):
+    toks = F.split(F.col(text_col), " ")
+    n_sh = F.size(toks) - (n - 1)
+    return F.when(
+        n_sh >= 1,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), n_sh),
+                lambda i: F.array_join(F.slice(toks, i, n), " "),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def hot_ngram_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    min_docs: int = 3,
+    flag_frac: float = 0.5,
+) -> DataFrame:
+    """Per-document hot-n-gram exposure.
+
+    Returns ``(doc_id, n_grams, n_hot, hot_frac, flagged)`` where
+    ``n_grams`` counts the document's distinct word n-grams, ``n_hot``
+    how many of those appear in >= ``min_docs`` distinct documents
+    corpus-wide, and ``flagged`` is ``hot_frac >= flag_frac`` — the
+    excision verdict.  Documents shorter than ``n`` tokens yield
+    ``n_grams = 0`` and are never flagged.
+    """
+    d = df.select(
+        F.col(id_col).alias("doc_id"),
+        _distinct_grams(text_col, n).alias("grams"),
+    ).select(
+        "doc_id",
+        "grams",
+        F.size("grams").cast("bigint").alias("n_grams"),
+    )
+    ex = d.select(
+        "doc_id", F.explode("grams").alias("gram")
+    ).select("doc_id", F.xxhash64("gram").alias("gk"))
+    hot = (
+        ex.groupBy("gk")
+        .agg(F.count(F.lit(1)).alias("df_docs"))
+        .filter(F.col("df_docs") >= min_docs)
+        .select("gk")
+    )
+    hits = (
+        ex.join(hot, "gk")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hot"))
+    )
+    return (
+        d.select("doc_id", "n_grams")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_grams",
+            F.coalesce(F.col("n_hot"), F.lit(0)).cast("bigint").alias("n_hot"),
+            F.round(
+                F.coalesce(F.col("n_hot"), F.lit(0)).cast("double")
+                / F.greatest(F.col("n_grams"), F.lit(1)).cast("double"),
+                4,
+            ).alias("hot_frac"),
+            (
+                F.coalesce(F.col("n_hot"), F.lit(0)).cast("double")
+                / F.greatest(F.col("n_grams"), F.lit(1)).cast("double")
+                >= F.lit(float(flag_frac))
+            ).alias("flagged"),
+        )
+    )

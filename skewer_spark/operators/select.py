@@ -429,6 +429,12 @@ def split_assign(
         16,
         10,
     ).cast("bigint")
+    return df.select(
+        F.col(id_col), _split_branches(u, fractions).alias("split")
+    )
+
+
+def _split_branches(u: Column, fractions: dict[str, float]) -> Column:
     names = list(fractions)
     cum = 0.0
     expr: Column | None = None
@@ -439,5 +445,45 @@ def split_assign(
     for bound, name in branches:
         cond = u < F.lit(bound)
         expr = F.when(cond, name) if expr is None else expr.when(cond, name)
-    split = expr.otherwise(names[-1]) if expr is not None else F.lit(names[-1])
-    return df.select(F.col(id_col), split.alias("split"))
+    return expr.otherwise(names[-1]) if expr is not None else F.lit(names[-1])
+
+
+def split_assign_grouped(
+    df: DataFrame,
+    group_col: str,
+    id_col: str = "doc_id",
+    fractions: dict[str, float] | None = None,
+    salt: str = "split-v1",
+) -> DataFrame:
+    """Leakage-safe holdout split: the split is a pure function of the
+    GROUP key, so every member of a group (a near-duplicate cluster, a
+    conversation, a user) lands in the same split — near-dups can never
+    straddle train/test, the leak that id-keyed splits
+    (:func:`split_assign`) silently allow whenever dedup is
+    approximate or applied after splitting.
+
+    Same md5-uniform + integer-literal-boundary contract as
+    ``split_assign`` (stable under resharding and corpus growth; same
+    ``(salt, group)`` → same split on any engine).  One narrow
+    expression riding the scan — the group key is already on the row,
+    so there is no cluster join and no shuffle here; pair with
+    ``dedup.dedup_clusters`` upstream when the group is a dedup label.
+    """
+    fractions = fractions or {"train": 0.98, "val": 0.01, "test": 0.01}
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1, got {total}")
+    u = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt + "|"), F.col(group_col).cast("string"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    return df.select(
+        F.col(id_col),
+        F.col(group_col),
+        _split_branches(u, fractions).alias("split"),
+    )

@@ -1,0 +1,115 @@
+"""Corpus-level hot-n-gram stats, char entropy, leakage-safe split.
+
+Unit-level checks with hand-computed expectations; driver-facing
+correctness lives in the q_hot_ngrams / q_char_entropy /
+q_split_leakproof DuckDB oracle pairs.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from skewer_spark.functions.text import char_entropy
+from skewer_spark.operators.repeats import hot_ngram_stats
+from skewer_spark.operators.select import split_assign, split_assign_grouped
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+def test_hot_ngram_stats_flags_shared_grams(spark):
+    # "x y z" appears in docs 0, 1, 2 (hot at min_docs=3);
+    # every other 3-gram is unique to its doc
+    df = _docs(
+        spark,
+        [
+            "x y z p q r",          # grams: xyz yzp zpq pqr -> 1 hot of 4
+            "a b x y z c",          # abx bxy xyz yzc        -> 1 hot of 4
+            "x y z",                # xyz                    -> 1 hot of 1
+            "totally different words here",
+        ],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in hot_ngram_stats(df, n=3, min_docs=3, flag_frac=0.5).collect()
+    }
+    assert len(out) == 4
+    assert (out[0]["n_grams"], out[0]["n_hot"], out[0]["flagged"]) == (4, 1, False)
+    assert (out[1]["n_grams"], out[1]["n_hot"], out[1]["flagged"]) == (4, 1, False)
+    assert (out[2]["n_grams"], out[2]["n_hot"], out[2]["flagged"]) == (1, 1, True)
+    assert out[2]["hot_frac"] == 1.0
+    assert (out[3]["n_grams"], out[3]["n_hot"], out[3]["flagged"]) == (2, 0, False)
+
+
+def test_hot_ngram_stats_short_doc_and_df_not_occurrences(spark):
+    # doc 0 repeats "u v w" three times INSIDE itself — per-doc grams
+    # are distinct, so its self-repetition alone must NOT make the
+    # gram hot at min_docs=2
+    df = _docs(spark, ["u v w u v w u v w", "no overlap at all", "xy"])
+    out = {
+        r["doc_id"]: r
+        for r in hot_ngram_stats(df, n=3, min_docs=2, flag_frac=0.5).collect()
+    }
+    assert out[0]["n_hot"] == 0
+    # 2-token doc: zero grams, never flagged, still present
+    assert (out[2]["n_grams"], out[2]["n_hot"], out[2]["flagged"]) == (0, 0, False)
+
+
+def test_char_entropy_known_values(spark):
+    df = _docs(spark, ["aaaa", "ab", "aabb", "abab", ""])
+    out = {
+        r["doc_id"]: r["h"]
+        for r in df.select(
+            "doc_id", char_entropy().alias("h")
+        ).collect()
+    }
+    assert out[0] == 0.0          # single symbol
+    assert out[1] == 1.0          # two equiprobable symbols
+    assert out[2] == 1.0          # run-lengths (2,2) -> 1 bit
+    assert out[3] == 1.0          # order-invariant: same multiset as aabb
+    assert out[4] == 0.0          # empty text guard
+    # hand-computed mixed case: "aab c" -> counts a:2 b:1 ' ':1 c:1 of 5
+    expect = -(
+        0.4 * math.log2(0.4) + 3 * (0.2 * math.log2(0.2))
+    )
+    got = (
+        _docs(spark, ["aab c"])
+        .select(char_entropy().alias("h"))
+        .collect()[0]["h"]
+    )
+    assert got == pytest.approx(round(expect, 4), abs=1e-4)
+
+
+def test_split_assign_grouped_keeps_groups_together(spark):
+    # 200 docs in 40 groups of 5 exact dups: every group must land in
+    # ONE split, and the assignment must equal split_assign on the key
+    rows = [(i, f"g{i % 40}") for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, fp string")
+    out = split_assign_grouped(df, "fp")
+    per_group = (
+        out.groupBy("fp")
+        .agg(F.count_distinct("split").alias("n_splits"))
+        .collect()
+    )
+    assert all(r["n_splits"] == 1 for r in per_group)
+    # agrees with split_assign applied to the group key directly
+    direct = {
+        r["fp"]: r["split"]
+        for r in split_assign(
+            df.select("fp").distinct(), id_col="fp"
+        ).collect()
+    }
+    for r in out.collect():
+        assert r["split"] == direct[r["fp"]]
+
+
+def test_split_assign_grouped_rejects_bad_fractions(spark):
+    df = spark.createDataFrame([(1, "a")], "doc_id long, fp string")
+    with pytest.raises(ValueError):
+        split_assign_grouped(df, "fp", fractions={"train": 0.5, "val": 0.1})
