@@ -2709,6 +2709,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return split_assign_grouped(fp, "fp", id_col="doc_id")
 
+    def q_line_dedup(spark, sf):
+        # CCNet corpus-level line dedup + reassembly: docs are laid out
+        # as 8-token lines (pure expressions, mirrored in the oracle);
+        # a line survives only at its global first occurrence
+        from skewer_spark.operators.repeats import line_dedup
+        docs = _read(spark, sf, "documents")
+        toks = F.split(F.col("text"), " ")
+        n_lines = F.ceil(F.size(toks) / F.lit(8.0)).cast("int")
+        lined = docs.select(
+            "doc_id",
+            F.array_join(
+                F.transform(
+                    F.sequence(F.lit(1), n_lines),
+                    lambda i: F.array_join(
+                        F.slice(toks, (i - 1) * 8 + 1, 8), " "
+                    ),
+                ),
+                "\n",
+            ).alias("text"),
+        )
+        return line_dedup(lined)
+
     # ORDER MATTERS: the driver's correctness harness checks the FIRST
     # 50 entries only.  Every operator family must sit inside that
     # window, so near-duplicate variants (6 of the 8 encode variants —
@@ -2958,6 +2980,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_hot_ngrams": q_hot_ngrams,
         "q_char_entropy": q_char_entropy,
         "q_split_leakproof": q_split_leakproof,
+        "q_line_dedup": q_line_dedup,
     }
 
 
@@ -6940,5 +6963,34 @@ def oracle_sql() -> dict[str, str]:
                                      1, 8))::BIGINT AS u
               FROM documents
             )
+        """,
+        "q_line_dedup": """
+            WITH base AS (
+              SELECT doc_id, string_split(text, ' ') AS toks
+              FROM documents
+            ), lined AS (
+              SELECT doc_id,
+                list_transform(
+                  generate_series(1, ceil(len(toks) / 8.0)::BIGINT),
+                  i -> array_to_string(toks[(i-1)*8+1:(i-1)*8+8], ' '))
+                AS lines
+              FROM base
+            ), ex AS (
+              SELECT doc_id, i - 1 AS pos, lines[i] AS line
+              FROM lined, unnest(range(1, len(lines) + 1)) AS u(i)
+            ), k AS (
+              SELECT doc_id, pos, line,
+                row_number() OVER (
+                  PARTITION BY line ORDER BY doc_id, pos) AS rn
+              FROM ex
+            ), kept AS (
+              SELECT doc_id, count(*) AS n_kept,
+                string_agg(line, chr(10) ORDER BY pos) AS text_clean
+              FROM k WHERE rn = 1 GROUP BY doc_id
+            )
+            SELECT l.doc_id, len(l.lines)::BIGINT AS n_lines,
+              coalesce(kept.n_kept, 0)::BIGINT AS n_kept,
+              coalesce(kept.text_clean, '') AS text_clean
+            FROM lined l LEFT JOIN kept USING (doc_id)
         """,
     }

@@ -107,3 +107,70 @@ def hot_ngram_stats(
             ).alias("flagged"),
         )
     )
+
+
+def line_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n",
+) -> DataFrame:
+    """CCNet-style corpus-level line dedup with document reassembly.
+
+    A line occurrence survives iff it is the line's FIRST occurrence in
+    the whole corpus, ordered by ``(doc_id, line_pos)`` — every later
+    copy (in other documents OR later in the same document) is dropped.
+    This is the paragraph/line dedup CCNet (Wenzek et al. 2020) and C4
+    run before document-level dedup: boilerplate (nav bars, cookie
+    banners, license headers) repeats across millions of pages line-
+    for-line while the documents containing it are all distinct.
+
+    Returns ``(doc_id, n_lines, n_kept, text_clean)`` with
+    ``text_clean`` the kept lines re-joined by ``sep`` in original
+    order (may be ``''`` when every line was a repeat — the caller
+    drops such husks).
+
+    Scale shape: keeper election is a groupBy-min on the compact
+    ``(line_hash, doc_id, pos)`` triplet — min over a struct partial-
+    combines map-side, so a line duplicated 10^9 times (the hottest of
+    hot keys: empty lines, "Subscribe to our newsletter") reduces
+    inside each map task instead of flooding one reducer the way a
+    ``row_number`` window over the line key would.  The line TEXT rides
+    exactly two exchanges (the keeper join, AQE-skew-join guarded, and
+    the per-doc reassembly groupBy — the latter is irreducible: putting
+    documents back together is a shuffle by doc).  Line identity is
+    ``xxhash64``: same 8-byte-key/collision-bound contract as
+    :func:`hot_ngram_stats`; the sf0.01 oracle dedups on the raw line
+    string and hash-matches exactly.
+    """
+    lines = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "line"),
+    ).withColumn("lk", F.xxhash64("line"))
+    first = lines.groupBy("lk").agg(
+        F.min(F.struct("doc_id", "pos")).alias("keeper")
+    )
+    kept = lines.join(first, "lk").where(
+        (F.col("doc_id") == F.col("keeper.doc_id"))
+        & (F.col("pos") == F.col("keeper.pos"))
+    )
+    reassembled = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda x: x["line"],
+            ),
+            sep,
+        ).alias("text_clean"),
+    )
+    totals = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(F.split(F.col(text_col), sep)).cast("bigint").alias("n_lines"),
+    )
+    return totals.join(reassembled, "doc_id", "left").select(
+        "doc_id",
+        "n_lines",
+        F.coalesce(F.col("n_kept"), F.lit(0)).cast("bigint").alias("n_kept"),
+        F.coalesce(F.col("text_clean"), F.lit("")).alias("text_clean"),
+    )

@@ -113,3 +113,33 @@ def test_split_assign_grouped_rejects_bad_fractions(spark):
     df = spark.createDataFrame([(1, "a")], "doc_id long, fp string")
     with pytest.raises(ValueError):
         split_assign_grouped(df, "fp", fractions={"train": 0.5, "val": 0.1})
+
+
+def test_line_dedup_first_occurrence_wins(spark):
+    from skewer_spark.operators.repeats import line_dedup
+
+    df = _docs(
+        spark,
+        [
+            "alpha\nshared line\nbeta",
+            "shared line\ngamma\nshared line",   # both copies dropped
+            "shared line",                        # full husk
+        ],
+    )
+    out = {r["doc_id"]: r for r in line_dedup(df).collect()}
+    assert (out[0]["n_lines"], out[0]["n_kept"]) == (3, 3)
+    assert out[0]["text_clean"] == "alpha\nshared line\nbeta"
+    assert (out[1]["n_lines"], out[1]["n_kept"]) == (3, 1)
+    assert out[1]["text_clean"] == "gamma"
+    assert (out[2]["n_lines"], out[2]["n_kept"]) == (1, 0)
+    assert out[2]["text_clean"] == ""
+
+
+def test_line_dedup_within_doc_and_order(spark):
+    from skewer_spark.operators.repeats import line_dedup
+
+    # same-doc repeat: only the first copy stays; original order kept
+    df = _docs(spark, ["z\na\nz\nb\na"])
+    r = line_dedup(df).collect()[0]
+    assert (r["n_lines"], r["n_kept"]) == (5, 3)
+    assert r["text_clean"] == "z\na\nb"
