@@ -2731,6 +2731,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return line_dedup(lined)
 
+    def q_corpus_overlap(spark, sf):
+        # pairwise corpus-vocabulary Jaccard estimates from mergeable
+        # 16-wide MinHash sketches (per-lang corpora); every min is
+        # md5-replicated bit-for-bit in the oracle
+        from skewer_spark.operators.dedup import corpus_overlap
+        docs = _read(spark, sf, "documents")
+        return corpus_overlap(
+            docs.select(F.col("lang").alias("corpus"), "text"),
+            n_hashes=16,
+        )
+
+    def q_dp_counts(spark, sf):
+        # epsilon-DP released per-type event counts: Laplace(1/eps)
+        # noise drawn deterministically from md5(salt||key) so the
+        # release is rerun-stable and engine-replicable
+        from skewer_spark.operators.privacy import dp_counts
+        ev = _read(spark, sf, "events")
+        return dp_counts(ev, ["event_type"], epsilon=1.0)
+
     # ORDER MATTERS: the driver's correctness harness checks the FIRST
     # 50 entries only.  Every operator family must sit inside that
     # window, so near-duplicate variants (6 of the 8 encode variants —
@@ -2981,6 +3000,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_char_entropy": q_char_entropy,
         "q_split_leakproof": q_split_leakproof,
         "q_line_dedup": q_line_dedup,
+        "q_corpus_overlap": q_corpus_overlap,
+        "q_dp_counts": q_dp_counts,
     }
 
 
@@ -6992,5 +7013,53 @@ def oracle_sql() -> dict[str, str]:
               coalesce(kept.n_kept, 0)::BIGINT AS n_kept,
               coalesce(kept.text_clean, '') AS text_clean
             FROM lined l LEFT JOIN kept USING (doc_id)
+        """,
+        "q_corpus_overlap": """
+            WITH toks AS (
+              SELECT lang AS c,
+                unnest(list_distinct(string_split(text, ' '))) AS tok
+              FROM documents
+            ), digs AS (
+              SELECT c,
+                md5('g0|' || tok) AS d0, md5('g1|' || tok) AS d1,
+                md5('g2|' || tok) AS d2, md5('g3|' || tok) AS d3
+              FROM toks
+            ), sig AS (
+              SELECT c,
+                min(substr(d0, 1, 8)) AS mh_0,
+                min(substr(d0, 9, 8)) AS mh_1,
+                min(substr(d0, 17, 8)) AS mh_2,
+                min(substr(d0, 25, 8)) AS mh_3,
+                min(substr(d1, 1, 8)) AS mh_4,
+                min(substr(d1, 9, 8)) AS mh_5,
+                min(substr(d1, 17, 8)) AS mh_6,
+                min(substr(d1, 25, 8)) AS mh_7,
+                min(substr(d2, 1, 8)) AS mh_8,
+                min(substr(d2, 9, 8)) AS mh_9,
+                min(substr(d2, 17, 8)) AS mh_10,
+                min(substr(d2, 25, 8)) AS mh_11,
+                min(substr(d3, 1, 8)) AS mh_12,
+                min(substr(d3, 9, 8)) AS mh_13,
+                min(substr(d3, 17, 8)) AS mh_14,
+                min(substr(d3, 25, 8)) AS mh_15
+              FROM digs GROUP BY c
+            )
+            SELECT a.c AS corpus_a, b.c AS corpus_b,
+              (CASE WHEN a.mh_0 = b.mh_0 THEN 1 ELSE 0 END + CASE WHEN a.mh_1 = b.mh_1 THEN 1 ELSE 0 END + CASE WHEN a.mh_2 = b.mh_2 THEN 1 ELSE 0 END + CASE WHEN a.mh_3 = b.mh_3 THEN 1 ELSE 0 END + CASE WHEN a.mh_4 = b.mh_4 THEN 1 ELSE 0 END + CASE WHEN a.mh_5 = b.mh_5 THEN 1 ELSE 0 END + CASE WHEN a.mh_6 = b.mh_6 THEN 1 ELSE 0 END + CASE WHEN a.mh_7 = b.mh_7 THEN 1 ELSE 0 END + CASE WHEN a.mh_8 = b.mh_8 THEN 1 ELSE 0 END + CASE WHEN a.mh_9 = b.mh_9 THEN 1 ELSE 0 END + CASE WHEN a.mh_10 = b.mh_10 THEN 1 ELSE 0 END + CASE WHEN a.mh_11 = b.mh_11 THEN 1 ELSE 0 END + CASE WHEN a.mh_12 = b.mh_12 THEN 1 ELSE 0 END + CASE WHEN a.mh_13 = b.mh_13 THEN 1 ELSE 0 END + CASE WHEN a.mh_14 = b.mh_14 THEN 1 ELSE 0 END + CASE WHEN a.mh_15 = b.mh_15 THEN 1 ELSE 0 END)::BIGINT AS n_match,
+              round((CASE WHEN a.mh_0 = b.mh_0 THEN 1 ELSE 0 END + CASE WHEN a.mh_1 = b.mh_1 THEN 1 ELSE 0 END + CASE WHEN a.mh_2 = b.mh_2 THEN 1 ELSE 0 END + CASE WHEN a.mh_3 = b.mh_3 THEN 1 ELSE 0 END + CASE WHEN a.mh_4 = b.mh_4 THEN 1 ELSE 0 END + CASE WHEN a.mh_5 = b.mh_5 THEN 1 ELSE 0 END + CASE WHEN a.mh_6 = b.mh_6 THEN 1 ELSE 0 END + CASE WHEN a.mh_7 = b.mh_7 THEN 1 ELSE 0 END + CASE WHEN a.mh_8 = b.mh_8 THEN 1 ELSE 0 END + CASE WHEN a.mh_9 = b.mh_9 THEN 1 ELSE 0 END + CASE WHEN a.mh_10 = b.mh_10 THEN 1 ELSE 0 END + CASE WHEN a.mh_11 = b.mh_11 THEN 1 ELSE 0 END + CASE WHEN a.mh_12 = b.mh_12 THEN 1 ELSE 0 END + CASE WHEN a.mh_13 = b.mh_13 THEN 1 ELSE 0 END + CASE WHEN a.mh_14 = b.mh_14 THEN 1 ELSE 0 END + CASE WHEN a.mh_15 = b.mh_15 THEN 1 ELSE 0 END)::DOUBLE / 16, 4) AS jaccard_est
+            FROM sig a JOIN sig b ON a.c < b.c
+        """,
+        "q_dp_counts": """
+            WITH g AS (
+              SELECT event_type, count(*) AS n,
+                ('0x' || substr(md5('dp-v1|' || event_type), 1, 8))::BIGINT
+                  / 4294967296.0 AS u
+              FROM events GROUP BY event_type
+            )
+            SELECT event_type,
+              round(n + (-1.0 * sign(u - 0.5)
+                * ln(greatest(1.0 - 2.0 * abs(u - 0.5), 1e-12))), 3)
+                AS n_noisy
+            FROM g
         """,
     }

@@ -842,3 +842,64 @@ def dedup_substring_spans(
     )
     covered = covered_positions(occ, id_col, n)
     return rebuild_minus_covered(base, tok_rows, covered, id_col)
+
+
+def corpus_overlap(
+    df: DataFrame,
+    corpus_col: str = "corpus",
+    text_col: str = "text",
+    n_hashes: int = 16,
+) -> DataFrame:
+    """Pairwise corpus-vocabulary Jaccard ESTIMATE from mergeable
+    MinHash sketches — "how much does corpus A share with corpus B"
+    without ever joining their token sets.
+
+    Each corpus reduces to one ``n_hashes``-wide signature over its
+    token VOCABULARY (the union of its documents' token sets) — the
+    same one-permutation md5 slicing as :func:`minhash_signatures`, so
+    the DuckDB oracle reproduces every min bit-for-bit.  The estimator
+    is the textbook one: P(min_i(A) == min_i(B)) = J(A, B), so
+    ``n_match / n_hashes`` is an unbiased Jaccard estimate with
+    stderr ~ sqrt(J(1-J)/k).
+
+    Returns ``(corpus_a, corpus_b, n_match, jaccard_est)`` for every
+    unordered corpus pair.
+
+    Scale shape: min is idempotent, so cross-document duplicate tokens
+    need NO pre-distinct — the per-corpus min partial-combines
+    map-side and the only shuffle moves ``n_corpora x n_digests``
+    8-char strings.  The pair join runs on the n_corpora-row sketch
+    frame (a broadcast nested-loop over rows-you-can-count-by-hand);
+    sketches MERGE by taking element-wise mins, which is how a
+    snapshot's sketch updates incrementally as batches land.
+    """
+    toks = df.select(
+        F.col(corpus_col).alias("_corpus"),
+        F.explode(
+            F.array_distinct(F.split(F.col(text_col), " "))
+        ).alias("tok"),
+    )
+    sig = _signatures_from_tokens(toks, "_corpus", n_hashes)
+    a = sig.select(
+        F.col("_corpus").alias("corpus_a"),
+        *[F.col(f"mh_{i}").alias(f"a_{i}") for i in range(n_hashes)],
+    )
+    b = sig.select(
+        F.col("_corpus").alias("corpus_b"),
+        *[F.col(f"mh_{i}").alias(f"b_{i}") for i in range(n_hashes)],
+    )
+    n_match = sum(
+        (F.col(f"a_{i}") == F.col(f"b_{i}")).cast("int")
+        for i in range(n_hashes)
+    )
+    return (
+        a.join(b, F.col("corpus_a") < F.col("corpus_b"))
+        .select(
+            "corpus_a",
+            "corpus_b",
+            n_match.cast("bigint").alias("n_match"),
+            F.round(
+                n_match.cast("double") / F.lit(float(n_hashes)), 4
+            ).alias("jaccard_est"),
+        )
+    )

@@ -95,3 +95,50 @@ def risk_summary(group_audit: DataFrame) -> DataFrame:
         ),
         F.sum(hom).alias("rows_not_diverse"),
     )
+
+
+def dp_counts(
+    df: DataFrame,
+    keys: list[str],
+    epsilon: float = 1.0,
+    salt: str = "dp-v1",
+) -> DataFrame:
+    """ε-DP count release via deterministic Laplace noise.
+
+    The classic Laplace mechanism for counting queries (sensitivity 1):
+    released count = exact count + Lap(1/ε).  The noise draw is a pure
+    function of ``(salt, key)`` through the repo's md5-uniform
+    primitive (:func:`skewer_spark.functions.draws.md5_uniform`) pushed
+    through the Laplace inverse CDF — so reruns, retries, and the
+    DuckDB oracle all release the SAME number (SURVEY §4.3 determinism
+    contract), while across salts the draws behave as fresh Laplace
+    noise.  Rotating the salt consumes privacy budget exactly like a
+    fresh mechanism invocation would — ε composes additively per
+    release, which is equally true of any rerun-stable DP system.
+
+    Returns ``(keys…, n_noisy)``; the exact count deliberately does
+    NOT ride along (releasing it next to the noisy one would defeat
+    the mechanism; callers who need it for tests recompute it).
+
+    Scale shape: one partial-aggregable groupBy on the release keys;
+    the noise is a scalar expression over the already-reduced
+    per-group frame — zero extra shuffles, no RNG state, no Python.
+    """
+    from skewer_spark.functions.draws import md5_uniform
+
+    if epsilon <= 0:
+        raise ValueError(f"epsilon must be positive, got {epsilon}")
+    key_str = F.concat_ws("", *[F.col(k).cast("string") for k in keys])
+    u = md5_uniform(F.concat(F.lit(salt + "|"), key_str))
+    # Laplace inverse CDF around 0: x = -b * sign(u-1/2) * ln(1-2|u-1/2|)
+    centered = u - F.lit(0.5)
+    mag = F.greatest(F.lit(1.0) - F.lit(2.0) * F.abs(centered), F.lit(1e-12))
+    noise = -F.lit(1.0 / float(epsilon)) * F.signum(centered) * F.log(mag)
+    return (
+        df.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .select(
+            *keys,
+            F.round(F.col("_n") + noise, 3).alias("n_noisy"),
+        )
+    )

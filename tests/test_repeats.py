@@ -143,3 +143,61 @@ def test_line_dedup_within_doc_and_order(spark):
     r = line_dedup(df).collect()[0]
     assert (r["n_lines"], r["n_kept"]) == (5, 3)
     assert r["text_clean"] == "z\na\nb"
+
+
+def test_corpus_overlap_identical_and_disjoint(spark):
+    from skewer_spark.operators.dedup import corpus_overlap
+
+    df = spark.createDataFrame(
+        [
+            ("A", "one two three four"),
+            ("A", "five six"),
+            ("B", "one two three four five six"),   # same vocab as A
+            ("C", "zz yy xx ww"),                    # disjoint vocab
+        ],
+        "corpus string, text string",
+    )
+    out = {
+        (r["corpus_a"], r["corpus_b"]): r
+        for r in corpus_overlap(df, n_hashes=16).collect()
+    }
+    assert set(out) == {("A", "B"), ("A", "C"), ("B", "C")}
+    # identical vocabularies -> every min matches
+    assert out[("A", "B")]["n_match"] == 16
+    assert out[("A", "B")]["jaccard_est"] == 1.0
+    # disjoint vocabularies -> mins collide only by 2^-32 accident
+    assert out[("A", "C")]["n_match"] == 0
+    assert out[("B", "C")]["n_match"] == 0
+
+
+def test_dp_counts_deterministic_and_eps_scaling(spark):
+    import math
+
+    from skewer_spark.operators.privacy import dp_counts
+
+    df = spark.createDataFrame(
+        [(i, "k%d" % (i % 3)) for i in range(90)], "i long, k string"
+    )
+    r1 = {r["k"]: r["n_noisy"] for r in dp_counts(df, ["k"], epsilon=1.0).collect()}
+    r2 = {r["k"]: r["n_noisy"] for r in dp_counts(df, ["k"], epsilon=1.0).collect()}
+    assert r1 == r2                      # rerun-stable release
+    # noise matches the closed form (u from md5, Laplace inverse CDF)
+    import hashlib
+
+    for k, released in r1.items():
+        u = int(hashlib.md5(f"dp-v1|{k}".encode()).hexdigest()[:8], 16) / 2**32
+        c = u - 0.5
+        noise = -1.0 * math.copysign(1.0, c) * math.log(
+            max(1.0 - 2.0 * abs(c), 1e-12)
+        ) if c != 0 else 0.0
+        assert released == pytest.approx(round(30 + noise, 3), abs=1e-9)
+    # epsilon=2 halves the same key's noise
+    r_half = {
+        r["k"]: r["n_noisy"] for r in dp_counts(df, ["k"], epsilon=2.0).collect()
+    }
+    for k in r1:
+        assert abs(r_half[k] - 30) == pytest.approx(
+            abs(r1[k] - 30) / 2, abs=2e-3
+        )
+    with pytest.raises(ValueError):
+        dp_counts(df, ["k"], epsilon=0.0)
