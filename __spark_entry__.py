@@ -2750,6 +2750,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ev = _read(spark, sf, "events")
         return dp_counts(ev, ["event_type"], epsilon=1.0)
 
+    def q_retrieval_eval(spark, sf):
+        # distributed retrieval-evaluation: recall@10 / MRR@10 /
+        # nDCG@10 per query from a ranked run + graded qrels — one
+        # narrow hash join, no text
+        from pyspark.sql import Window
+        from skewer_spark.operators.search import retrieval_metrics
+        ev = _read(spark, sf, "events")
+        w = Window.partitionBy("user_id").orderBy(
+            F.desc("value"), F.asc("event_id")
+        )
+        res = (
+            ev.select(
+                "user_id", "event_id",
+                F.row_number().over(w).alias("rank"),
+            )
+            .filter(F.col("rank") <= 10)
+        )
+        qrels = ev.filter(F.col("event_id") % 4 == 0).select(
+            "user_id", "event_id",
+            (F.lit(1) + F.col("event_id") % 3).alias("rel"),
+        )
+        return retrieval_metrics(
+            res, qrels, k=10, query_col="user_id", doc_col="event_id"
+        )
+
+    def q_fd_check(spark, sf):
+        # functional-dependency audit user_id -> event_type: groups
+        # where the dependency fails, with witness values
+        from skewer_spark.operators.validate import fd_violations
+        ev = _read(spark, sf, "events")
+        return fd_violations(ev, ["user_id"], "event_type")
+
     # ORDER MATTERS: the driver's correctness harness checks the FIRST
     # 50 entries only.  Every operator family must sit inside that
     # window, so near-duplicate variants (6 of the 8 encode variants —
@@ -3002,6 +3034,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_line_dedup": q_line_dedup,
         "q_corpus_overlap": q_corpus_overlap,
         "q_dp_counts": q_dp_counts,
+        "q_retrieval_eval": q_retrieval_eval,
+        "q_fd_check": q_fd_check,
     }
 
 
@@ -7061,5 +7095,49 @@ def oracle_sql() -> dict[str, str]:
                 * ln(greatest(1.0 - 2.0 * abs(u - 0.5), 1e-12))), 3)
                 AS n_noisy
             FROM g
+        """,
+        "q_retrieval_eval": """
+            WITH res AS (
+              SELECT user_id AS q, event_id AS d,
+                row_number() OVER (
+                  PARTITION BY user_id
+                  ORDER BY value DESC, event_id ASC) AS rank
+              FROM events QUALIFY rank <= 10
+            ), qr AS (
+              SELECT user_id AS q, event_id AS d,
+                (1 + event_id % 3)::DOUBLE AS rel
+              FROM events WHERE event_id % 4 = 0
+            ), hits AS (
+              SELECT res.q, count(*) AS n_hit, min(rank) AS first_rank,
+                sum(rel / log2(rank + 1.0)) AS dcg
+              FROM res JOIN qr ON res.q = qr.q AND res.d = qr.d
+              GROUP BY res.q
+            ), rels AS (
+              SELECT q, count(*) AS n_rel,
+                list_slice(list_sort(list(rel), 'DESC'), 1, 10) AS rl
+              FROM qr GROUP BY q
+            ), ideal AS (
+              SELECT q, n_rel,
+                list_sum(list_transform(generate_series(1, len(rl)),
+                  i -> rl[i] / log2(i + 1.0))) AS idcg
+              FROM rels
+            )
+            SELECT i.q AS user_id, i.n_rel::BIGINT AS n_rel,
+              coalesce(h.n_hit, 0)::BIGINT AS n_hit,
+              round(coalesce(h.n_hit, 0)::DOUBLE / i.n_rel, 6)
+                AS recall_at_k,
+              round(coalesce(1.0 / h.first_rank, 0.0), 6) AS mrr_at_k,
+              round(coalesce(h.dcg, 0.0) / i.idcg, 6) AS ndcg_at_k
+            FROM ideal i LEFT JOIN hits h ON i.q = h.q
+        """,
+        "q_fd_check": """
+            SELECT user_id,
+              count(DISTINCT coalesce(event_type, chr(1) || '<null>'))::BIGINT
+                AS n_rhs_values,
+              count(*)::BIGINT AS n_rows,
+              min(coalesce(event_type, chr(1) || '<null>')) AS rhs_min,
+              max(coalesce(event_type, chr(1) || '<null>')) AS rhs_max
+            FROM events GROUP BY user_id
+            HAVING count(DISTINCT coalesce(event_type, chr(1) || '<null>')) > 1
         """,
     }

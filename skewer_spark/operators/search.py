@@ -202,3 +202,98 @@ def rrf_fuse(
         .orderBy(F.desc("rrf_score"), F.asc(id_col))
         .limit(k)
     )
+
+
+def retrieval_metrics(
+    results: DataFrame,
+    qrels: DataFrame,
+    k: int = 10,
+    query_col: str = "query_id",
+    doc_col: str = "doc_id",
+    rank_col: str = "rank",
+    rel_col: str = "rel",
+) -> DataFrame:
+    """Per-query retrieval-evaluation metrics: recall@k, MRR@k, nDCG@k.
+
+    ``results``: (query_id, doc_id, rank) with rank starting at 1 —
+    the output shape of ``bm25_topk`` / the ANN operators after a
+    rank column is attached.  ``qrels``: (query_id, doc_id, rel) with
+    graded relevance >= 1 (binary qrels pass rel=1).
+
+    Definitions (standard TREC forms):
+
+    * recall@k  = |relevant retrieved in top-k| / |relevant|
+    * MRR@k     = 1 / rank of the first relevant hit (0 if none)
+    * nDCG@k    = DCG@k / IDCG@k with DCG = sum rel_i / log2(rank_i + 1)
+      and IDCG the DCG of the ideal (relevance-sorted) ordering,
+      truncated at k.
+
+    Per-query rows are the audit artifact; means over queries are one
+    further tiny aggregate (the caller's choice of macro-averaging).
+
+    Scale shape: ONE hash join of the top-k results against qrels on
+    (query, doc) — both sides are narrow int/rank frames, the corpus
+    text never appears; per-query aggregates partial-combine, and the
+    IDCG side reduces qrels per query independently (no window over
+    results).  Safe at millions of queries x thousands of qrels.
+    """
+    res = results.filter(F.col(rank_col) <= k).select(
+        F.col(query_col).alias("_q"),
+        F.col(doc_col).alias("_d"),
+        F.col(rank_col).alias("_rank"),
+    )
+    qr = qrels.filter(F.col(rel_col) >= 1).select(
+        F.col(query_col).alias("_q"),
+        F.col(doc_col).alias("_d"),
+        F.col(rel_col).cast("double").alias("_rel"),
+    )
+    # hits: relevant docs that were retrieved in the top-k
+    hits = res.join(qr, ["_q", "_d"]).groupBy("_q").agg(
+        F.count(F.lit(1)).alias("_n_hit"),
+        F.min("_rank").alias("_first_rank"),
+        F.sum(
+            F.col("_rel") / F.log2(F.col("_rank").cast("double") + 1.0)
+        ).alias("_dcg"),
+    )
+    # ideal DCG from qrels alone: rel sorted descending, truncated at k
+    ideal = qr.groupBy("_q").agg(
+        F.count(F.lit(1)).alias("_n_rel"),
+        F.aggregate(
+            F.zip_with(
+                F.slice(
+                    F.array_sort(
+                        F.collect_list(F.col("_rel") * -1.0)
+                    ),
+                    1,
+                    k,
+                ),
+                F.sequence(F.lit(1), F.least(F.count(F.lit(1)), F.lit(k)).cast("int")),
+                lambda r, i: (-r) / F.log2(i.cast("double") + 1.0),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + F.coalesce(x, F.lit(0.0)),
+        ).alias("_idcg"),
+    )
+    return (
+        ideal.join(hits, "_q", "left")
+        .select(
+            F.col("_q").alias(query_col),
+            F.col("_n_rel").cast("bigint").alias("n_rel"),
+            F.coalesce(F.col("_n_hit"), F.lit(0)).cast("bigint").alias("n_hit"),
+            F.round(
+                F.coalesce(F.col("_n_hit"), F.lit(0)).cast("double")
+                / F.col("_n_rel"),
+                6,
+            ).alias("recall_at_k"),
+            F.round(
+                F.coalesce(
+                    F.lit(1.0) / F.col("_first_rank").cast("double"),
+                    F.lit(0.0),
+                ),
+                6,
+            ).alias("mrr_at_k"),
+            F.round(
+                F.coalesce(F.col("_dcg"), F.lit(0.0)) / F.col("_idcg"), 6
+            ).alias("ndcg_at_k"),
+        )
+    )

@@ -134,3 +134,45 @@ def violating_rows(
     )
     out = df.withColumn("violated", F.filter(flags, lambda x: x.isNotNull()))
     return out.filter(F.size("violated") > 0)
+
+
+def fd_violations(
+    df: DataFrame,
+    lhs: list[str],
+    rhs: str,
+) -> DataFrame:
+    """Functional-dependency audit ``lhs -> rhs``: the groups where the
+    dependency FAILS (more than one distinct rhs value for one lhs
+    tuple), with witness values for triage.
+
+    The data-profiling complement to ``validation_report``'s
+    uniqueness rule: uniqueness says "this key appears once"; an FD
+    says "whenever the key repeats, this attribute must agree" — the
+    invariant behind dimension conformance (order -> customer,
+    uid -> conv), slowly-changing-attribute detection, and
+    denormalization safety checks before a join is replaced by a
+    stored column.
+
+    Returns ``(lhs…, n_rhs_values, n_rows, rhs_min, rhs_max)`` for
+    violating groups only (empty frame == dependency holds).
+
+    Scale shape: ONE partial-aggregable groupBy on the lhs key.  The
+    distinct count must be exact (a violation verdict cannot be
+    probabilistic) but it rides the same single shuffle as the
+    min/max witnesses — no count_distinct expansion because there is
+    exactly one distinct-agg and Spark plans it as a two-phase
+    aggregate; NULL rhs is counted as a real level via a sentinel
+    coalesce (an FD violated only by NULLs is still violated).
+    """
+    sent = "\x01<null>"
+    r = F.coalesce(F.col(rhs).cast("string"), F.lit(sent))
+    return (
+        df.groupBy(*lhs)
+        .agg(
+            F.count_distinct(r).cast("bigint").alias("n_rhs_values"),
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.min(r).alias("rhs_min"),
+            F.max(r).alias("rhs_max"),
+        )
+        .filter(F.col("n_rhs_values") > 1)
+    )

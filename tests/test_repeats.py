@@ -201,3 +201,51 @@ def test_dp_counts_deterministic_and_eps_scaling(spark):
         )
     with pytest.raises(ValueError):
         dp_counts(df, ["k"], epsilon=0.0)
+
+
+def test_retrieval_metrics_hand_computed(spark):
+    import math
+
+    from skewer_spark.operators.search import retrieval_metrics
+
+    # query 1: rels {d1 (rel 3), d2 (rel 1), d9 (rel 2)}; top-3
+    # retrieved = d5, d1, d2 -> hits at ranks 2 (rel 3) and 3 (rel 1)
+    res = spark.createDataFrame(
+        [(1, "d5", 1), (1, "d1", 2), (1, "d2", 3),
+         (2, "d7", 1), (2, "d8", 2)],
+        "query_id long, doc_id string, rank int",
+    )
+    qrels = spark.createDataFrame(
+        [(1, "d1", 3), (1, "d2", 1), (1, "d9", 2), (2, "d0", 1)],
+        "query_id long, doc_id string, rel int",
+    )
+    out = {
+        r["query_id"]: r
+        for r in retrieval_metrics(res, qrels, k=3).collect()
+    }
+    q1 = out[1]
+    assert (q1["n_rel"], q1["n_hit"]) == (3, 2)
+    assert q1["recall_at_k"] == pytest.approx(2 / 3, abs=1e-6)
+    assert q1["mrr_at_k"] == 0.5
+    dcg = 3 / math.log2(3) + 1 / math.log2(4)
+    idcg = 3 / math.log2(2) + 2 / math.log2(3) + 1 / math.log2(4)
+    assert q1["ndcg_at_k"] == pytest.approx(round(dcg / idcg, 6), abs=1e-6)
+    # query 2: nothing relevant retrieved -> zeros, but the row exists
+    q2 = out[2]
+    assert (q2["n_hit"], q2["recall_at_k"], q2["mrr_at_k"], q2["ndcg_at_k"]) == (
+        0, 0.0, 0.0, 0.0,
+    )
+
+
+def test_fd_violations_holds_and_fails(spark):
+    from skewer_spark.operators.validate import fd_violations
+
+    df = spark.createDataFrame(
+        [(1, "a"), (1, "a"), (2, "a"), (2, "b"), (3, None), (3, "c")],
+        "k long, v string",
+    )
+    out = {r["k"]: r for r in fd_violations(df, ["k"], "v").collect()}
+    assert 1 not in out                      # dependency holds for k=1
+    assert out[2]["n_rhs_values"] == 2
+    assert (out[2]["rhs_min"], out[2]["rhs_max"]) == ("a", "b")
+    assert out[3]["n_rhs_values"] == 2       # NULL counts as a level
