@@ -128,7 +128,9 @@ def dp_counts(
 
     if epsilon <= 0:
         raise ValueError(f"epsilon must be positive, got {epsilon}")
-    key_str = F.concat_ws("", *[F.col(k).cast("string") for k in keys])
+    # unit-separator joint key: without it ("ab","c") and ("a","bc")
+    # would draw the SAME noise, correlating two groups' releases
+    key_str = F.concat_ws("\x1f", *[F.col(k).cast("string") for k in keys])
     u = md5_uniform(F.concat(F.lit(salt + "|"), key_str))
     # Laplace inverse CDF around 0: x = -b * sign(u-1/2) * ln(1-2|u-1/2|)
     centered = u - F.lit(0.5)

@@ -249,3 +249,16 @@ def test_fd_violations_holds_and_fails(spark):
     assert out[2]["n_rhs_values"] == 2
     assert (out[2]["rhs_min"], out[2]["rhs_max"]) == ("a", "b")
     assert out[3]["n_rhs_values"] == 2       # NULL counts as a level
+
+
+def test_dp_counts_multikey_separator(spark):
+    from skewer_spark.operators.privacy import dp_counts
+
+    # ("ab","c") and ("a","bc") must draw DIFFERENT noise: equal group
+    # sizes, so equal releases would mean the joint key collided
+    df = spark.createDataFrame(
+        [("ab", "c")] * 10 + [("a", "bc")] * 10, "x string, y string"
+    )
+    out = dp_counts(df, ["x", "y"], epsilon=1.0).collect()
+    vals = {(r["x"], r["y"]): r["n_noisy"] for r in out}
+    assert vals[("ab", "c")] != vals[("a", "bc")]
