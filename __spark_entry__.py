@@ -7002,8 +7002,8 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id,
               CASE WHEN n > 0 THEN
-                round(-list_sum(list_transform(lens,
-                  x -> (x::DOUBLE / n) * log2(x::DOUBLE / n))), 4)
+                round(log2(n::DOUBLE) - list_sum(list_transform(lens,
+                  x -> x::DOUBLE * log2(x::DOUBLE))) / n, 4)
               ELSE 0.0 END AS char_entropy_bits
             FROM l
         """,

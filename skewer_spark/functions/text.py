@@ -167,34 +167,55 @@ def char_entropy(c: str = "text") -> Column:
     family): machine-generated or template spam sits far below natural
     text (~3.5-4.5 bits/char for English), single-char floods near 0.
 
-    O(n log n) per row and zero shuffle: ``array_sort`` the chars, find
-    run STARTS by adjacent inequality, run lengths by differencing the
-    start positions, then one ``aggregate`` fold for -Σ p·log2 p — the
-    same sorted-run-length shape as ``scrub.top_word_ratio`` (the
+    O(n log n) per row and zero shuffle: ``array_sort`` the chars, then
+    ONE ``aggregate`` fold over the sorted array tracking (prev char,
+    current run length, running Σ run·log2(run), element count) — the
+    same sorted-run-length shape as ``scrub.top_word_ratio``.  Entropy
+    falls out algebraically as ``log2(n) - Σ r·log2(r) / n``
+    (identical to -Σ p·log2 p), so nothing but the fold ever touches
+    the array.
+
+    The single fold is the load-bearing choice twice over: the
     O(distinct × total) transform/filter formulation is a straggler
-    generator on pathological rows; VERDICT r02 #4).  All codegen'd
-    higher-order expressions, no Python, exact-mirrorable in the
-    DuckDB oracle via generate_series + list lambdas.
+    generator (VERDICT r02 #4), and — subtler — any formulation that
+    references the SORTED array inside a lambda over a *different*
+    array (positions, run starts) re-evaluates the whole
+    ``array_sort`` per element, turning O(n log n) into O(n² log n):
+    the lambda-binding trap ``winnow_fingerprint`` documents.
+    Measured: 44 s → 0.3 s for 100 k docs at sf0.1 after rewriting
+    from the positions formulation to this fold.
     """
     t = F.col(c)
     chars = F.filter(F.split(t, ""), lambda x: x != "")
     srt = F.array_sort(chars)
-    n = F.size(srt)
-    starts = F.filter(
-        F.sequence(F.lit(1), n),
-        lambda i: (i == F.lit(1))
-        | (F.element_at(srt, i) != F.element_at(srt, i - 1)),
+    run_d = lambda a: a["run"].cast("double")  # noqa: E731
+    term = lambda a: F.when(  # noqa: E731
+        a["run"] > 0, run_d(a) * F.log2(run_d(a))
+    ).otherwise(F.lit(0.0))
+    st = F.aggregate(
+        srt,
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0.0).alias("acc"),
+            F.lit(0).alias("cnt"),
+        ),
+        lambda a, x: F.struct(
+            x.alias("prev"),
+            F.when(x.eqNullSafe(a["prev"]), a["run"] + 1)
+            .otherwise(F.lit(1))
+            .alias("run"),
+            F.when(x.eqNullSafe(a["prev"]), a["acc"])
+            .otherwise(a["acc"] + term(a))
+            .alias("acc"),
+            (a["cnt"] + 1).alias("cnt"),
+        ),
+        lambda a: F.struct(
+            (a["acc"] + term(a)).alias("acc"), a["cnt"].alias("cnt")
+        ),
     )
-    ends = F.concat(
-        F.slice(starts, 2, F.greatest(F.size(starts) - 1, F.lit(0))),
-        F.array(n + 1),
-    )
-    lens = F.zip_with(starts, ends, lambda s, e: e - s)
-    h = -F.aggregate(
-        lens,
-        F.lit(0.0),
-        lambda acc, l: acc
-        + (l.cast("double") / n.cast("double"))
-        * F.log2(l.cast("double") / n.cast("double")),
-    )
-    return F.when(n > 0, F.round(h, 4)).otherwise(F.lit(0.0))
+    n_d = st["cnt"].cast("double")
+    return F.when(
+        st["cnt"] > 0,
+        F.round(F.log2(n_d) - st["acc"] / n_d, 4),
+    ).otherwise(F.lit(0.0))

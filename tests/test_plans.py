@@ -520,3 +520,59 @@ def test_time_rollup_single_scan_expand(spark):
     # would triple-scan (three Range/Scan nodes)
     assert plan.count("Expand") == 1
     assert plan.count("Range") == 1
+
+
+def test_char_entropy_no_shuffle_no_python(spark):
+    from skewer_spark.functions.text import char_entropy
+
+    plan = _plan(_docs(spark).select("doc_id", char_entropy().alias("h")))
+    # pure scalar HOF expression riding the scan
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_hot_ngram_shuffles_hashed_keys_only(spark):
+    from skewer_spark.operators.repeats import hot_ngram_stats
+
+    plan = _plan(hot_ngram_stats(_docs(spark)), "simple")
+    # gram shuffles ride int64 xxhash64 keys, not n-gram strings,
+    # and the doc-frequency agg partial-combines map-side
+    assert "xxhash64" in plan
+    assert "partial_count" in plan
+    assert "EvalPython" not in plan
+
+
+def test_line_dedup_keeper_election_partial_aggregates(spark):
+    from skewer_spark.operators.repeats import line_dedup
+
+    plan = _plan(line_dedup(_docs(spark)), "simple")
+    # keeper = groupBy-MIN over (hash, doc, pos): the min must partial-
+    # combine map-side (a window over the line key would funnel every
+    # hot line's occurrences to one reducer)
+    assert "partial_min" in plan
+    assert "Window" not in plan
+
+
+def test_dp_counts_single_exchange(spark):
+    from skewer_spark.operators.privacy import dp_counts
+
+    df = spark.range(100).select((F.col("id") % 5).alias("k"))
+    plan = _plan(dp_counts(df, ["k"]), "simple")
+    # one partial-aggregable groupBy; noise is scalar on the reduced frame
+    assert plan.count("Exchange") == 1
+    assert "partial_count" in plan
+
+
+def test_retrieval_metrics_no_window_over_results(spark):
+    from skewer_spark.operators.search import retrieval_metrics
+
+    res = spark.createDataFrame(
+        [(1, "d1", 1), (1, "d2", 2)], "query_id long, doc_id string, rank int"
+    )
+    qrels = spark.createDataFrame(
+        [(1, "d1", 1)], "query_id long, doc_id string, rel int"
+    )
+    plan = _plan(retrieval_metrics(res, qrels, k=10), "simple")
+    # ideal-DCG reduces qrels per query independently — no rank window
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
