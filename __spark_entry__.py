@@ -2713,20 +2713,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # CCNet corpus-level line dedup + reassembly: docs are laid out
         # as 8-token lines (pure expressions, mirrored in the oracle);
         # a line survives only at its global first occurrence
+        from skewer_spark.functions.hof import bind
         from skewer_spark.operators.repeats import line_dedup
         docs = _read(spark, sf, "documents")
-        toks = F.split(F.col("text"), " ")
-        n_lines = F.ceil(F.size(toks) / F.lit(8.0)).cast("int")
         lined = docs.select(
             "doc_id",
-            F.array_join(
-                F.transform(
-                    F.sequence(F.lit(1), n_lines),
-                    lambda i: F.array_join(
-                        F.slice(toks, (i - 1) * 8 + 1, 8), " "
+            bind(
+                F.split(F.col("text"), " "),
+                lambda tk: F.array_join(
+                    F.transform(
+                        F.sequence(
+                            F.lit(1),
+                            F.ceil(F.size(tk) / F.lit(8.0)).cast("int"),
+                        ),
+                        lambda i: F.array_join(
+                            F.slice(tk, (i - 1) * 8 + 1, 8), " "
+                        ),
                     ),
+                    "\n",
                 ),
-                "\n",
             ).alias("text"),
         )
         return line_dedup(lined)

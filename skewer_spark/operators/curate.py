@@ -191,21 +191,27 @@ def bigram_logprob_scores(
     key; one final per-doc aggregate — every shuffle is on counts or
     narrow keys, text never re-shuffles.
     """
-    toks = F.split(F.col(text_col), " ")
+    from skewer_spark.functions.hof import bind
+
+    # bind the split array: element_at(raw-split-expr, i) inside the
+    # per-position lambda would re-run the split per bigram (O(n²)/row)
     big = df.select(
         F.col(id_col),
         F.explode(
-            F.when(
-                F.size(toks) >= 2,
-                F.transform(
-                    F.sequence(F.lit(1), F.size(toks) - 1),
-                    lambda i: F.struct(
-                        F.element_at(toks, i).alias("w1"),
-                        F.element_at(toks, i + 1).alias("w2"),
+            bind(
+                F.split(F.col(text_col), " "),
+                lambda tk: F.when(
+                    F.size(tk) >= 2,
+                    F.transform(
+                        F.sequence(F.lit(1), F.size(tk) - 1),
+                        lambda i: F.struct(
+                            F.element_at(tk, i).alias("w1"),
+                            F.element_at(tk, i + 1).alias("w2"),
+                        ),
                     ),
+                ).otherwise(
+                    F.array().cast("array<struct<w1:string,w2:string>>")
                 ),
-            ).otherwise(
-                F.array().cast("array<struct<w1:string,w2:string>>")
             )
         ).alias("b"),
     ).select(id_col, "b.w1", "b.w2")
@@ -315,18 +321,23 @@ def _uni_bigram_array(text_col: str):
     bucket keys so the feature stream that shuffles is (id, int) rows,
     never text bytes.
     """
-    toks = F.split(F.col(text_col), " ")
-    return F.concat(
-        toks,
-        F.when(
-            F.size(toks) >= 2,
-            F.transform(
-                F.sequence(F.lit(1), F.size(toks) - 1),
-                lambda i: F.concat_ws(
-                    " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+    from skewer_spark.functions.hof import bind
+
+    # bound split array — same O(n²) re-evaluation guard as above
+    return bind(
+        F.split(F.col(text_col), " "),
+        lambda tk: F.concat(
+            tk,
+            F.when(
+                F.size(tk) >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(tk) - 1),
+                    lambda i: F.concat_ws(
+                        " ", F.element_at(tk, i), F.element_at(tk, i + 1)
+                    ),
                 ),
-            ),
-        ).otherwise(F.array().cast("array<string>")),
+            ).otherwise(F.array().cast("array<string>")),
+        ),
     )
 
 

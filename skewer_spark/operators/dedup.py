@@ -61,15 +61,24 @@ def fingerprint_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_
 def shingle_windows(tokens, n: int):
     """Distinct space-joined n-gram shingles over a token-array Column
     (empty when fewer than ``n`` tokens) — the ONE shingle-window
-    builder (also used by setsim; tokenizer choice stays the caller's)."""
-    return F.array_distinct(
-        F.when(
-            F.size(tokens) >= n,
-            F.transform(
-                F.sequence(F.lit(0), F.size(tokens) - n),
-                lambda i: F.concat_ws(" ", F.slice(tokens, i + 1, n)),
-            ),
-        ).otherwise(F.array().cast("array<string>"))
+    builder (also used by setsim; tokenizer choice stays the caller's).
+
+    The token array is lambda-bound (``functions.hof.bind``) so callers
+    may pass a raw ``split()`` EXPRESSION without paying the per-element
+    re-evaluation trap (O(n²)/row on long documents)."""
+    from skewer_spark.functions.hof import bind
+
+    return bind(
+        tokens,
+        lambda tk: F.array_distinct(
+            F.when(
+                F.size(tk) >= n,
+                F.transform(
+                    F.sequence(F.lit(0), F.size(tk) - n),
+                    lambda i: F.concat_ws(" ", F.slice(tk, i + 1, n)),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ),
     )
 
 

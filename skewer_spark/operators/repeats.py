@@ -36,17 +36,24 @@ from pyspark.sql import functions as F
 
 
 def _distinct_grams(text_col: str, n: int):
-    toks = F.split(F.col(text_col), " ")
-    n_sh = F.size(toks) - (n - 1)
-    return F.when(
-        n_sh >= 1,
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), n_sh),
-                lambda i: F.array_join(F.slice(toks, i, n), " "),
-            )
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    from skewer_spark.functions.hof import bind
+
+    # bound split array (functions/hof.py): slicing the raw split
+    # expression inside the per-position lambda re-runs the split per
+    # n-gram — O(n²)/row on long documents
+    def body(tk):
+        n_sh = F.size(tk) - (n - 1)
+        return F.when(
+            n_sh >= 1,
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), n_sh),
+                    lambda i: F.array_join(F.slice(tk, i, n), " "),
+                )
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    return bind(F.split(F.col(text_col), " "), body)
 
 
 def hot_ngram_stats(

@@ -262,3 +262,48 @@ def test_dp_counts_multikey_separator(spark):
     out = dp_counts(df, ["x", "y"], epsilon=1.0).collect()
     vals = {(r["x"], r["y"]): r["n_noisy"] for r in out}
     assert vals[("ab", "c")] != vals[("a", "bc")]
+
+
+def test_long_doc_ngram_ops_are_not_quadratic(spark):
+    # 40 docs x 20k tokens: the BOUND forms finish in seconds; the
+    # unbound (per-element split re-evaluation) forms measured 84x
+    # slower at a tenth of this length and would stall for many
+    # minutes here.  Wide margin so CPU-grant swings can't flake it.
+    import time
+
+    from skewer_spark.functions.scrub import dup_ngram_ratio
+    from skewer_spark.operators.dedup import word_shingles
+    from skewer_spark.operators.repeats import hot_ngram_stats
+
+    doc = " ".join(f"w{i % 997}" for i in range(20000))
+    df = spark.createDataFrame(
+        [(i, doc) for i in range(40)], "doc_id long, text string"
+    )
+    t = time.time()
+    df.select(dup_ngram_ratio().alias("r")).agg(F.sum("r")).collect()
+    df.select(F.size(word_shingles("text", 3)).alias("s")).agg(
+        F.sum("s")
+    ).collect()
+    hot_ngram_stats(df, n=3, min_docs=2).agg(F.sum("n_hot")).collect()
+    assert time.time() - t < 120
+
+
+def test_ngram_expressions_use_bound_split():
+    # the binding idiom is load-bearing (functions/hof.py): the split
+    # must appear as transform(array(split(...)), ...) so it evaluates
+    # once per row, not once per element
+    from skewer_spark.functions.scrub import dup_ngram_ratio
+    from skewer_spark.functions.text import char_entropy
+    from skewer_spark.operators.dedup import word_shingles
+    from skewer_spark.operators.repeats import _distinct_grams
+
+    for col in (
+        dup_ngram_ratio(),
+        word_shingles("text", 3),
+        _distinct_grams("text", 3),
+    ):
+        assert "transform(array(split" in str(col)
+    # char_entropy folds over the sorted array directly — the sort must
+    # be the aggregate's INPUT, never referenced inside its lambdas
+    s = str(char_entropy())
+    assert "aggregate(array_sort(" in s
