@@ -2850,7 +2850,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # prefix-expanded broadcast equi join with longest-prefix
         # winner agg); q_range_join stays oracle-paired in the tail.
         "q_cidr_enrich": q_cidr_enrich,
-        "q_seq_ngrams": q_seq_ngrams,
+        # q_line_dedup in the window: CCNet line-level corpus hygiene
+        # is a major family (boilerplate/license-header dedup at
+        # 10^12 turns); q_seq_ngrams moved to the locally-verified tail
+        "q_line_dedup": q_line_dedup,
         "q_url_canon": q_url_canon,
         "q_rate_anomaly": q_rate_anomaly,
         "q_pagerank": q_pagerank,
@@ -3036,7 +3039,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_hot_ngrams": q_hot_ngrams,
         "q_char_entropy": q_char_entropy,
         "q_split_leakproof": q_split_leakproof,
-        "q_line_dedup": q_line_dedup,
+        "q_seq_ngrams": q_seq_ngrams,
         "q_corpus_overlap": q_corpus_overlap,
         "q_dp_counts": q_dp_counts,
         "q_retrieval_eval": q_retrieval_eval,
