@@ -166,6 +166,10 @@ def char_entropy(c: str = "text") -> Column:
     The compressibility proxy quality gates use (CCNet/RefinedWeb
     family): machine-generated or template spam sits far below natural
     text (~3.5-4.5 bits/char for English), single-char floods near 0.
+    Characters = UTF-16 code units (Java ``split("")``): identical to
+    user-perceived characters for the BMP; astral symbols (emoji)
+    count as two units — fine for a quality PROXY, and the DuckDB
+    oracle agrees on the fixture's BMP text.
 
     O(n log n) per row and zero shuffle: ``array_sort`` the chars, then
     ONE ``aggregate`` fold over the sorted array tracking (prev char,

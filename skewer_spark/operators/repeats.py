@@ -124,6 +124,9 @@ def line_dedup(
 ) -> DataFrame:
     """CCNet-style corpus-level line dedup with document reassembly.
 
+    ``sep`` is a Java regex (it feeds ``split``); the default newline
+    is regex-safe, escape anything fancier.
+
     A line occurrence survives iff it is the line's FIRST occurrence in
     the whole corpus, ordered by ``(doc_id, line_pos)`` — every later
     copy (in other documents OR later in the same document) is dropped.
