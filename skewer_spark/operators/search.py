@@ -218,7 +218,9 @@ def retrieval_metrics(
     ``results``: (query_id, doc_id, rank) with rank starting at 1 —
     the output shape of ``bm25_topk`` / the ANN operators after a
     rank column is attached.  ``qrels``: (query_id, doc_id, rel) with
-    graded relevance >= 1 (binary qrels pass rel=1).
+    graded relevance >= 1 (binary qrels pass rel=1).  Both inputs are
+    expected (query, doc)-unique — the TREC run/qrels contract;
+    duplicates would double-count hits.
 
     Definitions (standard TREC forms):
 
