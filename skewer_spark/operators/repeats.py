@@ -73,46 +73,54 @@ def hot_ngram_stats(
     excision verdict.  Documents shorter than ``n`` tokens yield
     ``n_grams = 0`` and are never flagged.
     """
-    d = df.select(
-        F.col(id_col).alias("doc_id"),
-        _distinct_grams(text_col, n).alias("grams"),
-    ).select(
-        "doc_id",
-        "grams",
-        F.size("grams").cast("bigint").alias("n_grams"),
+    # per-doc stats come from the exploded frame itself (n_grams = its
+    # per-doc row count), so the gram build runs twice (the pruned
+    # doc-frequency branch and the join branch differ in projection —
+    # no exchange reuse; narrow recompute, cheaper than persisting the
+    # exploded corpus) instead of three times as the earlier
+    # join-back-to-docs shape did; the only extra scan is the
+    # id-column-pruned `ids` frame that re-admits short docs with zero
+    # grams (it never touches text or the gram expressions)
+    ex = (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(_distinct_grams(text_col, n)).alias("gram"),
+        )
+        .select("doc_id", F.xxhash64("gram").alias("gk"))
     )
-    ex = d.select(
-        "doc_id", F.explode("grams").alias("gram")
-    ).select("doc_id", F.xxhash64("gram").alias("gk"))
     hot = (
         ex.groupBy("gk")
         .agg(F.count(F.lit(1)).alias("df_docs"))
         .filter(F.col("df_docs") >= min_docs)
-        .select("gk")
+        .select("gk", F.lit(1).alias("_h"))
     )
-    hits = (
-        ex.join(hot, "gk")
+    per = (
+        ex.join(hot, "gk", "left")
         .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_hot"))
-    )
-    return (
-        d.select("doc_id", "n_grams")
-        .join(hits, "doc_id", "left")
-        .select(
-            "doc_id",
-            "n_grams",
-            F.coalesce(F.col("n_hot"), F.lit(0)).cast("bigint").alias("n_hot"),
-            F.round(
-                F.coalesce(F.col("n_hot"), F.lit(0)).cast("double")
-                / F.greatest(F.col("n_grams"), F.lit(1)).cast("double"),
-                4,
-            ).alias("hot_frac"),
-            (
-                F.coalesce(F.col("n_hot"), F.lit(0)).cast("double")
-                / F.greatest(F.col("n_grams"), F.lit(1)).cast("double")
-                >= F.lit(float(flag_frac))
-            ).alias("flagged"),
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.coalesce(F.col("_h"), F.lit(0))).alias("n_hot"),
         )
+    )
+    ids = df.select(F.col(id_col).alias("doc_id"))
+    return ids.join(per, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("n_grams"), F.lit(0)).cast("bigint").alias("n_grams"),
+        F.coalesce(F.col("n_hot"), F.lit(0)).cast("bigint").alias("n_hot"),
+        F.round(
+            F.coalesce(F.col("n_hot"), F.lit(0)).cast("double")
+            / F.greatest(F.coalesce(F.col("n_grams"), F.lit(0)), F.lit(1)).cast(
+                "double"
+            ),
+            4,
+        ).alias("hot_frac"),
+        (
+            F.coalesce(F.col("n_hot"), F.lit(0)).cast("double")
+            / F.greatest(F.coalesce(F.col("n_grams"), F.lit(0)), F.lit(1)).cast(
+                "double"
+            )
+            >= F.lit(float(flag_frac))
+        ).alias("flagged"),
     )
 
 
@@ -145,10 +153,18 @@ def line_dedup(
     combines map-side, so a line duplicated 10^9 times (the hottest of
     hot keys: empty lines, "Subscribe to our newsletter") reduces
     inside each map task instead of flooding one reducer the way a
-    ``row_number`` window over the line key would.  The line TEXT rides
-    exactly two exchanges (the keeper join, AQE-skew-join guarded, and
-    the per-doc reassembly groupBy — the latter is irreducible: putting
-    documents back together is a shuffle by doc).  Line identity is
+    ``row_number`` window over the line key would.  The split+explode
+    runs twice (the election branch is column-pruned to the hash
+    triplet, the join branch carries text — different projections, no
+    exchange reuse; narrow recompute beats persisting an exploded
+    corpus).  The line TEXT rides exactly two exchanges (the keeper
+    join, AQE-skew-join guarded, and the per-doc reassembly groupBy —
+    the latter is irreducible: putting documents back together is a
+    shuffle by doc).  Every doc reaches
+    the reassembly (keep flags are computed per line, never filtered
+    before the group), so husks come out with ``n_kept = 0`` WITHOUT a
+    second corpus scan or a fix-up join — ``collect_list`` drops the
+    NULLs the non-kept lines contribute.  Line identity is
     ``xxhash64``: same 8-byte-key/collision-bound contract as
     :func:`hot_ngram_stats`; the sf0.01 oracle dedups on the raw line
     string and hash-matches exactly.
@@ -160,27 +176,26 @@ def line_dedup(
     first = lines.groupBy("lk").agg(
         F.min(F.struct("doc_id", "pos")).alias("keeper")
     )
-    kept = lines.join(first, "lk").where(
+    flagged = lines.join(first, "lk").withColumn(
+        "_keep",
         (F.col("doc_id") == F.col("keeper.doc_id"))
-        & (F.col("pos") == F.col("keeper.pos"))
+        & (F.col("pos") == F.col("keeper.pos")),
     )
-    reassembled = kept.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_kept"),
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "line"))),
-                lambda x: x["line"],
+    return flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        F.sum(F.col("_keep").cast("long")).cast("bigint").alias("n_kept"),
+        F.coalesce(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(F.col("_keep"), F.struct("pos", "line"))
+                        )
+                    ),
+                    lambda x: x["line"],
+                ),
+                sep,
             ),
-            sep,
+            F.lit(""),
         ).alias("text_clean"),
-    )
-    totals = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.size(F.split(F.col(text_col), sep)).cast("bigint").alias("n_lines"),
-    )
-    return totals.join(reassembled, "doc_id", "left").select(
-        "doc_id",
-        "n_lines",
-        F.coalesce(F.col("n_kept"), F.lit(0)).cast("bigint").alias("n_kept"),
-        F.coalesce(F.col("text_clean"), F.lit("")).alias("text_clean"),
     )
