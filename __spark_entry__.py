@@ -7094,7 +7094,8 @@ def oracle_sql() -> dict[str, str]:
         "q_dp_counts": """
             WITH g AS (
               SELECT event_type, count(*) AS n,
-                ('0x' || substr(md5('dp-v1|' || event_type), 1, 8))::BIGINT
+                ('0x' || substr(md5('dp-v1|' ||
+                    coalesce(event_type, chr(1) || '<null>')), 1, 8))::BIGINT
                   / 4294967296.0 AS u
               FROM events GROUP BY event_type
             )

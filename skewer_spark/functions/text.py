@@ -93,8 +93,8 @@ def winnow_fingerprint(c: str = "text", k: int = 8, w: int = 4) -> Column:
     fingerprint string.  Two documents sharing any sufficiently long
     run of characters share window minima, so fingerprints collide on
     partial overlap — unlike :func:`word_fingerprint`, which needs the
-    whole word SET to match.  The hash array is bound to a lambda
-    variable (``transform(array(h), arr -> …)[0]``) so each k-gram is
+    whole word SET to match.  The hash array is lambda-bound
+    (``functions.hof.bind``) so each k-gram is
     md5'd exactly ONCE per row — a plain two-projection split would be
     re-inlined by CollapseProject and pay the md5 ``w`` times per
     position.  md5 (not xxhash64) keeps the DuckDB oracle bit-exact,
@@ -116,7 +116,9 @@ def winnow_fingerprint(c: str = "text", k: int = 8, w: int = 4) -> Column:
         )
         return F.md5(F.array_join(F.array_sort(F.array_distinct(mins)), ""))
 
-    return F.transform(F.array(hashes), winnow)[0]
+    from skewer_spark.functions.hof import bind
+
+    return bind(hashes, winnow)
 
 
 def word_fingerprint(c: str = "text") -> Column:

@@ -877,10 +877,13 @@ def corpus_overlap(
     Scale shape: min is idempotent, so cross-document duplicate tokens
     need NO pre-distinct — the per-corpus min partial-combines
     map-side and the only shuffle moves ``n_corpora x n_digests``
-    8-char strings.  The pair join runs on the n_corpora-row sketch
-    frame (a broadcast nested-loop over rows-you-can-count-by-hand);
-    sketches MERGE by taking element-wise mins, which is how a
-    snapshot's sketch updates incrementally as batches land.
+    8-char strings.  The pair join broadcasts one side explicitly so
+    the inequality join plans as a BroadcastNestedLoopJoin over the
+    n_corpora-row sketch frame — without the hint Spark falls back to
+    a CartesianProduct that re-computes the sketch subtree on both
+    sides (plan-pinned in tests/test_plans.py); sketches MERGE by
+    taking element-wise mins, which is how a snapshot's sketch
+    updates incrementally as batches land.
     """
     toks = df.select(
         F.col(corpus_col).alias("_corpus"),
@@ -902,7 +905,7 @@ def corpus_overlap(
         for i in range(n_hashes)
     )
     return (
-        a.join(b, F.col("corpus_a") < F.col("corpus_b"))
+        a.join(F.broadcast(b), F.col("corpus_a") < F.col("corpus_b"))
         .select(
             "corpus_a",
             "corpus_b",

@@ -120,6 +120,14 @@ def dp_counts(
     NOT ride along (releasing it next to the noisy one would defeat
     the mechanism; callers who need it for tests recompute it).
 
+    SECURITY CAVEAT: determinism moves the secret from an RNG state to
+    the salt.  The ε-DP guarantee holds only against consumers who do
+    NOT know the salt — anyone holding it can recompute and subtract
+    the noise.  Treat the salt like a key: unique per release, stored
+    with the pipeline's secrets, never published next to the release
+    (the driver fixture publishes its salt because its releases guard
+    nothing — it is exercising the mechanism, not the privacy).
+
     Scale shape: one partial-aggregable groupBy on the release keys;
     the noise is a scalar expression over the already-reduced
     per-group frame — zero extra shuffles, no RNG state, no Python.
@@ -129,8 +137,17 @@ def dp_counts(
     if epsilon <= 0:
         raise ValueError(f"epsilon must be positive, got {epsilon}")
     # unit-separator joint key: without it ("ab","c") and ("a","bc")
-    # would draw the SAME noise, correlating two groups' releases
-    key_str = F.concat_ws("\x1f", *[F.col(k).cast("string") for k in keys])
+    # would draw the SAME noise, correlating two groups' releases.
+    # NULL keys get a sentinel BEFORE the join — concat_ws silently
+    # drops NULL arguments (separator included), so (NULL,'a') and
+    # ('a',NULL) would otherwise both key as 'a'
+    key_str = F.concat_ws(
+        "\x1f",
+        *[
+            F.coalesce(F.col(k).cast("string"), F.lit("\x01<null>"))
+            for k in keys
+        ],
+    )
     u = md5_uniform(F.concat(F.lit(salt + "|"), key_str))
     # Laplace inverse CDF around 0: x = -b * sign(u-1/2) * ln(1-2|u-1/2|)
     centered = u - F.lit(0.5)

@@ -34,26 +34,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-
-def _distinct_grams(text_col: str, n: int):
-    from skewer_spark.functions.hof import bind
-
-    # bound split array (functions/hof.py): slicing the raw split
-    # expression inside the per-position lambda re-runs the split per
-    # n-gram — O(n²)/row on long documents
-    def body(tk):
-        n_sh = F.size(tk) - (n - 1)
-        return F.when(
-            n_sh >= 1,
-            F.array_distinct(
-                F.transform(
-                    F.sequence(F.lit(1), n_sh),
-                    lambda i: F.array_join(F.slice(tk, i, n), " "),
-                )
-            ),
-        ).otherwise(F.array().cast("array<string>"))
-
-    return bind(F.split(F.col(text_col), " "), body)
+from skewer_spark.operators.dedup import word_shingles
 
 
 def hot_ngram_stats(
@@ -84,7 +65,7 @@ def hot_ngram_stats(
     ex = (
         df.select(
             F.col(id_col).alias("doc_id"),
-            F.explode(_distinct_grams(text_col, n)).alias("gram"),
+            F.explode(word_shingles(text_col, n)).alias("gram"),
         )
         .select("doc_id", F.xxhash64("gram").alias("gk"))
     )
@@ -169,9 +150,17 @@ def line_dedup(
     :func:`hot_ngram_stats`; the sf0.01 oracle dedups on the raw line
     string and hash-matches exactly.
     """
+    # NULL text reads as empty text: split(NULL) is NULL and
+    # posexplode(NULL) emits ZERO rows, which would silently drop the
+    # document from the output (breaking the every-doc contract and
+    # any row-count compare); coalescing first gives such docs the
+    # single empty line, which then participates in line dedup like
+    # any other line
     lines = df.select(
         F.col(id_col).alias("doc_id"),
-        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "line"),
+        F.posexplode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), sep)
+        ).alias("pos", "line"),
     ).withColumn("lk", F.xxhash64("line"))
     first = lines.groupBy("lk").agg(
         F.min(F.struct("doc_id", "pos")).alias("keeper")

@@ -156,13 +156,14 @@ def fd_violations(
     Returns ``(lhs…, n_rhs_values, n_rows, rhs_min, rhs_max)`` for
     violating groups only (empty frame == dependency holds).
 
-    Scale shape: ONE partial-aggregable groupBy on the lhs key.  The
-    distinct count must be exact (a violation verdict cannot be
-    probabilistic) but it rides the same single shuffle as the
-    min/max witnesses — no count_distinct expansion because there is
-    exactly one distinct-agg and Spark plans it as a two-phase
-    aggregate; NULL rhs is counted as a real level via a sentinel
-    coalesce (an FD violated only by NULLs is still violated).
+    Scale shape: the distinct count must be exact (a violation
+    verdict cannot be probabilistic); with exactly one distinct-agg
+    Spark plans the standard two-round expansion — an exchange on
+    (lhs, rhs) that partially de-duplicates map-side, then the final
+    exchange on lhs carrying the min/max witnesses — i.e. TWO
+    compact-key shuffles and no grouping-sets row explosion.  NULL
+    rhs is counted as a real level via a sentinel coalesce (an FD
+    violated only by NULLs is still violated).
     """
     sent = "\x01<null>"
     r = F.coalesce(F.col(rhs).cast("string"), F.lit(sent))

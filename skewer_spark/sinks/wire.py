@@ -41,8 +41,11 @@ def _let(value: Column, body) -> Column:
     framing would paste their operand subtree O(10) times each, which
     compounds exponentially through nested messages (the naive protobuf
     properties expression copied inner leaves ~11³ times and stalled
-    analysis for minutes)."""
-    return F.transform(F.array(value), body)[0]
+    analysis for minutes).  Delegates to ``functions.hof.bind``, the shared home
+    of the idiom."""
+    from skewer_spark.functions.hof import bind
+
+    return bind(value, body)
 
 
 # ---------------------------------------------------------------------------

@@ -576,3 +576,16 @@ def test_retrieval_metrics_no_window_over_results(spark):
     # ideal-DCG reduces qrels per query independently — no rank window
     assert "Window" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_corpus_overlap_pair_join_is_broadcast_not_cartesian(spark):
+    from skewer_spark.operators.dedup import corpus_overlap
+
+    df = spark.createDataFrame(
+        [("A", "x y"), ("B", "y z")], "corpus string, text string"
+    )
+    plan = _plan(corpus_overlap(df, n_hashes=8), "simple")
+    # without the explicit broadcast the inequality join planned as a
+    # CartesianProduct recomputing the sketch subtree on both sides
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan

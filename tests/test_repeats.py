@@ -295,15 +295,41 @@ def test_ngram_expressions_use_bound_split():
     from skewer_spark.functions.scrub import dup_ngram_ratio
     from skewer_spark.functions.text import char_entropy
     from skewer_spark.operators.dedup import word_shingles
-    from skewer_spark.operators.repeats import _distinct_grams
 
     for col in (
         dup_ngram_ratio(),
         word_shingles("text", 3),
-        _distinct_grams("text", 3),
     ):
         assert "transform(array(split" in str(col)
     # char_entropy folds over the sorted array directly — the sort must
     # be the aggregate's INPUT, never referenced inside its lambdas
     s = str(char_entropy())
     assert "aggregate(array_sort(" in s
+
+
+def test_dp_counts_null_keys_get_distinct_noise(spark):
+    from skewer_spark.operators.privacy import dp_counts
+
+    # (NULL,'a') vs ('a',NULL): concat_ws drops NULLs, so without the
+    # sentinel both groups would key as 'a' and share noise
+    df = spark.createDataFrame(
+        [(None, "a")] * 10 + [("a", None)] * 10 + [("", "a")] * 10,
+        "x string, y string",
+    )
+    out = {(r["x"], r["y"]): r["n_noisy"] for r in
+           dp_counts(df, ["x", "y"], epsilon=1.0).collect()}
+    assert len(out) == 3
+    vals = list(out.values())
+    assert len(set(vals)) == 3        # three distinct draws
+
+
+def test_line_dedup_null_text_doc_is_kept(spark):
+    from skewer_spark.operators.repeats import line_dedup
+
+    df = spark.createDataFrame(
+        [(0, "alpha\nbeta"), (1, None)], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in line_dedup(df).collect()}
+    assert set(out) == {0, 1}          # NULL-text doc NOT dropped
+    assert (out[1]["n_lines"], out[1]["n_kept"]) == (1, 1)
+    assert out[1]["text_clean"] == ""  # its single empty line, kept
