@@ -168,10 +168,13 @@ def char_entropy(c: str = "text") -> Column:
     The compressibility proxy quality gates use (CCNet/RefinedWeb
     family): machine-generated or template spam sits far below natural
     text (~3.5-4.5 bits/char for English), single-char floods near 0.
-    Characters = UTF-16 code units (Java ``split("")``): identical to
-    user-perceived characters for the BMP; astral symbols (emoji)
-    count as two units — fine for a quality PROXY, and the DuckDB
-    oracle agrees on the fixture's BMP text.
+    Characters = Unicode code points: Java's empty-regex ``split("")``
+    advances the regex engine by code point, so surrogate pairs stay
+    intact and astral symbols (emoji) count ONCE each — matching
+    user-perceived characters everywhere except multi-code-point
+    grapheme clusters (flags, ZWJ sequences), which is fine for a
+    quality PROXY; the DuckDB oracle agrees on BMP and astral text
+    alike.
 
     O(n log n) per row and zero shuffle: ``array_sort`` the chars, then
     ONE ``aggregate`` fold over the sorted array tracking (prev char,

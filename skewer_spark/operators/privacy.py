@@ -120,8 +120,19 @@ def dp_counts(
     NOT ride along (releasing it next to the noisy one would defeat
     the mechanism; callers who need it for tests recompute it).
 
-    SECURITY CAVEAT: determinism moves the secret from an RNG state to
-    the salt.  The ε-DP guarantee holds only against consumers who do
+    SECURITY CAVEAT (key domain): noisy counts are released only for
+    groups PRESENT in the data, so the released key set itself leaks
+    presence — a group differing by one row flips between absent and
+    present in the release, which no amount of count noise hides.
+    Strict ε-DP therefore holds only when callers release over a
+    FIXED, PUBLIC key domain: join the output against the public
+    domain (or pass a frame pre-extended with it) so absent groups get
+    noisy zeros instead of silence.  Over data-dependent key sets the
+    guarantee degrades to ε-DP on the counts conditioned on the
+    released keys.
+
+    SECURITY CAVEAT (salt): determinism moves the secret from an RNG
+    state to the salt.  The ε-DP guarantee holds only against consumers who do
     NOT know the salt — anyone holding it can recompute and subtract
     the noise.  Treat the salt like a key: unique per release, stored
     with the pipeline's secrets, never published next to the release

@@ -145,10 +145,19 @@ def line_dedup(
     the reassembly (keep flags are computed per line, never filtered
     before the group), so husks come out with ``n_kept = 0`` WITHOUT a
     second corpus scan or a fix-up join — ``collect_list`` drops the
-    NULLs the non-kept lines contribute.  Line identity is
-    ``xxhash64``: same 8-byte-key/collision-bound contract as
-    :func:`hot_ngram_stats`; the sf0.01 oracle dedups on the raw line
-    string and hash-matches exactly.
+    NULLs the non-kept lines contribute.  Line identity is the PAIR
+    ``(xxhash64(line), line)``: unlike :func:`hot_ngram_stats`, whose
+    collision failure mode is a harmless overcount, a hash-only keeper
+    key here would silently DROP one of two different lines that share
+    a 64-bit hash (content loss, the asymmetric failure mode ADVICE
+    r3 flagged) — so the raw line rides both the election groupBy and
+    the keeper join key.  Scale cost is bounded: the min-struct
+    partial-combines map-side, so the election exchange carries at
+    most one row per distinct line per map task (the 10^9-dup hot line
+    still reduces in place), and the hash prefix keeps the shuffle key
+    cheap to compare for the overwhelmingly-common distinct-hash case.
+    The sf0.01 oracle dedups on the raw line string and hash-matches
+    exactly.
     """
     # NULL text reads as empty text: split(NULL) is NULL and
     # posexplode(NULL) emits ZERO rows, which would silently drop the
@@ -162,10 +171,10 @@ def line_dedup(
             F.split(F.coalesce(F.col(text_col), F.lit("")), sep)
         ).alias("pos", "line"),
     ).withColumn("lk", F.xxhash64("line"))
-    first = lines.groupBy("lk").agg(
+    first = lines.groupBy("lk", "line").agg(
         F.min(F.struct("doc_id", "pos")).alias("keeper")
     )
-    flagged = lines.join(first, "lk").withColumn(
+    flagged = lines.join(first, ["lk", "line"]).withColumn(
         "_keep",
         (F.col("doc_id") == F.col("keeper.doc_id"))
         & (F.col("pos") == F.col("keeper.pos")),

@@ -198,8 +198,13 @@ def encode_file() -> Column:
 # format-name → encoder registry (encoders/encoder.go:57-69).  The avro
 # family and protobuf have no jar in this container, so sinks/wire.py
 # produces both wire formats from the public specs in pure expressions.
+# The binary-avro entries route through encode_avro_auto: byte-identical
+# on either path, but on a jar-equipped cluster the encoding runs in
+# spark-avro's codegen'd JVM serializer instead of the interpreted HOF
+# expressions (parity pinned by tests/test_wire_codecs.py).
 from skewer_spark.sinks.wire import (  # noqa: E402
     encode_avro,
+    encode_avro_auto,
     encode_fullavro,
     encode_fulljsonavro,
     encode_jsonavro,
@@ -213,8 +218,8 @@ ENCODERS = {
     "fulljson": encode_fulljson,
     "file": encode_file,
     "gelf": encode_gelf,
-    "avro": encode_avro,
-    "fullavro": encode_fullavro,
+    "avro": lambda: encode_avro_auto(full=False),
+    "fullavro": lambda: encode_avro_auto(full=True),
     "jsonavro": encode_jsonavro,
     "fulljsonavro": encode_fulljsonavro,
     "protobuf": encode_protobuf,

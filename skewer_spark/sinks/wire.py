@@ -357,3 +357,149 @@ def encode_protobuf() -> Column:
         _pb_str_field(0x62, "message"),
         _pb_len_field(0x6A, pb_properties(_properties_map())),
     )
+
+
+# ---------------------------------------------------------------------------
+# spark-avro JVM fast path (VERDICT r3 "Next round" #3)
+#
+# The pure-expression encoders above are correct and linearly scalable,
+# but interpreted higher-order expressions are the costliest per-row
+# work in the repo (q_encode_fullavro ~3.9 s at sf0.1 vs ~0.3-1.7 s for
+# text encoders).  Where the external spark-avro module jar is on the
+# classpath, `to_avro` runs the same encoding inside codegen'd JVM
+# serializers.  Mirrors the spark-protobuf pattern
+# (operators/decode_protobuf.py:327-465): probe, prefer the jar,
+# ALWAYS keep the pure expression as the no-dependency fallback, and
+# pin byte-parity between the two with a test that runs on whichever
+# path the deployment has (tests/test_wire_codecs.py).
+#
+# Byte-parity holds by construction: binary Avro has no field names, so
+# only field ORDER and types matter (mirrored 1:1 from the encoders
+# above = the .avsc declarations, reference avro/syslogmessage.avsc /
+# fullmessage.avsc); Avro's default (non-blocking) BinaryEncoder emits
+# maps as one positive-count block + 0x00 terminator, exactly the
+# `_avro_map` layout; and entry order is pinned by key-sorting the
+# catalyst map entries before `to_avro`, matching `_by_key`.
+# ---------------------------------------------------------------------------
+
+SYSLOG_AVSC = (
+    '{"type":"record","name":"SyslogMessage","namespace":"skw","fields":['
+    '{"name":"Facility","type":"string"},'
+    '{"name":"Severity","type":"string"},'
+    '{"name":"TimeReported","type":"string"},'
+    '{"name":"TimeGenerated","type":"string"},'
+    '{"name":"Hostname","type":"string"},'
+    '{"name":"Appname","type":"string"},'
+    '{"name":"Procid","type":"string"},'
+    '{"name":"Msgid","type":"string"},'
+    '{"name":"Message","type":"string"},'
+    '{"name":"Properties","type":{"type":"map","values":'
+    '{"type":"map","values":"string"}}}]}'
+)
+
+FULL_AVSC = (
+    '{"type":"record","name":"FullMessage","namespace":"skw","fields":['
+    '{"name":"ClientAddr","type":"string"},'
+    '{"name":"SourceType","type":"string"},'
+    '{"name":"SourcePath","type":"string"},'
+    '{"name":"SourcePort","type":"long"},'
+    '{"name":"Uid","type":"string"},'
+    '{"name":"Fields","type":' + SYSLOG_AVSC + "}]}"
+)
+
+
+def avro_jar_available(spark) -> bool:
+    """True iff the spark-avro connector classes are on the JVM
+    classpath (spark-avro is an external module, not part of core
+    Spark — the bundled avro-1.x jars are Spark's internal Avro
+    runtime and do NOT provide ``to_avro``/``from_avro``)."""
+    try:
+        spark._jvm.java.lang.Class.forName(
+            "org.apache.spark.sql.avro.CatalystDataToAvro"
+        )
+        return True
+    except Exception:
+        return False
+
+
+def _sorted_map(m: Column) -> Column:
+    """map → entry-order = key-sorted (catalyst maps preserve the
+    construction order `map_from_entries` is given, which to_avro then
+    writes verbatim — pinning the same order `_by_key` gives the pure
+    encoder)."""
+    return F.map_from_entries(F.array_sort(F.map_entries(m), _by_key))
+
+
+def _sorted_props() -> Column:
+    empty = F.from_json(F.lit("{}"), "map<string,map<string,string>>")
+    m = F.coalesce(_properties_map(), empty)
+    return _sorted_map(
+        F.map_from_entries(
+            F.transform(
+                F.map_entries(m),
+                lambda e: F.struct(
+                    e["key"].alias("key"),
+                    _sorted_map(F.coalesce(e["value"], F.from_json(
+                        F.lit("{}"), "map<string,string>"
+                    ))).alias("value"),
+                ),
+            )
+        )
+    )
+
+
+def _avro_syslog_struct() -> Column:
+    """Catalyst struct in SYSLOG_AVSC field order (the encode_avro()
+    concat order), nulls coalesced exactly as avro_str/rfc3339nano do."""
+    return F.struct(
+        F.coalesce("facility_name", F.lit("")).alias("Facility"),
+        F.coalesce("severity_name", F.lit("")).alias("Severity"),
+        rfc3339nano("time_reported").alias("TimeReported"),
+        rfc3339nano("time_generated").alias("TimeGenerated"),
+        F.coalesce("hostname", F.lit("")).alias("Hostname"),
+        F.coalesce("appname", F.lit("")).alias("Appname"),
+        F.coalesce("procid", F.lit("")).alias("Procid"),
+        F.coalesce("msgid", F.lit("")).alias("Msgid"),
+        F.coalesce("message", F.lit("")).alias("Message"),
+        _sorted_props().alias("Properties"),
+    )
+
+
+def encode_avro_jvm() -> Column:
+    """JVM-codegen twin of :func:`encode_avro` via spark-avro's
+    ``to_avro``.  Requires the jar (:func:`avro_jar_available`)."""
+    from pyspark.sql.avro.functions import to_avro
+
+    return to_avro(_avro_syslog_struct(), SYSLOG_AVSC)
+
+
+def encode_fullavro_jvm() -> Column:
+    """JVM-codegen twin of :func:`encode_fullavro`."""
+    from pyspark.sql.avro.functions import to_avro
+
+    rec = F.struct(
+        F.coalesce("client_addr", F.lit("")).alias("ClientAddr"),
+        F.coalesce("source_type", F.lit("")).alias("SourceType"),
+        F.coalesce("source_path", F.lit("")).alias("SourcePath"),
+        F.coalesce(F.col("source_port").cast("long"), F.lit(0).cast("long"))
+        .alias("SourcePort"),
+        F.coalesce("uid", F.lit("")).alias("Uid"),
+        _avro_syslog_struct().alias("Fields"),
+    )
+    return to_avro(rec, FULL_AVSC)
+
+
+def encode_avro_auto(spark=None, full: bool = False) -> Column:
+    """encode_avro/encode_fullavro, JVM jar path when available.
+
+    Same contract note as ``parse_protobuf(allow_jvm=...)``: the two
+    paths are byte-identical (unlike the protobuf pair's JSON-escaping
+    difference), so auto-switching is safe even under byte-level
+    oracle compares."""
+    if spark is None:
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.getActiveSession()
+    if spark is not None and avro_jar_available(spark):
+        return encode_fullavro_jvm() if full else encode_avro_jvm()
+    return encode_fullavro() if full else encode_avro()

@@ -433,3 +433,75 @@ def test_registry_complete():
     for name in ("avro", "fullavro", "jsonavro", "fulljsonavro", "protobuf"):
         assert name in ENCODERS and name in MIMETYPES
     assert MIMETYPES["protobuf"] == "application/vnd.google.protobuf"
+
+
+# ---------------------------------------------------------------------------
+# spark-avro JVM fast path (VERDICT r3 #3): parity on whichever path the
+# deployment has.  Without the external spark-avro jar (this sandbox),
+# encode_avro_auto must resolve to the pure-expression encoder — the
+# test then pins that selection AND that the auto column is byte-equal
+# to the pure one.  With the jar, the same assertions become the real
+# JVM-vs-pure byte-parity check, plus a from_avro roundtrip.
+# ---------------------------------------------------------------------------
+
+def test_avro_auto_byte_parity_whichever_path(frame, spark):
+    from skewer_spark.sinks.wire import (
+        avro_jar_available,
+        encode_avro_auto,
+    )
+
+    has_jar = avro_jar_available(spark)
+    for full in (False, True):
+        pure = _rows(frame, encode_fullavro() if full else encode_avro())
+        auto = _rows(frame, encode_avro_auto(spark, full=full))
+        assert {k: bytes(v) for k, v in auto.items()} == {
+            k: bytes(v) for k, v in pure.items()
+        }, f"auto path (jar={has_jar}, full={full}) diverged from pure bytes"
+
+
+def test_avro_jvm_parity_and_roundtrip(frame, spark):
+    from skewer_spark.sinks.wire import (
+        FULL_AVSC,
+        avro_jar_available,
+        encode_avro_jvm,
+        encode_fullavro_jvm,
+    )
+
+    if not avro_jar_available(spark):
+        pytest.skip("spark-avro module jar not on classpath")
+    jvm = _rows(frame, encode_avro_jvm())
+    pure = _rows(frame, encode_avro())
+    assert {k: bytes(v) for k, v in jvm.items()} == {
+        k: bytes(v) for k, v in pure.items()
+    }
+    jvm_full = _rows(frame, encode_fullavro_jvm())
+    pure_full = _rows(frame, encode_fullavro())
+    assert {k: bytes(v) for k, v in jvm_full.items()} == {
+        k: bytes(v) for k, v in pure_full.items()
+    }
+    # decode the PURE bytes with the jar's from_avro: proves the pure
+    # wire format is schema-valid Avro, not merely self-consistent
+    from pyspark.sql.avro.functions import from_avro
+
+    dec = frame.select(
+        "event_id",
+        from_avro(encode_fullavro(), FULL_AVSC).alias("r"),
+    ).collect()
+    by_id = {r.event_id: r.r for r in dec}
+    assert by_id[1].Uid == "UIDX" and by_id[1].SourcePort == 1514
+    assert by_id[1].Fields.Message == "hello world"
+
+
+def test_avro_auto_selection_matches_jar_presence(frame, spark):
+    """Pin WHICH path auto picks: the compiled plan of the jar path
+    contains the avro expression node, the pure path is a concat of
+    codegen string expressions."""
+    from skewer_spark.sinks.wire import avro_jar_available, encode_avro_auto
+
+    plan = frame.select(
+        encode_avro_auto(spark).alias("enc")
+    )._jdf.queryExecution().analyzed().toString()
+    if avro_jar_available(spark):
+        assert "to_avro" in plan or "CatalystDataToAvro" in plan
+    else:
+        assert "to_avro" not in plan and "CatalystDataToAvro" not in plan
