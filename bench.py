@@ -9,9 +9,16 @@ local parquet.
 Also times every __spark_entry__ query at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) with a noop-materialized write.
 
-Prints ONE JSON line:
+Prints ONE COMPACT JSON line LAST on stdout:
 {"metric": ..., "value": <pipeline sec>, "unit": "sec",
- "queries": {...}, "sf": ..., "rows": ..., "rows_per_sec": ...}
+ "sf": ..., "rows": ..., "rows_per_sec": ..., "n_queries": ...,
+ "queries_total_sec": ..., "queries": <top-5 slowest only>}
+
+The full 160-entry per-query timing map goes to the sidecar file
+BENCH_queries.json next to this script (VERDICT r3 "What's wrong" #1:
+the full map overflowed the driver's output-tail capture, so
+BENCH_r03.json recorded "parsed": null — the headline line must stay
+small and LAST).
 """
 
 from __future__ import annotations
@@ -114,16 +121,32 @@ def main() -> None:
                 qtimes[name] = -1.0
                 print(f"# bench query {name} failed: {e}", file=sys.stderr)
 
+        # full per-query map → sidecar file (too big for the driver's
+        # stdout-tail capture); compact headline JSON → LAST stdout line
+        sidecar = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_queries.json"
+        )
+        with open(sidecar, "w") as f:
+            json.dump(qtimes, f, indent=1, sort_keys=True)
+        ok = {k: v for k, v in qtimes.items() if v >= 0}
+        slowest = dict(
+            sorted(ok.items(), key=lambda kv: -kv[1])[:5]
+        )
         result = {
             "metric": "end-to-end parse+enrich+route+sink+aggregate wall sec "
                       f"({n_rows} turns, local[{CPUS}])",
             "value": round(pipeline_sec, 3),
             "unit": "sec",
-            "queries": qtimes,
             "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
             "rows": n_rows,
             "rows_per_sec": round(n_rows / pipeline_sec),
+            "n_queries": len(qtimes),
+            "n_failed": len(qtimes) - len(ok),
+            "queries_total_sec": round(sum(ok.values()), 1),
+            "queries": slowest,
+            "queries_full": "BENCH_queries.json",
         }
+        sys.stdout.flush()
         print(json.dumps(result))
     finally:
         shutil.rmtree(work, ignore_errors=True)
