@@ -163,3 +163,28 @@ def test_snapshot_diff_consumer(spark, tmp_path):
     n = verdicts.count()
     assert n > 0
     assert verdicts.filter(F.col("new_id").isNull()).count() == 0
+
+
+def test_corpus_read_prunes_batch_partitions(spark, tmp_path):
+    """The batch < k corpus filter must reach the parquet scan as a
+    PARTITION filter (directory pruning), not a post-scan row filter —
+    at 10^12 docs the store holds thousands of batch directories and a
+    retried batch must not even list the excluded ones' files."""
+    import io
+    import contextlib
+
+    work = str(tmp_path / "w")
+    process_increment(_docs(spark, B0), 0, work)
+    process_increment(_docs(spark, B1), 1, work)
+    corpus = read_corpus_sigs(spark, os.path.join(work, "corpus_sigs"), 1)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        corpus.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan and "batch" in plan.split(
+        "PartitionFilters", 1
+    )[1].split("]", 1)[0]
+    # and the pruned read returns exactly batch 0's novel docs
+    assert sorted(r.doc_id for r in corpus.collect()) == [
+        "a0", "a1", "a2", "a3",
+    ]
