@@ -144,9 +144,14 @@ def main(
 if __name__ == "__main__":
     argv = sys.argv[1:]
     json_out = None
+    sf_dir = "/root/testdata/sf0.01"
     if "--json" in argv:
         i = argv.index("--json")
         json_out = argv[i + 1]
         argv = argv[:i] + argv[i + 2:]
+    if "--sf" in argv:
+        i = argv.index("--sf")
+        sf_dir = argv[i + 1]
+        argv = argv[:i] + argv[i + 2:]
     only = argv or None
-    sys.exit(1 if main(only=only, json_out=json_out) else 0)
+    sys.exit(1 if main(sf_dir, only=only, json_out=json_out) else 0)
