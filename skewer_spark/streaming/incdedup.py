@@ -78,10 +78,18 @@ def read_corpus_sigs(
     The ``batch < before_batch`` filter is partition pruning on the
     directory layout — Spark never opens the excluded batches' files —
     and is also the retry-safety barrier (module docstring)."""
+    from pyspark.errors import AnalysisException
+
     try:
         df = spark.read.option("basePath", corpus_dir).parquet(corpus_dir)
-    except Exception:
-        return spark.createDataFrame([], _sig_schema(n_hashes))
+    except AnalysisException as e:
+        # ONLY a missing/empty store means "no corpus yet"; any other
+        # read failure (corrupt file, permission, bad schema) must
+        # surface — silently treating a broken store as empty would
+        # under-dedup every subsequent increment
+        if "PATH_NOT_FOUND" in str(e) or "UNABLE_TO_INFER_SCHEMA" in str(e):
+            return spark.createDataFrame([], _sig_schema(n_hashes))
+        raise
     return (
         df.filter(F.col("batch") < F.lit(before_batch))
         .select("doc_id", *[f"mh_{i}" for i in range(n_hashes)])
