@@ -505,3 +505,101 @@ def test_avro_auto_selection_matches_jar_presence(frame, spark):
         assert "to_avro" in plan or "CatalystDataToAvro" in plan
     else:
         assert "to_avro" not in plan and "CatalystDataToAvro" not in plan
+
+
+# ---------------------------------------------------------------------------
+# seeded fuzz: avro binary codec vs the independent spec reader (r4).
+# The golden tests pin hand-derived vectors; this drives the encoder
+# across 300 randomized records — unicode (incl. astral plane), empty
+# and NULL fields, empty/nested property maps, random timestamps — and
+# round-trips every byte through the spec-based reader above.
+# ---------------------------------------------------------------------------
+
+def _rfc3339nano_expected(dt) -> str:
+    """Independent re-derivation of Go time.RFC3339Nano (UTC, trailing
+    zeros trimmed from the fraction; epoch for NULL)."""
+    if dt is None:
+        return "1970-01-01T00:00:00Z"
+    frac = f"{dt.microsecond:06d}".rstrip("0")
+    base = dt.strftime("%Y-%m-%dT%H:%M:%S")
+    return base + ("." + frac if frac else "") + "Z"
+
+
+def test_avro_fuzz_roundtrip(spark):
+    import datetime
+    import random
+
+    rng = random.Random(0xA5_0401)
+    alphabet = (
+        "abcXYZ 019 _-:/"
+        "éß中Ж☃"  # é ß 中 Ж ☃
+        "\U0001F600\U0001F680"            # astral: 😀 🚀
+    )
+
+    def rnd_str(maxlen=24):
+        if rng.random() < 0.15:
+            return ""
+        if rng.random() < 0.08:
+            return None
+        return "".join(
+            rng.choice(alphabet) for _ in range(rng.randrange(1, maxlen))
+        )
+
+    def rnd_props():
+        if rng.random() < 0.25:
+            return None
+        out = {}
+        for _ in range(rng.randrange(0, 4)):
+            inner = {
+                f"k{rng.randrange(10)}é"[: rng.randrange(1, 8)]:
+                    (rnd_str(10) or "")
+                for _ in range(rng.randrange(0, 4))
+            }
+            out[f"ns{rng.randrange(6)}"] = inner
+        return out
+
+    rows = []
+    for i in range(300):
+        ts = (
+            None if rng.random() < 0.1
+            else datetime.datetime(2020, 1, 1)
+            + datetime.timedelta(
+                seconds=rng.randrange(0, 200_000_000),
+                microseconds=rng.randrange(0, 1_000_000),
+            )
+        )
+        props = rnd_props()
+        rows.append(
+            (
+                i, rnd_str(), rnd_str(), rnd_str(), rnd_str(), rnd_str(),
+                rnd_str(), rnd_str(),
+                json.dumps(props, ensure_ascii=False)
+                if props is not None else None,
+                ts, ts,
+            )
+        )
+    df = spark.createDataFrame(
+        rows,
+        "event_id int, facility_name string, severity_name string,"
+        " hostname string, appname string, procid string, msgid string,"
+        " message string, properties_json string,"
+        " time_reported timestamp, time_generated timestamp",
+    )
+    enc = {
+        r.event_id: bytes(r.enc)
+        for r in df.select("event_id", encode_avro().alias("enc")).collect()
+    }
+    for i, row in enumerate(rows):
+        rec, used = read_avro_syslog(enc[i])
+        assert used == len(enc[i]), f"row {i}: trailing bytes"
+        expect_props = json.loads(row[8]) if row[8] is not None else {}
+        assert rec["Facility"] == (row[1] or "")
+        assert rec["Severity"] == (row[2] or "")
+        assert rec["Hostname"] == (row[3] or "")
+        assert rec["Appname"] == (row[4] or "")
+        assert rec["Procid"] == (row[5] or "")
+        assert rec["Msgid"] == (row[6] or "")
+        assert rec["Message"] == (row[7] or "")
+        assert rec["Properties"] == expect_props, f"row {i}"
+        assert rec["TimeReported"] == _rfc3339nano_expected(row[9]), f"row {i}"
+        assert rec["TimeGenerated"] == _rfc3339nano_expected(row[10])
