@@ -269,6 +269,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             encode_rfc5424().alias("encoded"),
         )
 
+    def q_encode_rfc3164(spark, sf):
+        # BSD-syslog re-emit (encoders/rfc3164.go): '<pri>Stamp host
+        # app[pid]: msg' with Go's space-padded 'Jan _2' Stamp and the
+        # localhost fallback — the legacy-relay output leg.  Upgrades
+        # the encoder from golden-vector-only to oracle-paired (r4).
+        from skewer_spark.sinks.encoders import encode_rfc3164
+        r = _routed_events(spark, sf)
+        return r.select(
+            F.col("turn_idx").cast("long").alias("event_id"),
+            encode_rfc3164().alias("encoded"),
+        )
+
+    def q_encode_file(spark, sf):
+        # file-sink line format: 'ISO host app msg' with '-' dashes for
+        # empty host/app (encoders/encoder.go file leg).  Oracle-paired
+        # in r4 (was covered only via the sink-layout tests).
+        from skewer_spark.sinks.encoders import encode_file
+        r = _routed_events(spark, sf)
+        return r.select(
+            F.col("turn_idx").cast("long").alias("event_id"),
+            encode_file().alias("encoded"),
+        )
+
     def q_encode_json(spark, sf):
         from skewer_spark.sinks.encoders import encode_json
         r = _routed_events(spark, sf)
@@ -2940,6 +2963,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bpe_tokens": q_bpe_tokens,
         "q_winnow_fp": q_winnow_fp,
         "q_encode_json": q_encode_json,
+        "q_encode_rfc3164": q_encode_rfc3164,
+        "q_encode_file": q_encode_file,
         "q_encode_fulljson": q_encode_fulljson,
         "q_encode_fullavro": q_encode_fullavro,
         "q_encode_jsonavro": q_encode_jsonavro,
@@ -3018,6 +3043,34 @@ def oracle_sql() -> dict[str, str]:
       (CASE WHEN p_msgid = '' THEN uid ELSE p_msgid END) || ' ' ||
       (CASE WHEN shape = 0 AND ok THEN '[meta k="v"]' ELSE '-' END) ||
       (CASE WHEN message = '' THEN '' ELSE ' ' || message END) AS encoded
+    FROM routed
+    """
+
+    encode_3164 = f"""
+    {EV_PRELUDE}
+    SELECT event_id,
+      '<' || (CASE WHEN ok THEN pri ELSE 0 END) || '>' ||
+      strftime(coalesce(time_reported, ts), '%b') ||
+      (CASE WHEN date_part('day', coalesce(time_reported, ts)) < 10
+            THEN '  ' ELSE ' ' END) ||
+      date_part('day', coalesce(time_reported, ts))::varchar || ' ' ||
+      strftime(coalesce(time_reported, ts), '%H:%M:%S') || ' ' ||
+      (CASE WHEN trim(hostname) = '' THEN 'localhost'
+            ELSE trim(hostname) END) || ' ' ||
+      appname ||
+      (CASE WHEN length(trim(procid)) > 0
+            THEN '[' || trim(procid) || ']' ELSE '' END) ||
+      ': ' || message AS encoded
+    FROM routed
+    """
+
+    encode_file_sql = f"""
+    {EV_PRELUDE}
+    SELECT event_id,
+      strftime(coalesce(time_reported, ts), '%Y-%m-%dT%H:%M:%SZ') || ' ' ||
+      (CASE WHEN hostname = '' THEN '-' ELSE hostname END) || ' ' ||
+      (CASE WHEN appname = '' THEN '-' ELSE appname END) || ' ' ||
+      message AS encoded
     FROM routed
     """
 
@@ -3667,6 +3720,8 @@ def oracle_sql() -> dict[str, str]:
             FROM routed GROUP BY event_type
         """,
         "q_encode_rfc5424": encode_5424,
+        "q_encode_rfc3164": encode_3164,
+        "q_encode_file": encode_file_sql,
         "q_encode_json": encode_json_sql,
         "q_encode_fulljson": encode_fulljson_sql,
         "q_encode_avro": encode_avro_sql,
