@@ -292,6 +292,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             encode_file().alias("encoded"),
         )
 
+    def q_encode_gelf(spark, sf):
+        # GELF 1.1 JSON re-emit (encoders/gelf.go): version/host/
+        # short_message/epoch-seconds timestamp/level + underscore
+        # extras, empty extras dropped.  The oracle re-derives Java's
+        # shortest-double rendering of the integral-second timestamp
+        # ("1.70407354E9") in pure SQL — valid for any epoch in
+        # [1e9, 1e10), i.e. 2001-2286.  Oracle-paired r4 (was
+        # golden-tested only).
+        from skewer_spark.sinks.encoders import encode_gelf
+        r = _routed_events(spark, sf)
+        return r.select(
+            F.col("turn_idx").cast("long").alias("event_id"),
+            encode_gelf().alias("encoded"),
+        )
+
     def q_encode_json(spark, sf):
         from skewer_spark.sinks.encoders import encode_json
         r = _routed_events(spark, sf)
@@ -2964,6 +2979,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_winnow_fp": q_winnow_fp,
         "q_encode_json": q_encode_json,
         "q_encode_rfc3164": q_encode_rfc3164,
+        "q_encode_gelf": q_encode_gelf,
         "q_encode_file": q_encode_file,
         "q_encode_fulljson": q_encode_fulljson,
         "q_encode_fullavro": q_encode_fullavro,
@@ -3072,6 +3088,51 @@ def oracle_sql() -> dict[str, str]:
       (CASE WHEN appname = '' THEN '-' ELSE appname END) || ' ' ||
       message AS encoded
     FROM routed
+    """
+
+    # Java shortest-double rendering of an integral epoch-second double
+    # in [1e9, 1e10): '1.7040672E9' — first digit, '.', remaining
+    # digits trailing-zero-trimmed ('0' when all zeros), 'E9'
+    gelf_ts = """
+      substr(es, 1, 1) || '.' ||
+      (CASE WHEN rtrim(substr(es, 2), '0') = '' THEN '0'
+            ELSE rtrim(substr(es, 2), '0') END) || 'E9'
+    """
+    encode_gelf_sql = f"""
+    {EV_PRELUDE}
+    , gelf AS (
+      SELECT *, floor(epoch(coalesce(time_reported, ts)))::bigint::varchar AS es
+      FROM routed
+    )
+    SELECT event_id,
+      '{{"version":"1.1","host":"' || hostname ||
+      '","short_message":"' || message ||
+      '","timestamp":' || {gelf_ts} ||
+      ',"level":' || severity ||
+      ',"_facility":"' ||
+      (CASE WHEN facility = 0 THEN 'kern' WHEN facility = 1 THEN 'user'
+        WHEN facility = 2 THEN 'mail' WHEN facility = 3 THEN 'daemon'
+        WHEN facility = 4 THEN 'auth' WHEN facility = 5 THEN 'syslog'
+        WHEN facility = 6 THEN 'lpr' WHEN facility = 7 THEN 'news'
+        WHEN facility = 8 THEN 'uucp' WHEN facility = 9 THEN 'clock'
+        WHEN facility = 10 THEN 'authpriv' WHEN facility = 11 THEN 'ftp'
+        WHEN facility = 12 THEN 'ntp' WHEN facility = 13 THEN 'logaudit'
+        WHEN facility = 14 THEN 'logalert' WHEN facility = 15 THEN 'cron'
+        WHEN facility = 16 THEN 'local0' WHEN facility = 17 THEN 'local1'
+        WHEN facility = 18 THEN 'local2' WHEN facility = 19 THEN 'local3'
+        WHEN facility = 20 THEN 'local4' WHEN facility = 21 THEN 'local5'
+        WHEN facility = 22 THEN 'local6' WHEN facility = 23 THEN 'local7'
+        ELSE 'user' END) || '"' ||
+      (CASE WHEN appname = '' THEN ''
+            ELSE ',"_appname":"' || appname || '"' END) ||
+      (CASE WHEN procid = '' THEN ''
+            ELSE ',"_procid":"' || procid || '"' END) ||
+      ',"_msgid":"' ||
+      (CASE WHEN p_msgid = '' THEN uid ELSE p_msgid END) || '"' ||
+      (CASE WHEN shape = 0 AND ok
+            THEN ',"_properties":{{"meta":{{"k":"v"}}}}' ELSE '' END) ||
+      '}}' AS encoded
+    FROM gelf
     """
 
     # the Regular JSON body over the oracle's `routed` CTE — shared by
@@ -3721,6 +3782,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_encode_rfc5424": encode_5424,
         "q_encode_rfc3164": encode_3164,
+        "q_encode_gelf": encode_gelf_sql,
         "q_encode_file": encode_file_sql,
         "q_encode_json": encode_json_sql,
         "q_encode_fulljson": encode_fulljson_sql,
