@@ -820,6 +820,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             sk, (0.5, 0.95, 0.99), key_cols=["event_type"]
         )
 
+    def q_frame_octet(spark, sf):
+        # RFC6587 octet-counting framing round-trip (tcp.go:304-334):
+        # even event_ids arrive framed ('<len> <pri>msg'), odd ones
+        # bare (LF-framing fallback); strip_octet_count must remove
+        # exactly the prefix on framed lines and pass bare lines
+        # through byte-identically.  Oracle-paired r4 (was
+        # pytest-golden only).
+        from skewer_spark.sources.misc import strip_octet_count
+        ev = _read(spark, sf, "events")
+        msg = F.concat(
+            F.lit("<"), F.pmod("event_id", F.lit(192)).cast("string"),
+            F.lit(">"), F.col("event_type"), F.lit(" msg "),
+            F.col("event_id").cast("string"),
+        )
+        framed = F.when(
+            F.pmod("event_id", F.lit(2)) == 0,
+            F.concat(F.length(msg).cast("string"), F.lit(" "), msg),
+        ).otherwise(msg)
+        return ev.select(
+            F.col("event_id").cast("long").alias("event_id"),
+            framed.alias("framed"),
+            strip_octet_count(framed).alias("stripped"),
+        )
+
     def q_multiline(spark, sf):
         # stack-trace reassembly: continuation lines ('  at …') fold
         # into the preceding header; the oracle replays the running
@@ -2980,6 +3004,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_encode_json": q_encode_json,
         "q_encode_rfc3164": q_encode_rfc3164,
         "q_encode_gelf": q_encode_gelf,
+        "q_frame_octet": q_frame_octet,
         "q_encode_file": q_encode_file,
         "q_encode_fulljson": q_encode_fulljson,
         "q_encode_fullavro": q_encode_fullavro,
@@ -3078,6 +3103,26 @@ def oracle_sql() -> dict[str, str]:
             THEN '[' || trim(procid) || ']' ELSE '' END) ||
       ': ' || message AS encoded
     FROM routed
+    """
+
+
+    frame_octet = """
+    WITH m AS (
+      SELECT event_id,
+        '<' || (event_id % 192) || '>' || event_type || ' msg ' || event_id
+          AS msg
+      FROM events
+    ), f AS (
+      SELECT event_id,
+        CASE WHEN event_id % 2 = 0
+             THEN length(msg)::varchar || ' ' || msg ELSE msg END AS framed
+      FROM m
+    )
+    SELECT event_id, framed,
+      CASE WHEN regexp_matches(framed, '^[0-9]+ <')
+           THEN regexp_replace(framed, '^[0-9]+ ', '') ELSE framed END
+        AS stripped
+    FROM f
     """
 
     encode_file_sql = f"""
@@ -3783,6 +3828,7 @@ def oracle_sql() -> dict[str, str]:
         "q_encode_rfc5424": encode_5424,
         "q_encode_rfc3164": encode_3164,
         "q_encode_gelf": encode_gelf_sql,
+        "q_frame_octet": frame_octet,
         "q_encode_file": encode_file_sql,
         "q_encode_json": encode_json_sql,
         "q_encode_fulljson": encode_fulljson_sql,
