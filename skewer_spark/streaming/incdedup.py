@@ -80,14 +80,34 @@ def read_corpus_sigs(
     and is also the retry-safety barrier (module docstring)."""
     from pyspark.errors import AnalysisException
 
+    # Existence probed through the Hadoop FileSystem API rather than by
+    # pattern-matching AnalysisException text — error-class strings vary
+    # across Spark versions, and misclassifying a real read failure as
+    # "no corpus yet" would silently under-dedup every increment
+    # (ADVICE r4).  One driver-side RPC; no data is read.
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(corpus_dir)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(jpath):
+        return spark.createDataFrame([], _sig_schema(n_hashes))
+
     try:
         df = spark.read.option("basePath", corpus_dir).parquet(corpus_dir)
     except AnalysisException as e:
-        # ONLY a missing/empty store means "no corpus yet"; any other
-        # read failure (corrupt file, permission, bad schema) must
-        # surface — silently treating a broken store as empty would
-        # under-dedup every subsequent increment
-        if "PATH_NOT_FOUND" in str(e) or "UNABLE_TO_INFER_SCHEMA" in str(e):
+        # The dir exists but holds no parquet footers yet (created-empty
+        # store).  Classify by the structured error class, not message
+        # text; anything else (corrupt file, permission, bad schema)
+        # must surface.
+        klass = None
+        for probe in ("getCondition", "getErrorClass"):
+            fn = getattr(e, probe, None)
+            if callable(fn):
+                try:
+                    klass = fn()
+                except Exception:
+                    klass = None
+                if klass:
+                    break
+        if klass == "UNABLE_TO_INFER_SCHEMA":
             return spark.createDataFrame([], _sig_schema(n_hashes))
         raise
     return (
