@@ -14,11 +14,14 @@ Prints ONE COMPACT JSON line LAST on stdout:
  "sf": ..., "rows": ..., "rows_per_sec": ..., "n_queries": ...,
  "queries_total_sec": ..., "queries": <top-5 slowest only>}
 
-The full 160-entry per-query timing map goes to the sidecar file
+The full per-query timing map goes to the sidecar file
 BENCH_queries.json next to this script (VERDICT r3 "What's wrong" #1:
 the full map overflowed the driver's output-tail capture, so
 BENCH_r03.json recorded "parsed": null — the headline line must stay
-small and LAST).
+small and LAST).  The sidecar's ``_meta`` block carries two
+single-thread ALU burn readings bracketing the run (VERDICT r4 "What's
+wrong" #1): this VM's CPU grant swings 2-10x on a minutes timescale,
+so cross-run per-query comparison must normalize by the burn ratio.
 """
 
 from __future__ import annotations
@@ -42,6 +45,25 @@ def materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+_BURN_N = 20_000_000
+
+
+def _alu_burn_sec() -> float:
+    """Single-threaded cache-resident pure-Python ALU loop — the same
+    probe tools/bench_scaling.py calibrates with.  This VM's CPU grant
+    swings 2-10x on a minutes timescale, so every committed per-query
+    map carries its own grant reading: cross-round per-query deltas
+    must be normalized by the burn ratio before they mean anything
+    (VERDICT r4 "What's wrong" #1 — r3→r4 raw comparisons showed 3-8x
+    phantom regressions on untouched code).  Calm-window reference on
+    this box: ~1.1-1.3 s; severely degraded windows read 2-4x that."""
+    t0 = time.monotonic()
+    x = 0
+    for i in range(_BURN_N):
+        x += i * i
+    return time.monotonic() - t0
+
+
 def main() -> None:
     from skewer_spark.session import build_session
     from skewer_spark.synth import transcripts_df
@@ -58,6 +80,7 @@ def main() -> None:
 
     work = tempfile.mkdtemp(prefix="skewer_bench_")
     try:
+        burn_pre = round(_alu_burn_sec(), 3)
         # --- headline: end-to-end pipeline over 1M synthetic turns ---
         inp = os.path.join(work, "transcripts")
         transcripts_df(spark, BENCH_CONVS, BENCH_TURNS, partitions=CPUS * 2)\
@@ -126,8 +149,25 @@ def main() -> None:
         sidecar = os.path.join(
             os.path.dirname(os.path.abspath(__file__)), "BENCH_queries.json"
         )
+        burn_post = _alu_burn_sec()
         with open(sidecar, "w") as f:
-            json.dump(qtimes, f, indent=1, sort_keys=True)
+            json.dump(
+                {
+                    "_meta": {
+                        "burn_alu_sec_pre": burn_pre,
+                        "burn_alu_sec_post": round(burn_post, 3),
+                        "burn_n": _BURN_N,
+                        "note": "single-thread ALU burn brackets the "
+                                "run; divide query times by "
+                                "(burn/calm_burn) before cross-run "
+                                "comparison (BENCH.md)",
+                        "sf_dir": SF_DIR,
+                        "cpus": CPUS,
+                    },
+                    "queries": qtimes,
+                },
+                f, indent=1, sort_keys=True,
+            )
         ok = {k: v for k, v in qtimes.items() if v >= 0}
         slowest = dict(
             sorted(ok.items(), key=lambda kv: -kv[1])[:5]
@@ -145,6 +185,7 @@ def main() -> None:
             "queries_total_sec": round(sum(ok.values()), 1),
             "queries": slowest,
             "queries_full": "BENCH_queries.json",
+            "burn_alu_sec": [burn_pre, round(burn_post, 3)],
         }
         sys.stdout.flush()
         print(json.dumps(result))

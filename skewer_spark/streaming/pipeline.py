@@ -105,14 +105,25 @@ def run_streaming(
     )
 
     # watermark already set upstream (dedup stage) — redefining is
-    # disallowed when chaining stateful operators
+    # disallowed when chaining stateful operators.  The grouping is
+    # EXACTLY the batch windowed_counts rollup (operators/aggregate.py
+    # windowed_counts: sink-labeled fan-out → (window, sink,
+    # severity_name, tool)), so a drained stream's agg table is
+    # row-comparable to the batch table — pinned by
+    # test_stream_windowed_counts_equals_batch.  The explode is narrow
+    # and streaming-safe; DROPPED rows still advance the watermark
+    # (it is computed upstream of the explode) without contributing
+    # counts, matching the batch side's exclusion.
     windowed = (
-        routed
-        .groupBy(F.window("ts", "1 hour"), "severity_name", "tool")
+        with_sink_labels(routed)
+        .groupBy(
+            F.window("ts", "1 hour").alias("w"), "sink",
+            "severity_name", "tool",
+        )
         .agg(F.count("*").alias("n_messages"))
         .select(
-            F.col("window.start").alias("window_start"),
-            "severity_name", "tool", "n_messages",
+            F.col("w.start").alias("window_start"),
+            "sink", "severity_name", "tool", "n_messages",
         )
     )
     agg_q = (

@@ -439,6 +439,49 @@ def test_stream_output_equals_batch(spark, tmp_path):
     assert streamed == expected and len(streamed) > 0
 
 
+def test_stream_windowed_counts_equals_batch(spark, tmp_path):
+    """VERDICT r4 #5: the watermarked streaming agg leg agrees
+    row-for-row with the batch ``windowed_counts`` rollup once the
+    watermark has passed every real window.  A DROPPED sentinel
+    (severity 7 → no sink on either side, reference four-way filter)
+    placed far in the future advances the watermark so all real
+    windows flush, without contributing a single count."""
+    from datetime import timedelta
+
+    from skewer_spark.operators.aggregate import windowed_counts
+    from skewer_spark.plans.job import build_routed
+    from skewer_spark.streaming.pipeline import run_streaming
+    from skewer_spark.synth import transcripts_df
+
+    inp = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    transcripts_df(spark, 8, 10).write.parquet(inp)
+    last_ts = spark.read.parquet(inp).agg(F.max("ts")).collect()[0][0]
+    sentinel = spark.createDataFrame(
+        [("wm-sentinel", 0, "system", "<7>advance watermark", "none",
+          last_ts + timedelta(hours=6))],
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    )
+    sentinel.write.mode("append").parquet(inp)
+
+    q1, q2 = run_streaming(spark, inp, out, trigger_once=True)
+    q1.awaitTermination(120)
+    q2.awaitTermination(120)
+
+    streamed = {
+        (r.window_start, r.sink, r.severity_name, r.tool, r.n_messages)
+        for r in spark.read.parquet(f"{out}/agg/windowed_counts").collect()
+    }
+    expected = {
+        (r.window_start, r.sink, r.severity_name, r.tool, r.n_messages)
+        for r in windowed_counts(
+            build_routed(spark.read.parquet(inp))
+        ).collect()
+    }
+    assert streamed == expected and len(streamed) > 0
+
+
 def test_read_log_files_ts_is_file_mtime(spark, tmp_path):
     """Determinism contract: no wall-clock now() — ts = file mtime, so
     two reads of the same files are byte-equal."""
@@ -1273,7 +1316,12 @@ def test_streaming_watermark_late_data(spark, tmp_path):
 
     wc = spark.read.parquet(wc_path).collect()
     by_hour = {}
+    # the agg is sink-labeled like the batch windowed_counts table;
+    # firehose carries every PASS row exactly once, so it is the
+    # per-hour message count
     for r in wc:
+        if r.sink != "sink_firehose":
+            continue
         by_hour.setdefault(r.window_start.hour, []).append(r.n_messages)
     # hour 0 emitted exactly once, count 1: the 00:15 row was dropped as
     # late, not re-opened into a duplicate window row
