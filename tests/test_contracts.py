@@ -106,12 +106,16 @@ def test_queries_oracle_parity_and_window():
     for must in ("q_window_rank", "q_parse_rfc3164", "q_sink_counts",
                  "q_windowed_agg", "q_filter_fourway"):
         assert must in q, must
-    # rotation invariant: nothing in the r4 window was driver-green in
-    # any earlier round's artifact (the point of the rotation)
+    # r5 rotation invariant (VERDICT r4 #1): every oracle pair that NO
+    # driver round r1-r4 has externally checked must sit inside the
+    # first-50 window, completing 164/164 ever-driver-verified
+    # coverage; the rest of the window back-fills least-recently-
+    # checked pairs (r1/r2 era), so overlap with old artifacts is now
+    # expected, not forbidden.
     import json
     import os
     green = set()
-    for r in ("01", "02", "03"):
+    for r in ("01", "02", "03", "04"):
         p = os.path.join(os.path.dirname(__file__), "..",
                          f"CORRECTNESS_r{r}.json")
         if os.path.exists(p):
@@ -120,4 +124,5 @@ def test_queries_oracle_parity_and_window():
                     k for k, v in json.load(f).items()
                     if isinstance(v, dict) and v.get("hash_match")
                 }
-    assert not (set(window) & green), sorted(set(window) & green)
+    never = set(q) - green
+    assert never <= set(window), sorted(never - set(window))
