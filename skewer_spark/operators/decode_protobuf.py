@@ -207,6 +207,19 @@ _PB_COLS = [f.name for f in PB_SYSLOG_SCHEMA.fields]
 
 _EMPTY_I64 = np.empty(0, np.int64)
 
+# one growable 0..n ramp reused by every gather/scan in the worker
+# process: np.arange over megabyte totals was the single costliest line
+# of the batch decode (fresh 100+ MB allocations per call; the cached
+# slice is read-only by convention)
+_RAMP = np.empty(0, np.int64)
+
+
+def _ramp(n: int):
+    global _RAMP
+    if _RAMP.size < n:
+        _RAMP = np.arange(max(n, 2 * _RAMP.size), dtype=np.int64)
+    return _RAMP[:n]
+
 
 def _vec_uvarint(buf, pos, ends):
     """Read one varint per lane.  ``pos``/``ends`` are equal-length
@@ -219,7 +232,7 @@ def _vec_uvarint(buf, pos, ends):
     val = np.zeros(m, np.uint64)
     cur = pos.astype(np.int64, copy=True)
     err = np.zeros(m, bool)
-    live = np.arange(m, dtype=np.int64)
+    live = _ramp(m)
     for k in range(10):
         inb = cur[live] < ends[live]
         err[live[~inb]] = True
@@ -403,9 +416,7 @@ def _gather(buf, starts, lens):
     offs = np.zeros(lens.size + 1, np.int64)
     np.cumsum(lens, out=offs[1:])
     total = int(offs[-1])
-    idx = np.repeat(starts - offs[:-1], lens) + np.arange(
-        total, dtype=np.int64
-    )
+    idx = np.repeat(starts - offs[:-1], lens) + _ramp(total)
     return buf[idx], offs
 
 
@@ -584,8 +595,8 @@ def _decode_pb_batch(payload: pd.Series) -> pd.DataFrame:
             buf, v2_off, np.where(kv_ok, v2_len, -1)
         ).to_pylist()
         n_evo = evo_own.size
-        kv_gs = np.searchsorted(kv_own, np.arange(n_evo))
-        kv_ge = np.searchsorted(kv_own, np.arange(n_evo), side="right")
+        kv_gs = np.searchsorted(kv_own, _ramp(n_evo))
+        kv_ge = np.searchsorted(kv_own, _ramp(n_evo), side="right")
         inner_maps = [
             dict(zip(k2s[s:e], v2s[s:e])) for s, e in zip(kv_gs, kv_ge)
         ]
@@ -597,8 +608,8 @@ def _decode_pb_batch(payload: pd.Series) -> pd.DataFrame:
             li = np.flatnonzero(is_last)
             last_v[evo_own[li]] = li
         entry_inner = [inner_maps[j] if j >= 0 else {} for j in last_v]
-        pe_gs = np.searchsorted(pe_own, np.arange(m))
-        pe_ge = np.searchsorted(pe_own, np.arange(m), side="right")
+        pe_gs = np.searchsorted(pe_own, _ramp(m))
+        pe_ge = np.searchsorted(pe_own, _ramp(m), side="right")
         dumps = json.dumps
         uprops = np.full(m, None, object)
         for u in range(m):
