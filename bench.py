@@ -64,6 +64,27 @@ def _alu_burn_sec() -> float:
     return time.monotonic() - t0
 
 
+def _mem_burn_sec() -> float:
+    """Single-threaded 64 MB streaming traversal — the bandwidth end of
+    the calibration bracket (tools/bench_scaling.py `_memburn`).  The
+    two sweeps of 2026-08-21 proved the ALU burn alone cannot see a
+    degraded-BANDWIDTH window: both read ~1.0 s ALU, but the second's
+    pure-JVM encode queries ran 28% slower — shuffle/scan-heavy queries
+    track the bandwidth grant.  Calm reference on this box: ~0.05-0.1 s;
+    degraded windows read 2-10x that."""
+    import numpy as np
+
+    a = np.arange(8_000_000, dtype=np.float64)  # 64 MB, far beyond L3
+    t0 = time.monotonic()
+    s = 0.0
+    for _ in range(3):
+        s += float(a.sum())
+        a += 1.0
+    dt = time.monotonic() - t0
+    assert s >= 0.0
+    return dt
+
+
 def main() -> None:
     from skewer_spark.session import build_session
     from skewer_spark.synth import transcripts_df
@@ -81,6 +102,7 @@ def main() -> None:
     work = tempfile.mkdtemp(prefix="skewer_bench_")
     try:
         burn_pre = round(_alu_burn_sec(), 3)
+        memburn_pre = round(_mem_burn_sec(), 3)
         # --- headline: end-to-end pipeline over 1M synthetic turns ---
         inp = os.path.join(work, "transcripts")
         transcripts_df(spark, BENCH_CONVS, BENCH_TURNS, partitions=CPUS * 2)\
@@ -150,12 +172,15 @@ def main() -> None:
             os.path.dirname(os.path.abspath(__file__)), "BENCH_queries.json"
         )
         burn_post = _alu_burn_sec()
+        memburn_post = _mem_burn_sec()
         with open(sidecar, "w") as f:
             json.dump(
                 {
                     "_meta": {
                         "burn_alu_sec_pre": burn_pre,
                         "burn_alu_sec_post": round(burn_post, 3),
+                        "burn_mem_sec_pre": memburn_pre,
+                        "burn_mem_sec_post": round(memburn_post, 3),
                         "burn_n": _BURN_N,
                         "note": "single-thread ALU burn brackets the "
                                 "run; divide query times by "
@@ -186,6 +211,7 @@ def main() -> None:
             "queries": slowest,
             "queries_full": "BENCH_queries.json",
             "burn_alu_sec": [burn_pre, round(burn_post, 3)],
+            "burn_mem_sec": [memburn_pre, round(memburn_post, 3)],
         }
         sys.stdout.flush()
         print(json.dumps(result))
