@@ -199,3 +199,37 @@ def test_batch_reader_shared_props_dedup_consistency():
 def test_batch_reader_varint_boundary(payload):
     got = _decode_pb_batch(pd.Series([payload], dtype=object))
     _assert_rows_match([payload], got)
+
+
+# ---------------------------------------------------------------------------
+# property-based fuzz (hypothesis): for ANY batch of byte strings the
+# vectorized reader and the scalar reference agree record-for-record
+# ---------------------------------------------------------------------------
+try:
+    from hypothesis import given, settings, strategies as st
+
+    _field_blob = st.one_of(
+        # well-formed fragments: tagged varints / strings / properties
+        st.builds(lambda n, v: _pb_field(n, 0, v),
+                  st.integers(1, 15), st.integers(0, 2**63)),
+        st.builds(lambda n, s: _pb_str(n, s),
+                  st.integers(1, 15), st.text(max_size=12)),
+        st.builds(lambda k, v: _pb_field(13, 2, _props({k: {k: v}})),
+                  st.text(max_size=6), st.text(max_size=6)),
+        # raw garbage spliced between fragments
+        st.binary(max_size=20),
+    )
+    _payload = st.one_of(
+        st.none(),
+        st.builds(lambda parts: b"".join(parts),
+                  st.lists(_field_blob, max_size=6)),
+    )
+
+    @settings(max_examples=120, deadline=None)
+    @given(st.lists(_payload, max_size=24))
+    def test_batch_reader_hypothesis_parity(cases):
+        got = _decode_pb_batch(pd.Series(cases, dtype=object))
+        _assert_rows_match(cases, got)
+
+except ImportError:  # pragma: no cover - hypothesis ships in this env
+    pass

@@ -188,3 +188,29 @@ def test_corpus_read_prunes_batch_partitions(spark, tmp_path):
     assert sorted(r.doc_id for r in corpus.collect()) == [
         "a0", "a1", "a2", "a3",
     ]
+
+
+def test_store_read_missing_empty_and_corrupt(spark, tmp_path):
+    """The three store-read branches (ADVICE r4: existence via the
+    Hadoop FileSystem API + structured error class, never message-text
+    matching): a missing dir and a created-but-empty dir both mean "no
+    corpus yet" (empty frame, right schema); a store holding a
+    non-parquet file must RAISE — silently treating a broken store as
+    empty would under-dedup every subsequent increment."""
+    import pytest
+
+    missing = str(tmp_path / "never_written")
+    df = read_corpus_sigs(spark, missing, 5)
+    assert df.count() == 0 and df.columns[0] == "doc_id"
+
+    empty = str(tmp_path / "empty_dir")
+    os.makedirs(empty)
+    df = read_corpus_sigs(spark, empty, 5)
+    assert df.count() == 0 and df.columns[0] == "doc_id"
+
+    corrupt = str(tmp_path / "corrupt")
+    os.makedirs(os.path.join(corrupt, "batch=0"))
+    with open(os.path.join(corrupt, "batch=0", "part-0.parquet"), "wb") as f:
+        f.write(b"this is not a parquet footer")
+    with pytest.raises(Exception):
+        read_corpus_sigs(spark, corrupt, 5).collect()
