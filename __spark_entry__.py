@@ -353,17 +353,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     def q_encode_avro(spark, sf):
-        from skewer_spark.sinks.wire import encode_avro
+        # numpy batch encoder (r6, guide §4.2): byte-identical to the
+        # interpreted-HOF expression twin wire.encode_avro (pinned by
+        # tests/test_wire_batch.py) — the HOF fold ran on the
+        # interpreted expression path per row and was the costliest
+        # per-row work in the sweep
+        from skewer_spark.sinks.wire_batch import encode_avro_batch
         return _routed_events(spark, sf).select(
             F.col("turn_idx").cast("long").alias("event_id"),
-            F.lower(F.hex(encode_avro())).alias("encoded_hex"),
+            F.lower(F.hex(encode_avro_batch())).alias("encoded_hex"),
         )
 
     def q_encode_fullavro(spark, sf):
-        from skewer_spark.sinks.wire import encode_fullavro
+        from skewer_spark.sinks.wire_batch import encode_fullavro_batch
         return _enveloped(spark, sf).select(
             F.col("turn_idx").cast("long").alias("event_id"),
-            F.lower(F.hex(encode_fullavro())).alias("encoded_hex"),
+            F.lower(F.hex(encode_fullavro_batch())).alias("encoded_hex"),
         )
 
     def q_encode_jsonavro(spark, sf):
@@ -381,18 +386,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     def q_encode_protobuf(spark, sf):
-        from skewer_spark.sinks.wire import encode_protobuf
+        # numpy batch encoder (r6) — see q_encode_avro
+        from skewer_spark.sinks.wire_batch import encode_protobuf_batch
         return _routed_events(spark, sf).select(
             F.col("turn_idx").cast("long").alias("event_id"),
-            F.lower(F.hex(encode_protobuf())).alias("encoded_hex"),
+            F.lower(F.hex(encode_protobuf_batch())).alias("encoded_hex"),
         )
 
     def q_parse_protobuf(spark, sf):
         from skewer_spark.operators.decode_protobuf import parse_protobuf
-        from skewer_spark.sinks.wire import encode_protobuf
+        from skewer_spark.sinks.wire_batch import encode_protobuf_batch
         enc = _routed_events(spark, sf).select(
             F.col("turn_idx").cast("long").alias("event_id"),
-            encode_protobuf().alias("pb"),
+            encode_protobuf_batch().alias("pb"),
         )
         # allow_jvm=False: the JVM path escapes non-ASCII differently in
         # properties_json — a classpath change must not flip the bytes

@@ -168,7 +168,13 @@ def decode_syslog_pb(b: bytes) -> dict | None:
             field, wire = tag >> 3, tag & 7
             if field in _INT_FIELDS and wire == 0:
                 val, i = _uvarint(b, i)
-                rec[_INT_FIELDS[field]] = val
+                # two's-complement int64 like the Go reader's
+                # int64(uint64) conversion (types.pb.go varint fields
+                # are int32/int64): values >= 2^63 wrap negative, so
+                # the Arrow serializer sees the same int64 as the
+                # vectorized path's .view(np.int64) instead of an
+                # un-serializable large Python int (ADVICE r5).
+                rec[_INT_FIELDS[field]] = val - (1 << 64) if val >= (1 << 63) else val
             elif field in _STR_FIELDS and wire == 2:
                 n, i = _uvarint(b, i)
                 rec[_STR_FIELDS[field]] = b[i : i + n].decode("utf-8")
@@ -520,23 +526,27 @@ def _decode_pb_batch(payload: pd.Series) -> pd.DataFrame:
     # occurrences and run levels L1-L4 once per distinct payload.
     props_col = np.full(n, "{}", object)
     if p13_own.size:
-        raw = buf.tobytes()
-        uniq: dict = {}
-        occ_uid = np.empty(p13_own.size, np.int64)
-        u_st: list = []
-        u_en: list = []
-        for i in range(p13_own.size):
-            b = raw[p13_st[i]:p13_en[i]]
-            uid = uniq.get(b)
-            if uid is None:
-                uid = len(u_st)
-                uniq[b] = uid
-                u_st.append(p13_st[i])
-                u_en.append(p13_en[i])
-            occ_uid[i] = uid
-        m = len(u_st)
-        ust = np.asarray(u_st, np.int64)
-        uen = np.asarray(u_en, np.int64)
+        # occurrence payloads → distinct ids WITHOUT a row-count Python
+        # loop or a whole-batch bytes copy (ADVICE r5): gather only the
+        # field-13 spans, wrap them as an arrow binary array over the
+        # gathered buffer, and let dictionary_encode (C++) assign
+        # first-appearance-ordered unique ids.
+        p_data, p_offs = _gather(buf, p13_st, p13_en - p13_st)
+        occ_arr = pa.Array.from_buffers(
+            pa.large_binary(), p13_own.size,
+            [None, pa.py_buffer(p_offs.tobytes()),
+             pa.py_buffer(p_data.tobytes())],
+        )
+        dct = occ_arr.dictionary_encode()
+        occ_uid = np.asarray(dct.indices, dtype=np.int64)
+        m = len(dct.dictionary)
+        # first occurrence of each unique id → its span in the shared
+        # buffer (dictionary ids are assigned in order of first
+        # appearance, so min occurrence index per id is its span)
+        first = np.full(m, np.iinfo(np.int64).max, np.int64)
+        np.minimum.at(first, occ_uid, _ramp(p13_own.size))
+        ust = p13_st[first]
+        uen = p13_en[first]
         uerr = np.zeros(m, bool)
 
         # L1: Properties { repeated MapEntry map = 1; }
@@ -639,9 +649,18 @@ def _decode_pb_batch(payload: pd.Series) -> pd.DataFrame:
     cols: dict = {}
     for f, name in _INT_FIELDS.items():
         if all_ok:
-            cols[name] = ints[f]  # uint64; same wrap semantics on cast
+            # int64 VIEW (free reinterpret) so the Arrow serializer sees
+            # the same two's-complement values the scalar path's Python
+            # ints produce: a crafted 10-byte varint >= 2^63 wraps to
+            # the identical negative int64 on both paths instead of
+            # diverging (uint64 unsafe-cast wrap vs object-column raise
+            # — ADVICE r5).  Fields 1-4 then truncate int64 → int32 in
+            # the declared IntegerType, same as the scalar path.
+            cols[name] = ints[f].view(np.int64)
         else:
-            obj = ints[f].astype(object)
+            # same int64 wrap before the object fallback (parity with
+            # the scalar reference and the all_ok branch above)
+            obj = ints[f].view(np.int64).astype(object)
             obj[~ok] = None
             cols[name] = obj
     for f, name in _STR_FIELDS.items():

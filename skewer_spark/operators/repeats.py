@@ -55,13 +55,25 @@ def hot_ngram_stats(
     ``n_grams = 0`` and are never flagged.
     """
     # per-doc stats come from the exploded frame itself (n_grams = its
-    # per-doc row count), so the gram build runs twice (the pruned
-    # doc-frequency branch and the join branch differ in projection —
-    # no exchange reuse; narrow recompute, cheaper than persisting the
-    # exploded corpus) instead of three times as the earlier
-    # join-back-to-docs shape did; the only extra scan is the
-    # id-column-pruned `ids` frame that re-admits short docs with zero
-    # grams (it never touches text or the gram expressions)
+    # per-doc row count).  Document frequency per gram is a COUNT OVER
+    # (PARTITION BY gk) window on that frame, so the expensive shingle
+    # expression chain (split → transform/slice/concat → array_distinct
+    # → explode) runs exactly ONCE (r6: the previous aggregate+join
+    # shape rebuilt the exploded corpus for each branch — guide §2.4
+    # "remove shuffles outright" / dedup of duplicated subtrees; 2
+    # gram builds + agg-exchange + join → 1 gram build + window
+    # exchange, measured 6.1 s → 0.95 s at sf0.1, same-burn window).
+    # Scale trade: the window shuffles the full 16-byte (doc_id, gk)
+    # frame once where the old agg shuffled compact partials — but it
+    # buys back a full gram build (string-alloc-heavy, the dominant
+    # cost) and the join; at 10^12 grams both shapes are one full pass
+    # + one compact pass, and the gram build is the wall.  The only
+    # extra
+    # scan is the id-column-pruned `ids` frame that re-admits short
+    # docs with zero grams (it never touches text or the gram
+    # expressions).
+    from pyspark.sql import Window
+
     ex = (
         df.select(
             F.col(id_col).alias("doc_id"),
@@ -69,18 +81,16 @@ def hot_ngram_stats(
         )
         .select("doc_id", F.xxhash64("gram").alias("gk"))
     )
-    hot = (
-        ex.groupBy("gk")
-        .agg(F.count(F.lit(1)).alias("df_docs"))
-        .filter(F.col("df_docs") >= min_docs)
-        .select("gk", F.lit(1).alias("_h"))
-    )
     per = (
-        ex.join(hot, "gk", "left")
+        ex.withColumn(
+            "_df", F.count(F.lit(1)).over(Window.partitionBy("gk"))
+        )
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_grams"),
-            F.sum(F.coalesce(F.col("_h"), F.lit(0))).alias("n_hot"),
+            F.sum(
+                F.when(F.col("_df") >= min_docs, 1).otherwise(0)
+            ).alias("n_hot"),
         )
     )
     ids = df.select(F.col(id_col).alias("doc_id"))

@@ -447,17 +447,28 @@ def hard_negative_pairs(
     p = cosine_pairs_above(
         df, lo, vec_col, id_col, bands, rows_per_band, dim, bucket_cap
     ).filter(F.col("cos_sim") < hi)
+    # both orientations via ONE explode instead of a union of two
+    # projections: a union's branches are separate subtrees, so the
+    # LSH + exact-cosine pipeline above plans twice (r6; the explicit
+    # repartition exchanges are reused across the branches, so the
+    # measured win at sf0.1 is within noise — the explode keeps the
+    # plan single-subtree so nothing downstream depends on
+    # ReusedExchange kicking in, and halves planning surface).
     both = p.select(
-        F.col("id_a").alias("anchor_id"),
-        F.col("id_b").alias("negative_id"),
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("id_a").alias("anchor_id"),
+                    F.col("id_b").alias("negative_id"),
+                ),
+                F.struct(
+                    F.col("id_b").alias("anchor_id"),
+                    F.col("id_a").alias("negative_id"),
+                ),
+            )
+        ).alias("_e"),
         "cos_sim",
-    ).unionByName(
-        p.select(
-            F.col("id_b").alias("anchor_id"),
-            F.col("id_a").alias("negative_id"),
-            "cos_sim",
-        )
-    )
+    ).select("_e.anchor_id", "_e.negative_id", "cos_sim")
     w = Window.partitionBy("anchor_id").orderBy(
         F.col("cos_sim").desc(), F.col("negative_id").asc()
     )

@@ -68,10 +68,19 @@ def _uvarint_hex_of_var(z: Column, max_bytes: int) -> Column:
     parts = []
     for i in range(max_bytes):
         sh = F.shiftrightunsigned(z, 7 * i) if i else z
-        more = F.shiftrightunsigned(z, 7 * (i + 1)) != 0
-        byte = F.when(more, sh.bitwiseAND(F.lit(127)) + 128).otherwise(
-            sh.bitwiseAND(F.lit(127))
-        )
+        if 7 * (i + 1) < 64:
+            more = F.shiftrightunsigned(z, 7 * (i + 1)) != 0
+            byte = F.when(more, sh.bitwiseAND(F.lit(127)) + 128).otherwise(
+                sh.bitwiseAND(F.lit(127))
+            )
+        else:
+            # 10th slot: a 64-bit value always terminates here, and
+            # Java's shift masking (z >>> 70 == z >>> 6) would
+            # otherwise fabricate a continuation bit → malformed
+            # varint for values >= 2^63 (negative longs; found by the
+            # r6 batch-encoder differential, never reachable from
+            # fixture data — oracle pairs pin the <= 9-byte domain)
+            byte = sh.bitwiseAND(F.lit(127))
         piece = F.substring(F.lit(_HEXTAB), (byte * 2 + 1).cast("int"), 2)
         if i:
             piece = F.when(sh != 0, piece).otherwise(F.lit(""))

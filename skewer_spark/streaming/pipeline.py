@@ -104,6 +104,13 @@ def run_streaming(
         .start()
     )
 
+    # UPGRADE NOTE (ADVICE r5): adding 'sink' to this groupBy in r5
+    # changed the stateful operator's key schema AND the output table
+    # schema.  A deployment restarting from a pre-r5 _ckpt/agg
+    # checkpoint fails state-schema validation (loud, not silent);
+    # clear the agg checkpoint directory — or version it, e.g.
+    # _ckpt/agg_v2 — when upgrading across any change to this grouping.
+    #
     # watermark already set upstream (dedup stage) — redefining is
     # disallowed when chaining stateful operators.  The grouping is
     # EXACTLY the batch windowed_counts rollup (operators/aggregate.py

@@ -154,11 +154,10 @@ def test_batch_reader_valid_only_fast_path():
     # all-valid batch exercises the all_ok fast path (numeric columns
     # stay numpy, no object fallback)
     rng = random.Random(7)
-    cases = [
-        _msg(i, rng) for i in range(500) if True
-    ]
-    # strip the adversarial extras so every record parses
-    cases = [c for c in cases]
+    # every _msg() output is a well-formed record (the adversarial
+    # variants live only in _adversarial_corpus), so the whole batch
+    # takes the all_ok fast path
+    cases = [_msg(i, rng) for i in range(500)]
     got = _decode_pb_batch(pd.Series(cases, dtype=object))
     _assert_rows_match(cases, got)
     assert got["priority"].notna().all()
