@@ -1,9 +1,13 @@
 """Enrichment stage: dictionary decode + envelope columns (SURVEY.md §2.3).
 
-* facility/severity code → name via **broadcast hash joins** against the
-  24/8-row dims (``/root/reference/model/types.go:45-92``), with the
-  reference's unknown-code defaults ``user`` / ``info``
-  (``model/types.go:182-208``) via ``coalesce``.
+* facility/severity code → name via **codegen CASE chains** over the
+  24/8-entry static dicts (``/root/reference/model/types.go:45-92``)
+  with the reference's unknown-code defaults ``user`` / ``info``
+  (``model/types.go:182-208``) — r6: was broadcast hash joins; the
+  dictionaries are compile-time constants, so the join machinery
+  (BroadcastExchange build per query, four join nodes) bought nothing
+  (guide §2.4).  ``schema.facility_dim``/...) still provide the
+  DataFrame dims for genuinely dynamic dictionaries.
 * role/tool dictionaries — the transcript-specific dims (input_hint).
 * Deterministic uid: ``sha2(conv_id <US> turn_idx)`` — the ULID analog
   (``services/network/tcp.go:157``); determinism is what makes resume +
@@ -16,8 +20,8 @@
 * Stable turn ordering: ``turn_rank = row_number() over (partition by
   conv_id order by turn_idx)`` — the RELP txnr analog (SURVEY.md §2.8).
 
-All joins are explicit ``F.broadcast`` so the enrich stage stays
-shuffle-free regardless of stats; at 100 TB these dims are still tiny.
+The whole stage is narrow expressions — no joins, no exchanges,
+regardless of stats (pinned by tests/test_plans.py).
 """
 
 from __future__ import annotations
@@ -94,28 +98,39 @@ def dedup_and_rank(df: DataFrame, bucket_size: int = 8192) -> DataFrame:
     )
 
 
+def _dict_case(col: str, mapping: dict, default=None):
+    """Static dictionary decode as ONE codegen CASE chain.
+
+    The four enrich dictionaries are 5-24 fixed entries; joining them
+    (even broadcast) costs a BroadcastExchange build + an extra join
+    operator PER QUERY that uses the enrich stage — ~0.2 s of fixed
+    overhead per sf0.1 query and four extra plan nodes at any scale
+    (r6, guide §2.4: remove exchanges outright).  A literal CASE chain
+    whole-stage-codegens to an if-else ladder, keeps the stage fully
+    narrow, and preserves left-join-with-coalesce semantics exactly
+    (unknown or NULL code → ``default``).  The broadcast-join path
+    stays available via the schema dims for genuinely dynamic
+    dictionaries (q_enrich_broadcast pins it)."""
+    expr = F.lit(default).cast("string") if default is None else F.lit(default)
+    c = F.col(col)
+    for k, v in sorted(mapping.items()):
+        expr = F.when(c == F.lit(k), F.lit(v)).otherwise(expr)
+    return expr
+
+
 def enrich(df: DataFrame, spark: SparkSession | None = None) -> DataFrame:
     """parsed → enriched.  Expects columns from parse_transcripts()."""
-    spark = spark or df.sparkSession
-
-    fac = F.broadcast(S.facility_dim(spark))
-    sev = F.broadcast(S.severity_dim(spark))
-    role = F.broadcast(S.role_dim(spark))
-    tool = F.broadcast(S.tool_dim(spark))
-
     out = (
-        df.join(fac, "facility", "left")
-        .join(sev, "severity", "left")
-        .join(role, "role", "left")
-        .join(tool, "tool", "left")
-        .withColumn(
+        df.withColumn(
             "facility_name",
-            F.coalesce("facility_name", F.lit(S.DEFAULT_FACILITY_NAME)),
+            _dict_case("facility", S.FACILITIES, S.DEFAULT_FACILITY_NAME),
         )
         .withColumn(
             "severity_name",
-            F.coalesce("severity_name", F.lit(S.DEFAULT_SEVERITY_NAME)),
+            _dict_case("severity", S.SEVERITIES, S.DEFAULT_SEVERITY_NAME),
         )
+        .withColumn("role_kind", _dict_case("role", S.ROLE_KINDS))
+        .withColumn("tool_family", _dict_case("tool", S.TOOL_FAMILIES))
         .withColumn("time_generated", F.col("ts"))
         .withColumn("time_reported", F.coalesce("time_reported", "ts"))
     )

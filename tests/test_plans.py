@@ -3,8 +3,9 @@
 These are regression guards, not correctness tests — each pins a plan
 shape that silently degrades at 100 TB if lost:
 
-* enrich joins its dictionaries with BROADCAST hash joins (a shuffle
-  here would re-key the full corpus four times);
+* enrich decodes its static dictionaries as narrow CASE chains — no
+  join, no exchange (r6; a shuffle here would re-key the full corpus
+  four times);
 * the LSH band self-joins keep their EXPLICIT fixed-width exchange on
   the band key (without it AQE coalesces the quadratic-output join to
   one task — the trap documented in PLANS.md);
@@ -34,17 +35,27 @@ def _docs(spark, n=50):
     )
 
 
-def test_enrich_dictionary_joins_are_broadcast(spark):
+def test_enrich_dictionary_decode_is_narrow(spark):
+    """r6: the four static dictionaries decode as codegen CASE chains
+    (enrich._dict_case) — the enrich stage must stay JOIN- and
+    EXCHANGE-free entirely (guide §2.4; was: four broadcast hash joins,
+    each paying a BroadcastExchange build per query)."""
     from skewer_spark.operators.enrich import enrich
     from skewer_spark.operators.parse import parse_transcripts
     from skewer_spark.synth import transcripts_df
 
     routed = enrich(parse_transcripts(transcripts_df(spark, 4, 10)).drop("text"))
     plan = _plan(routed)
-    assert "BroadcastHashJoin" in plan
-    # no dictionary join may fall back to a shuffle join
-    assert "SortMergeJoin" not in plan
-    assert "ShuffledHashJoin" not in plan
+    assert "Join" not in plan
+    # the synth source carries its own round-robin repartition; enrich
+    # itself must add no exchange of any kind (the old dims showed up
+    # as BroadcastExchange builds here)
+    assert "BroadcastExchange" not in plan
+    assert plan.count("Exchange") == _plan(
+        parse_transcripts(transcripts_df(spark, 4, 10)).drop("text")
+    ).count("Exchange")
+    # the decode itself must still be present (not optimized away)
+    assert "facility_name" in plan and "tool_family" in plan
 
 
 def test_minhash_band_join_keeps_explicit_exchange(spark):
