@@ -103,11 +103,18 @@ def _routed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return route(enrich(parse_transcripts(tdf)))
 
 
-def _parsed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _parsed_events(spark: SparkSession, sf_dir: str, pre=None) -> DataFrame:
+    """``pre`` filters the TRANSCRIPT frame below the parse UDF: the
+    parse projection is non-deterministic (guide §4.4 single-eval
+    guard), so pre-parse-column filters no longer push through it
+    automatically and selective queries place them here (r6)."""
     from skewer_spark.operators.parse import parse_transcripts
     from skewer_spark.sources.events import event_transcripts
 
-    return parse_transcripts(event_transcripts(spark, sf_dir))
+    tdf = event_transcripts(spark, sf_dir)
+    if pre is not None:
+        tdf = tdf.filter(pre)
+    return parse_transcripts(tdf)
 
 
 # ---------------------------------------------------------------------------
@@ -196,8 +203,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return out
 
     def q_parse_rfc3164(spark, sf):
-        p = _parsed_events(spark, sf)
-        return p.filter(F.pmod(F.col("turn_idx"), F.lit(3)) == 1).select(
+        # shape filter below the parse UDF (see _parsed_events): only
+        # the rfc3164-classic third of the lines is parsed at all
+        p = _parsed_events(
+            spark, sf, pre=F.pmod(F.col("turn_idx"), F.lit(3)) == 1
+        )
+        return p.select(
             F.col("turn_idx").cast("long").alias("event_id"),
             "hostname", "appname", "procid", "message",
             F.col("severity").cast("int").alias("severity"),
@@ -206,9 +217,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     def q_parse_rfc5424(spark, sf):
-        p = _parsed_events(spark, sf)
+        # pre-parse shape filter below the UDF; parse_ok (a PARSED
+        # field) stays above it — single parse eval either way now
+        p = _parsed_events(
+            spark, sf, pre=F.pmod(F.col("turn_idx"), F.lit(3)) == 0
+        )
         return (
-            p.filter((F.pmod(F.col("turn_idx"), F.lit(3)) == 0) & F.col("parse_ok"))
+            p.filter(F.col("parse_ok"))
             .select(
                 F.col("turn_idx").cast("long").alias("event_id"),
                 "hostname", "appname", "procid", "msgid", "message",

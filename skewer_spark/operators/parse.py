@@ -46,11 +46,86 @@ import re
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
 from skewer_spark.schema import PARSED_STRUCT, PROPERTIES_TYPE
+
+
+# --------------------------------------------------------------------------
+# RE2 fast-path twins of the hot pandas .str ops (r6, guide §4.2).
+#
+# pandas .str.extract/match/count loop per element in Python; pyarrow's
+# RE2 kernels run the same ASCII-structural patterns 2-6× faster at the
+# C++ level.  ONLY patterns whose semantics are identical under RE2 are
+# converted (digit/space/bracket structure — no \w, no backreferences);
+# RE_HOSTNAME keeps Python re because its \w must stay UNICODE word
+# chars (Go unicode.IsLetter parity), and .str.strip() keeps Python
+# whitespace semantics (isspace covers \x1c-\x1f, Unicode WSpace does
+# not).  Known deviation, audited at every converted call site: RE2
+# returns '' (not NaN) for a non-participating OPTIONAL group — at each
+# such site the '' row flows into an assignment of message='' that
+# equals the column default, so outputs are unchanged (pinned by the
+# 50k-line differential fuzz in tests/test_parse_fuzz.py).
+# --------------------------------------------------------------------------
+
+
+def _pa_arr(s: pd.Series) -> pa.Array:
+    return pa.array(s, type=pa.large_utf8(), from_pandas=True)
+
+
+def _pc_extract(s: pd.Series, pattern: str) -> pd.DataFrame:
+    """``Series.str.extract`` twin: integer-labeled columns, NaN rows
+    where the whole pattern failed to match."""
+    if len(s) == 0:
+        n_groups = pattern.count("(?P<")
+        return pd.DataFrame(
+            {i: pd.Series(dtype=object) for i in range(n_groups)},
+            index=s.index,
+        )
+    r = pc.extract_regex(_pa_arr(s), pattern)
+    invalid = ~np.asarray(r.is_valid())
+    cols = {}
+    for i in range(r.type.num_fields):
+        v = r.field(i).to_pandas().astype(object)
+        if invalid.any():
+            v[invalid] = np.nan
+        v.index = s.index
+        cols[i] = v
+    return pd.DataFrame(cols, index=s.index)
+
+
+def _pc_match(s: pd.Series, pattern: str) -> pd.Series:
+    """``Series.str.match`` twin (anchored via a leading ``^`` in the
+    pattern itself); nulls match False."""
+    m = pc.match_substring_regex(_pa_arr(s), pattern)
+    return pd.Series(
+        np.asarray(m.fill_null(False)), index=s.index, dtype=bool
+    )
+
+
+def _pc_contains_re(s: pd.Series, pattern: str) -> pd.Series:
+    m = pc.match_substring_regex(_pa_arr(s), pattern)
+    return pd.Series(
+        np.asarray(m.fill_null(False)), index=s.index, dtype=bool
+    )
+
+
+def _pc_contains_lit(s: pd.Series, lit: str) -> pd.Series:
+    m = pc.match_substring(_pa_arr(s), lit)
+    return pd.Series(
+        np.asarray(m.fill_null(False)), index=s.index, dtype=bool
+    )
+
+
+def _pc_count_lit(s: pd.Series, lit: str) -> pd.Series:
+    c = pc.count_substring(_pa_arr(s), lit)
+    return pd.Series(
+        np.asarray(c.fill_null(0)), index=s.index, dtype="int64"
+    )
 
 # --------------------------------------------------------------------------
 # regexes
@@ -70,6 +145,22 @@ RE_SD_PARAM = re.compile(r'([^=\s\]]+)="((?:\\.|[^"\\])*)"')
 RE_PRI = re.compile(r"^<(\d{1,9})>(.*)$", re.S)
 RE_HOSTNAME = re.compile(r"^[\w.:\-]*$")  # isHostname: letter|digit|.|:|-|_
 RE_STAMP_TIME = re.compile(r"^\d{2}:\d{2}:\d{2}$")
+
+# RE2 twins of the extract patterns above (named groups g0.., inline
+# (?s)); see the fast-path note at the helpers below
+RE2_5424_DETECT = r"^<\d{1,9}>\d{1,9} "
+RE2_5424_HEAD = (
+    r"(?s)^<(?P<g0>\d{1,9})>(?P<g1>\d{1,9}) +(?P<g2>[^ ]+) +(?P<g3>[^ ]+)"
+    r" +(?P<g4>[^ ]+) +(?P<g5>[^ ]+) +(?P<g6>[^ ]+) +(?P<g7>.*)$"
+)
+RE2_3339 = (
+    r"^\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}(\.\d+)?(Z|[+-]\d{2}:\d{2})$"
+)
+RE2_SD_BLOCK = (
+    r"(?s)^(?P<g0>(?:\[(?:\\.|[^\]\\])*\])+)(?: +(?P<g1>.*))?$"
+)
+RE2_PRI = r"(?s)^<(?P<g0>\d{1,9})>(?P<g1>.*)$"
+RE2_STAMP_TIME = r"^\d{2}:\d{2}:\d{2}$"
 
 MONTHS = {
     "Jan": 1, "Feb": 2, "Mar": 3, "Apr": 4, "May": 5, "Jun": 6,
@@ -111,15 +202,20 @@ def _empty_result(index) -> pd.DataFrame:
 # --------------------------------------------------------------------------
 
 def _parse_tag(tag: pd.Series) -> tuple[pd.Series, pd.Series]:
-    t = tag.fillna("").str.strip(":")
-    e = t.str.extract(r"^([^\[]*)\[(.*)$", flags=re.S)
+    t = pd.Series(
+        np.asarray(
+            pc.utf8_trim(_pa_arr(tag.fillna("")), characters=":")
+        ),
+        index=tag.index, dtype=object,
+    )
+    e = _pc_extract(t, r"(?s)^(?P<g0>[^\[]*)\[(?P<g1>.*)$")
     app_part, after = e[0], e[1]
     # Go: use the bracket split only when '[' exists AND something follows it
     use = after.notna() & (after.str.len() > 0)
     # procid = tag[i+1:j] when the first ']' of the WHOLE tag is after '[',
     # else tag[i+1:].  ']' inside app_part means j < i.
-    app_has_rb = app_part.fillna("").str.contains("]", regex=False)
-    proc_to_rb = after.str.extract(r"^([^\]]*)", expand=False)
+    app_has_rb = _pc_contains_lit(app_part.fillna(""), "]")
+    proc_to_rb = _pc_extract(after, r"^(?P<g0>[^\]]*)")[0]
     proc = after.where(app_has_rb, proc_to_rb)
     appname = app_part.where(use, t)
     procid = proc.where(use, "")
@@ -139,7 +235,7 @@ def _parse_3164(s: pd.Series, ts_year: pd.Series, out: pd.DataFrame) -> None:
     idx = s.index
     out.loc[idx, "parser_name"] = "rfc3164"
 
-    ext = s.str.extract(RE_PRI)
+    ext = _pc_extract(s, RE2_PRI)
     haspri = ext[0].notna()
     # default branch (:40-54): no '<', '>' missing/too-early, or bad PRI →
     # whole line is message, timestamps = now (NULL → coalesce(ts)).
@@ -163,15 +259,15 @@ def _parse_3164(s: pd.Series, ts_year: pd.Series, out: pd.DataFrame) -> None:
     ridx = rest.index
 
     # ---- timestamp ----
-    is3339 = rest.str.match(r"^[0-9]")
+    is3339 = _pc_match(rest, r"^[0-9]")
     tail = pd.Series(None, index=ridx, dtype="object")
 
     # RFC3339 branch (:70-90)
     r1 = rest[is3339]
     if not r1.empty:
-        e1 = r1.str.extract(r"^([^ ]*)(?: (.*))?$", flags=re.S)
+        e1 = _pc_extract(r1, r"(?s)^(?P<g0>[^ ]*)(?: (?P<g1>.*))?$")
         f0, rem = e1[0], e1[1]
-        okfmt = f0.str.match(RE_3339)
+        okfmt = _pc_match(f0, RE2_3339)
         parsed = pd.to_datetime(
             f0.where(okfmt), utc=True, errors="coerce", format="ISO8601"
         )
@@ -186,15 +282,19 @@ def _parse_3164(s: pd.Series, ts_year: pd.Series, out: pd.DataFrame) -> None:
     # old unix-timestamp branch (:92-114)
     r2 = rest[~is3339]
     if not r2.empty:
-        n_sp = r2.str.count(" ")
+        n_sp = _pc_count_lit(r2, " ")
         short = n_sp < 2  # len(s) < 3 → degrade (:93-98)
         out.loc[r2.index[short], "message"] = r2[short]
         r2b = r2[~short]
         if not r2b.empty:
-            e2 = r2b.str.extract(r"^([^ ]*) ([^ ]*) ([^ ]*)(?: (.*))?$", flags=re.S)
+            e2 = _pc_extract(
+                r2b,
+                r"(?s)^(?P<g0>[^ ]*) (?P<g1>[^ ]*) (?P<g2>[^ ]*)"
+                r"(?: (?P<g3>.*))?$",
+            )
             mon = e2[0].map(MONTHS)
-            dayok = e2[1].str.match(r"^\d{1,2}$")
-            timok = e2[2].str.match(RE_STAMP_TIME)
+            dayok = _pc_match(e2[1], r"^\d{1,2}$")
+            timok = _pc_match(e2[2], RE2_STAMP_TIME)
             cand = mon.notna() & dayok & timok
             stamp = (
                 ts_year.loc[r2b.index].astype("int64").astype(str).str.zfill(4)
@@ -218,7 +318,7 @@ def _parse_3164(s: pd.Series, ts_year: pd.Series, out: pd.DataFrame) -> None:
     if t.empty:
         return
     tidx = t.index
-    n_sp = t.str.count(" ")
+    n_sp = _pc_count_lit(t, " ")
 
     # len(s) == 1 (:116-120)
     one = n_sp == 0
@@ -228,11 +328,11 @@ def _parse_3164(s: pd.Series, ts_year: pd.Series, out: pd.DataFrame) -> None:
     two = n_sp == 1
     t2 = t[two]
     if not t2.empty:
-        e = t2.str.extract(r"^([^ ]*) (.*)$", flags=re.S)
+        e = _pc_extract(t2, r"(?s)^(?P<g0>[^ ]*) (?P<g1>.*)$")
         t0, t1 = e[0], e[1]
-        ipish = (t0.str.count(":") == 7) | (t0.str.count(r"\.") == 3)
-        t0brk = t0.str.contains(r"[\[\]:]", regex=True)
-        t1brk = t1.str.contains(r"[\[\]:]", regex=True)
+        ipish = (_pc_count_lit(t0, ":") == 7) | (_pc_count_lit(t0, ".") == 3)
+        t0brk = _pc_contains_re(t0, r"[\[\]:]")
+        t1brk = _pc_contains_re(t1, r"[\[\]:]")
 
         c1 = ipish  # looks like IPv6/IPv4 (:124-135)
         i1 = t2.index[c1]
@@ -264,9 +364,9 @@ def _parse_3164(s: pd.Series, ts_year: pd.Series, out: pd.DataFrame) -> None:
     many = n_sp >= 2
     t3 = t[many]
     if not t3.empty:
-        e = t3.str.extract(r"^([^ ]*) ([^ ]*) (.*)$", flags=re.S)
+        e = _pc_extract(t3, r"(?s)^(?P<g0>[^ ]*) (?P<g1>[^ ]*) (?P<g2>.*)$")
         t0, t1, rest2 = e[0], e[1], e[2]
-        noheur = t0.str.contains(r"[\[\]:]", regex=True) | ~_is_hostname(t0)
+        noheur = _pc_contains_re(t0, r"[\[\]:]") | ~_is_hostname(t0)
         # hostname omitted (:154-159)
         i1 = t3.index[noheur]
         a, p = _parse_tag(t0[noheur])
@@ -290,7 +390,7 @@ def _parse_5424(s: pd.Series, out: pd.DataFrame) -> None:
     idx = s.index
     out.loc[idx, "parser_name"] = "rfc5424"
 
-    e = s.str.extract(RE_5424_HEAD)
+    e = _pc_extract(s, RE2_5424_HEAD)
     ok = e[0].notna()
     # header mismatch → decode error (errorListener path)
     out.loc[idx[~ok], "parse_ok"] = False
@@ -308,7 +408,7 @@ def _parse_5424(s: pd.Series, out: pd.DataFrame) -> None:
     # timestamp: '-' → now (NULL, coalesced to ts); invalid → error (:136-152)
     tsx = h[2]
     isnil = tsx == "-"
-    okfmt = tsx.str.match(RE_3339) & ~isnil
+    okfmt = _pc_match(tsx, RE2_3339) & ~isnil
     parsed = pd.to_datetime(
         tsx.where(okfmt), utc=True, errors="coerce", format="ISO8601"
     )
@@ -327,16 +427,16 @@ def _parse_5424(s: pd.Series, out: pd.DataFrame) -> None:
     rest = h[7][good]
     if rest.empty:
         return
-    nil_sd = rest.str.match(r"^-( |$)")
+    nil_sd = _pc_match(rest, r"^-( |$)")
     # '- msg' → message after the spaces
-    m1 = rest[nil_sd].str.extract(r"^- +(.*)$", flags=re.S, expand=False)
+    m1 = _pc_extract(rest[nil_sd], r"(?s)^- +(?P<g0>.*)$")[0]
     has_m1 = m1.notna()
     out.loc[m1.index[has_m1], "message"] = m1[has_m1]
 
     sd = rest[~nil_sd]
     if sd.empty:
         return
-    blk = sd.str.extract(RE_SD_BLOCK)
+    blk = _pc_extract(sd, RE2_SD_BLOCK)
     sd_ok = blk[0].notna()
     out.loc[sd.index[~sd_ok], "parse_ok"] = False  # malformed SD → error
     if not sd_ok.any():
@@ -376,7 +476,7 @@ def parse_batch(text: pd.Series, ts: pd.Series) -> pd.DataFrame:
     """Vectorized core: one batch of raw lines → parsed frame."""
     s = text.fillna("").str.strip()
     out = _empty_result(s.index)
-    is5424 = s.str.match(RE_5424_DETECT)
+    is5424 = _pc_match(s, RE2_5424_DETECT)
     ts_year = pd.to_datetime(ts).dt.year.fillna(1970)
     if is5424.any():
         _parse_5424(s[is5424], out)
@@ -404,6 +504,18 @@ def parse_syslog_udf(text: pd.Series, ts: pd.Series) -> pd.DataFrame:
     return parse_batch(text, ts)
 
 
+# The udf is PURE, but it is applied marked non-deterministic: a filter
+# on a parsed field (parse_ok, severity, …) otherwise gets pushed below
+# the flatten projection and the optimizer duplicates the WHOLE parse —
+# two ArrowEvalPython nodes, every row parsed twice (guide §4.4;
+# observed in q_parse_errors and q_parse_rfc5424 plans, r6: 2 nodes →
+# 1, ~390k → 200k UDF rows at sf0.1).  The trade is that no filter is
+# pushed THROUGH the parse projection anymore, so callers must place
+# any filter on PRE-parse columns below parse themselves (the entry
+# queries do).
+_parse_syslog_nd = parse_syslog_udf.asNondeterministic()
+
+
 def parse_transcripts(df: DataFrame, text_col: str = "text", ts_col: str = "ts") -> DataFrame:
     """Scan-stage operator: attach the parsed struct, flattened.
 
@@ -414,7 +526,7 @@ def parse_transcripts(df: DataFrame, text_col: str = "text", ts_col: str = "ts")
     with :func:`with_properties_map` / ``from_json`` only where an
     operator actually needs map semantics.
     """
-    parsed = df.withColumn("_p", parse_syslog_udf(F.col(text_col), F.col(ts_col)))
+    parsed = df.withColumn("_p", _parse_syslog_nd(F.col(text_col), F.col(ts_col)))
     flat = parsed.select(
         "*",
         *[F.col(f"_p.{f.name}").alias(f.name) for f in PARSED_STRUCT.fields],
