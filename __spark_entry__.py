@@ -1984,7 +1984,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # one-level &amp;lt; contract, multiline tags) built
         # identically on both engines, then stripped back with the
         # pure-regex codegen chain in operators/extract.py.
-        from skewer_spark.operators.extract import html_stats, html_text_col
+        from skewer_spark.operators.extract import html_text_col
         docs = _read(spark, sf, "documents")
         frag = F.substring("text", 1, 60)
         html = F.concat(
@@ -2018,12 +2018,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .otherwise(frag),
             F.lit("</body></html>"),
         )
+        # ONE projection for stats + extracted text (r6): the previous
+        # stats ⋈ text join ran the whole regex strip chain twice (once
+        # inside html_stats, once for the joined text column) and paid
+        # a join exchange; a single narrow select computes the chain
+        # once (whole-stage CSE dedups the repeated text references)
+        # and emits identical columns in identical order.
         shell = docs.select(F.col("doc_id").alias("id"), html.alias("html"))
-        stats = html_stats(shell, "html", "id")
-        return stats.join(
-            shell.select("id", html_text_col(F.col("html")).alias("text")),
+        h = F.col("html")
+        text = html_text_col(h)
+        stats_with_text = shell.select(
             "id",
+            F.regexp_count(h, F.lit(r"(?s)<[a-zA-Z!/][^>]*>")).alias("n_tags"),
+            F.regexp_count(h, F.lit(r"(?i)<a\b")).alias("n_links"),
+            F.regexp_count(h, F.lit(r"(?i)<script\b")).alias("n_scripts"),
+            F.length(h).alias("html_chars"),
+            F.length(text).alias("text_chars"),
+            F.round(
+                F.length(text).cast("double")
+                / F.greatest(F.length(h), F.lit(1)).cast("double"),
+                6,
+            ).alias("text_ratio"),
+            text.alias("text"),
         )
+        return stats_with_text
 
     def q_url_canon(spark, sf):
         # URL canonicalization + canonical-URL dedup groups (the

@@ -30,6 +30,8 @@ from __future__ import annotations
 
 import math
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -345,6 +347,31 @@ def band_buckets(
     join work at cap² instead of |bucket|²; at 100 TB pair the cap with
     a salted re-join of the truncated tail if full recall inside jumbo
     buckets matters."""
+    out = (
+        df.select(
+            F.col(id_col),
+            F.posexplode(
+                _band_sig_udf(bands, rows_per_band, dim)(F.col(vec_col))
+            ).alias("band_id", "bucket"),
+        )
+    )
+    from .dedup import cap_per_group
+
+    return cap_per_group(out, ["band_id", "bucket"], id_col, bucket_cap)
+
+
+def band_buckets_expr(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    bands: int = 4,
+    rows_per_band: int = 8,
+    dim: int = 64,
+    bucket_cap: int | None = 200,
+) -> DataFrame:
+    """Pure-expression twin of :func:`band_buckets` — the reference the
+    batch UDF is differentially pinned against (tests/test_lsh_batch.py)
+    and the no-Python fallback."""
     sig_cols = []
     for b in range(bands):
         bucket = F.lit(0).cast("long")
@@ -362,6 +389,70 @@ def band_buckets(
     from .dedup import cap_per_group
 
     return cap_per_group(out, ["band_id", "bucket"], id_col, bucket_cap)
+
+
+def _band_sig_udf(bands: int, rows_per_band: int, dim: int):
+    """Numpy lockstep twin of the banded sign-signature expressions
+    (r6, guide §4.2): the expression path runs bands·rows_per_band
+    interpreted ``aggregate(zip_with(...))`` folds per row (Catalyst
+    does not codegen higher-order functions — ~2048 interpreted lambda
+    steps per 64-dim row), which made the signature projection the
+    single hottest span of every LSH query.  The UDF reproduces the
+    fold BIT-FOR-BIT by construction: one python-loop pass over the
+    dimensions (lockstep, bounded by ``dim``, never by row count)
+    accumulating ``acc += float64(x_d) * h_d`` in exactly the fold's
+    IEEE operation order, so the sign — and therefore every bucket,
+    candidate set and result hash — is identical on any input, not
+    just the fixtures (pinned by tests/test_lsh_batch.py).
+
+    Parity corners: float32→float64 casts are exact; Spark compares
+    ``NaN >= 0`` as TRUE (NaN sorts above every double), replicated
+    via ``| isnan``; a NULL or length≠dim vector folds to NULL in the
+    expression path (zip_with pads with nulls) → the UDF emits an
+    all-NULL bucket array for those rows.  Documented deviation: a
+    null ELEMENT inside a length-dim vector arrives as NaN through
+    Arrow (indistinguishable from a genuine NaN), so such a vector
+    buckets like a NaN vector instead of folding to NULL — no producer
+    in this repo emits element-null embeddings."""
+    from pyspark.sql.functions import pandas_udf
+
+    n_planes = bands * rows_per_band
+    H = np.array(
+        [lcg_plane(p, dim) for p in range(n_planes)], np.float64
+    ).T  # (dim, planes)
+    weights = (1 << np.arange(rows_per_band, dtype=np.int64))
+
+    @pandas_udf("array<long>")
+    def sig(v: pd.Series) -> pd.Series:
+        n = len(v)
+        null_row = [None] * bands
+        lens = np.fromiter(
+            (len(x) if x is not None else -1 for x in v), np.int64, count=n
+        )
+        ok = lens == dim
+        out = np.empty(n, object)
+        m = int(ok.sum())
+        if m:
+            X = np.stack(v[ok].to_list()).astype(np.float64)
+            acc = np.zeros((m, n_planes), np.float64)
+            for d in range(dim):
+                acc += X[:, d, None] * H[None, d, :]
+            bits = (acc >= 0.0) | np.isnan(acc)
+            buck = np.zeros((m, bands), np.int64)
+            for b in range(bands):
+                buck[:, b] = (
+                    bits[:, b * rows_per_band:(b + 1) * rows_per_band]
+                    * weights
+                ).sum(axis=1)
+            oki = np.flatnonzero(ok)
+            rows = list(buck)
+            for j, i in enumerate(oki):
+                out[i] = rows[j]
+        for i in np.flatnonzero(~ok):
+            out[i] = null_row
+        return pd.Series(out)
+
+    return sig
 
 
 def cosine_pairs_above(
