@@ -205,12 +205,18 @@ def semdedup(
     )
     emb_a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
     emb_b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    # exact cosine from the numpy lockstep pair twin (r6, bit-identical
+    # to the interpreted expression fold — similarity.with_pair_cosine);
+    # F.round stays an expression so Spark HALF_UP is untouched
+    from skewer_spark.operators.similarity import with_pair_cosine
+
     drops = (
-        pairs.join(emb_a, "id_a")
-        .join(emb_b, "id_b")
+        with_pair_cosine(
+            pairs.join(emb_a, "id_a").join(emb_b, "id_b"),
+            "_va", "_vb", "_cos_raw",
+        )
         .filter(
-            F.round(cosine(F.col("_va"), F.col("_vb")), 6)
-            >= F.lit(float(threshold))
+            F.round(F.col("_cos_raw"), 6) >= F.lit(float(threshold))
         )
         .select(F.col("id_b").alias("_drop_id"))
         .distinct()

@@ -242,6 +242,157 @@ def lsh_bucketed_topk(
 # IVF-flat ANN (inverted-file index: coarse quantize, probe nearest cells)
 # ---------------------------------------------------------------------------
 
+def _cos_const_udf(centroids_sorted: list[list[float]]):
+    """Numpy lockstep twin of ``[cosine(vec, c) for c in centroids]``
+    (r6, guide §4.2 — same rationale and bit-parity construction as
+    ``_band_sig_udf``): returns the UNROUNDED cosines as array<double>
+    in the given centroid order; callers keep ``F.round`` in
+    expressions so Spark's HALF_UP rounding semantics are byte-
+    untouched.  Per-element ops replay the expression path exactly:
+    ``float64(x_d) * c_d`` accumulated dimension-by-dimension (the
+    fold's IEEE order), ``sqrt(na) * sqrt(nc)`` denominators with the
+    constant norms pre-folded in the same order Catalyst constant-folds
+    them, NULL (not NaN) where the denominator is exactly zero, NULL
+    for NULL or length≠dim vectors (pinned by tests/test_lsh_batch.py).
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.array(centroids_sorted, np.float64)       # (k, dim)
+    k, dim = C.shape
+    cn = np.empty(k, np.float64)
+    for j in range(k):
+        acc = 0.0
+        for d in range(dim):
+            acc += C[j, d] * C[j, d]
+        cn[j] = math.sqrt(acc)
+
+    @pandas_udf("array<double>")
+    def cos_arr(v: pd.Series) -> pd.Series:
+        n = len(v)
+        lens = np.fromiter(
+            (len(x) if x is not None else -1 for x in v), np.int64, count=n
+        )
+        ok = lens == dim
+        out = np.empty(n, object)
+        m = int(ok.sum())
+        if m:
+            X = np.stack(v[ok].to_list()).astype(np.float64)
+            dots = np.zeros((m, k), np.float64)
+            na = np.zeros(m, np.float64)
+            for d in range(dim):
+                xd = X[:, d]
+                dots += xd[:, None] * C.T[None, d, :]
+                na += xd * xd
+            denom = np.sqrt(na)[:, None] * cn[None, :]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = dots / denom
+            zero = denom == 0.0
+            rows = []
+            for i in range(m):
+                if zero[i].any():
+                    rows.append([
+                        None if zero[i, j] else cos[i, j] for j in range(k)
+                    ])
+                else:
+                    rows.append(cos[i])
+            oki = np.flatnonzero(ok)
+            for j, i in enumerate(oki):
+                out[i] = rows[j]
+        null_row = [None] * k
+        for i in np.flatnonzero(~ok):
+            out[i] = null_row
+        return pd.Series(out)
+
+    return cos_arr
+
+
+def with_pair_cosine(
+    df: DataFrame, a_col: str, b_col: str, out_col: str
+) -> DataFrame:
+    """Append unrounded ``cosine(a_col, b_col)`` via a mapInArrow
+    lockstep batch (r6, guide §4.2): the expression twin ran three
+    interpreted ``aggregate(zip_with(...))`` folds per candidate pair.
+    Bit parity is by construction — per-length groups accumulate one
+    dimension per step in the fold's IEEE order — and mapInArrow builds
+    the Arrow result array directly, so FULL NaN/null parity holds (a
+    pandas UDF would lose NaN to null at the Arrow boundary):
+
+    * NULL where a vector is NULL, lengths differ, any ELEMENT is null
+      (the zip_with null-pad / null-product poisons the fold), or the
+      denominator is exactly zero;
+    * genuine NaN components propagate to a NaN cosine (which Spark
+      ranks above every double — same hazard as the expression, kept);
+    * callers apply ``F.round`` in expressions (Spark HALF_UP
+      untouched).  Pinned by tests/test_lsh_batch.py."""
+    import pyarrow as pa
+
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    # fresh StructType — StructType.add would MUTATE the frame's cached
+    # schema object and corrupt downstream resolution
+    names = [f.name for f in df.schema.fields]
+    out_schema = StructType(
+        list(df.schema.fields) + [StructField(out_col, DoubleType())]
+    )
+
+    def _decompose(arr):
+        offs = np.asarray(arr.offsets, np.int64)
+        vals = arr.values
+        flat = np.asarray(vals.cast(pa.float64(), safe=False))
+        null_row = (
+            np.asarray(arr.is_null()) if arr.null_count
+            else np.zeros(len(arr), bool)
+        )
+        elem_null = (
+            np.asarray(vals.is_null()) if vals.null_count else None
+        )
+        return offs, flat, null_row, elem_null
+
+    def fn(batches):
+        for batch in batches:
+            n = batch.num_rows
+            cols = {name: batch.column(i) for i, name in enumerate(names)}
+            ao, av, anull, aen = _decompose(cols[a_col])
+            bo, bv, bnull, ben = _decompose(cols[b_col])
+            la = ao[1:] - ao[:-1]
+            lb = bo[1:] - bo[:-1]
+            ok = (~anull) & (~bnull) & (la == lb) & (la > 0)
+            for en, offs in ((aen, ao), (ben, bo)):
+                if en is not None:
+                    c = np.concatenate(([0], np.cumsum(en)))
+                    ok &= (c[offs[1:]] - c[offs[:-1]]) == 0
+            out = np.full(n, np.nan, np.float64)
+            valid = np.zeros(n, bool)
+            lens = np.unique(la[ok]) if ok.any() else []
+            for L in lens:
+                grp = np.flatnonzero(ok & (la == L))
+                m = grp.size
+                idx_a = ao[:-1][grp]
+                idx_b = bo[:-1][grp]
+                dp = np.zeros(m, np.float64)
+                na = np.zeros(m, np.float64)
+                nb = np.zeros(m, np.float64)
+                for d in range(int(L)):
+                    xd = av[idx_a + d]
+                    yd = bv[idx_b + d]
+                    dp += xd * yd
+                    na += xd * xd
+                    nb += yd * yd
+                denom = np.sqrt(na) * np.sqrt(nb)
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    cs = dp / denom
+                nz = denom != 0.0
+                out[grp[nz]] = cs[nz]
+                valid[grp[nz]] = True
+            cos_arr = pa.array(out, type=pa.float64(), mask=~valid)
+            yield pa.RecordBatch.from_arrays(
+                [cols[name] for name in names] + [cos_arr],
+                names=names + [out_col],
+            )
+
+    return df.mapInArrow(fn, out_schema)
+
+
 def ivf_assign(
     df: DataFrame,
     centroids: dict[int, list[float]],
@@ -249,15 +400,40 @@ def ivf_assign(
 ) -> DataFrame:
     """Tag each vector with its nearest-centroid cell id (``_cell``).
 
-    The coarse-quantization half of an IVF index: |C| literal-array
-    cosine folds per row, argmax via ``array_max`` over
-    (cos, cid) structs — lexicographic struct ordering gives max-cos
-    with max-cid tiebreak, which the DuckDB oracle reproduces with
-    ``row_number() OVER (ORDER BY cos DESC, cid DESC)``.  Cosines are
-    rounded to 6 places BEFORE the argmax so both engines pick the same
-    cell even when their float summation orders differ.  At 100 TB the
-    centroid list is a broadcast-sized literal (k ≤ ~2^16) and the
-    assignment is a narrow map — no shuffle."""
+    The coarse-quantization half of an IVF index: |C| cosines per row
+    from the numpy lockstep batch twin (`_cos_const_udf`; the
+    expression path ran |C| interpreted ``aggregate(zip_with(...))``
+    folds per row), argmax via ``array_max`` over (cos, cid) structs —
+    lexicographic struct ordering gives max-cos with max-cid tiebreak,
+    which the DuckDB oracle reproduces with ``row_number() OVER (ORDER
+    BY cos DESC, cid DESC)``.  Cosines are rounded to 6 places (in
+    EXPRESSIONS — Spark HALF_UP untouched) BEFORE the argmax so both
+    engines pick the same cell even when their float summation orders
+    differ.  At 100 TB the centroid list is a broadcast-sized constant
+    (k ≤ ~2^16) and the assignment is a narrow map — no shuffle."""
+    cids = sorted(centroids)
+    dim = len(next(iter(centroids.values()))) if centroids else 0
+    arr = _cos_const_udf([[float(x) for x in centroids[c]] for c in cids])(
+        F.col(vec_col)
+    )
+    scored = []
+    for i, cid in enumerate(cids):
+        scored.append(
+            F.struct(
+                F.round(F.element_at(arr, i + 1), 6).alias("cos"),
+                F.lit(cid).alias("cid"),
+            )
+        )
+    return df.withColumn("_cell", F.array_max(F.array(*scored))["cid"])
+
+
+def ivf_assign_expr(
+    df: DataFrame,
+    centroids: dict[int, list[float]],
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Pure-expression twin of :func:`ivf_assign` — the differential
+    reference (tests/test_lsh_batch.py) and no-Python fallback."""
     scored = []
     for cid, vec in sorted(centroids.items()):
         c = F.array(*[F.lit(float(x)) for x in vec])
@@ -494,9 +670,11 @@ def cosine_pairs_above(
     emb_a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
     emb_b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
     return (
-        pairs.join(emb_a, "id_a")
-        .join(emb_b, "id_b")
-        .withColumn("cos_sim", F.round(cosine(F.col("_va"), F.col("_vb")), 6))
+        with_pair_cosine(
+            pairs.join(emb_a, "id_a").join(emb_b, "id_b"),
+            "_va", "_vb", "_cos_raw",
+        )
+        .withColumn("cos_sim", F.round(F.col("_cos_raw"), 6))
         .filter(F.col("cos_sim") >= threshold)
         .select("id_a", "id_b", "cos_sim")
     )
