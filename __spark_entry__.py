@@ -105,16 +105,17 @@ def _routed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _parsed_events(spark: SparkSession, sf_dir: str, pre=None) -> DataFrame:
     """``pre`` filters the TRANSCRIPT frame below the parse UDF: the
-    parse projection is non-deterministic (guide §4.4 single-eval
-    guard), so pre-parse-column filters no longer push through it
-    automatically and selective queries place them here (r6)."""
+    parse projection runs in single-eval mode here (guide §4.4 guard —
+    every consumer of this helper filters on a PARSED field), so
+    pre-parse-column filters no longer push through it automatically
+    and selective queries place them here (r6)."""
     from skewer_spark.operators.parse import parse_transcripts
     from skewer_spark.sources.events import event_transcripts
 
     tdf = event_transcripts(spark, sf_dir)
     if pre is not None:
         tdf = tdf.filter(pre)
-    return parse_transcripts(tdf)
+    return parse_transcripts(tdf, single_eval=True)
 
 
 # ---------------------------------------------------------------------------
@@ -2135,7 +2136,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs = _read(spark, sf, "documents")
         corpus = docs.filter(F.col("doc_id") % 2 == 0)
         new = docs.filter(F.col("doc_id") % 2 == 1)
-        sigs = minhash_signatures(corpus, "text", "doc_id", n_hashes=8)
+        # eager checkpoint = the stored signature table of the
+        # production shape (computed inside this run; the operator
+        # consumes it twice — banding + verify — and would otherwise
+        # re-sign the corpus per subtree, r6)
+        sigs = minhash_signatures(
+            corpus, "text", "doc_id", n_hashes=8
+        ).localCheckpoint(eager=True)
         return incremental_dedup(new, sigs, threshold=0.5)
 
     def q_link_records(spark, sf):

@@ -310,7 +310,14 @@ def incremental_minhash_matches(
       the new batch.
     """
     n_hashes = bands * rows_per_band
-    new_sigs = minhash_signatures(new_df, text_col, id_col, n_hashes)
+    # the fresh new-batch signatures feed TWO subtrees (banding +
+    # verify); an eager localCheckpoint computes the sign pass once —
+    # new-batch-sized, the same "sign once, store, probe" shape the
+    # corpus side gets from its stored table (r6; instance-scoped
+    # blocks, so separate invocations never share results)
+    new_sigs = minhash_signatures(
+        new_df, text_col, id_col, n_hashes
+    ).localCheckpoint(eager=True)
     nb = (
         minhash_lsh_buckets(new_sigs, id_col, bands, rows_per_band)
         .withColumnRenamed(id_col, "new_id")
@@ -432,16 +439,45 @@ def ngram_jaccard_pairs(
         )
         .select(F.col(id_col), F.md5("s").alias("tok"))
     )
-    sigs = _signatures_from_tokens(sh, id_col, bands * rows_per_band)
+    # ONE pass over the shingle frame for BOTH doc-level artifacts (r6):
+    # the minhash minima and the 8-char-prefix shingle set ride the same
+    # groupBy — previously two independent subtrees each rebuilt the
+    # shingle+md5 frame and shuffled it separately.  The doc-level
+    # result (a signature row + a ~12 KB hash array per doc — the
+    # stored-index shape) is eagerly checkpointed because THREE
+    # consumers read it (banding + both verify sides); instance-scoped
+    # blocks, so separate invocations never share results.
+    n_hashes = bands * rows_per_band
+    n_digests = (n_hashes + 3) // 4
+    digs = sh.select(
+        F.col(id_col),
+        F.substring("tok", 1, 8).alias("tok8"),
+        *[
+            F.md5(F.concat(F.lit(f"g{g}|"), F.col("tok"))).alias(f"d{g}")
+            for g in range(n_digests)
+        ],
+    )
+    aggs = [
+        F.min(F.substring(F.col(f"d{i // 4}"), 8 * (i % 4) + 1, 8)).alias(
+            f"mh_{i}"
+        )
+        for i in range(n_hashes)
+    ]
+    combined = (
+        digs.groupBy(id_col)
+        .agg(*aggs, F.collect_set("tok8").alias("toks"))
+        .localCheckpoint(eager=True)
+    )
+    sigs = combined.select(
+        id_col, *[f"mh_{i}" for i in range(n_hashes)]
+    )
     cands = _band_pairs(
         minhash_lsh_buckets(sigs, id_col, bands, rows_per_band), id_col,
         bucket_cap,
     )
     # 8-char prefix: the md5 already collision-guards per doc (shingles
     # are distinct pre-hash); 32 bits keep the arrays narrow on the wire
-    sets_df = sh.select(id_col, F.substring("tok", 1, 8).alias("tok")).groupBy(
-        id_col
-    ).agg(F.collect_set("tok").alias("toks"))
+    sets_df = combined.select(id_col, "toks")
     a_sets = sets_df.select(
         F.col(id_col).alias("id_a"), F.col("toks").alias("toks_a")
     )
@@ -486,12 +522,26 @@ def dedup_clusters(
     pair are their own singleton cluster.
     """
     und = (
-        pairs.select(F.col("id_a").alias("s"), F.col("id_b").alias("d"))
-        .union(pairs.select(F.col("id_b").alias("s"), F.col("id_a").alias("d")))
+        # both orientations via ONE explode: a union's branches are
+        # separate subtrees, so the whole upstream pair pipeline
+        # (LSH + verify) would evaluate twice just to build the edge
+        # cache (r6, duplicated-subtree trap)
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("id_a").alias("s"), F.col("id_b").alias("d")
+                    ),
+                    F.struct(
+                        F.col("id_b").alias("s"), F.col("id_a").alias("d")
+                    ),
+                )
+            ).alias("_e")
+        )
+        .select("_e.s", "_e.d")
         .distinct()
         .persist()  # every round joins the SAME edges — without this the
-        # whole upstream pair pipeline (LSH + verify) re-executes per
-        # iteration AND per convergence probe
+        # pair pipeline re-executes per iteration AND per probe
     )
     labels = df.select(F.col(id_col).alias("s"), F.col(id_col).cast("long").alias("lbl"))
     labels.persist()

@@ -504,19 +504,28 @@ def parse_syslog_udf(text: pd.Series, ts: pd.Series) -> pd.DataFrame:
     return parse_batch(text, ts)
 
 
-# The udf is PURE, but it is applied marked non-deterministic: a filter
-# on a parsed field (parse_ok, severity, …) otherwise gets pushed below
-# the flatten projection and the optimizer duplicates the WHOLE parse —
-# two ArrowEvalPython nodes, every row parsed twice (guide §4.4;
-# observed in q_parse_errors and q_parse_rfc5424 plans, r6: 2 nodes →
-# 1, ~390k → 200k UDF rows at sf0.1).  The trade is that no filter is
-# pushed THROUGH the parse projection anymore, so callers must place
-# any filter on PRE-parse columns below parse themselves (the entry
-# queries do).
+# The udf is PURE; ``_parse_syslog_nd`` is the same function marked
+# non-deterministic — the single-eval guard for plans that FILTER on a
+# parsed field (parse_ok, severity, …): such a filter otherwise gets
+# pushed below the flatten projection and the optimizer duplicates the
+# WHOLE parse — two ArrowEvalPython nodes, every row parsed twice
+# (guide §4.4; observed in q_parse_errors / q_parse_rfc5424, r6: 2
+# nodes → 1, ~390k → 200k UDF rows at sf0.1).  It is OPT-IN
+# (``parse_transcripts(single_eval=True)``) because the
+# non-deterministic marker also blocks every OTHER reordering through
+# the projection — measured ~2 s (~30%) on the 1M-row headline
+# pipeline, which has no parsed-field filter and wants the default
+# optimizer freedom.  Callers opting in must place PRE-parse filters
+# below parse themselves (the entry queries do).
 _parse_syslog_nd = parse_syslog_udf.asNondeterministic()
 
 
-def parse_transcripts(df: DataFrame, text_col: str = "text", ts_col: str = "ts") -> DataFrame:
+def parse_transcripts(
+    df: DataFrame,
+    text_col: str = "text",
+    ts_col: str = "ts",
+    single_eval: bool = False,
+) -> DataFrame:
     """Scan-stage operator: attach the parsed struct, flattened.
 
     Narrow (no shuffle): one whole-stage-codegen span feeding an
@@ -524,9 +533,12 @@ def parse_transcripts(df: DataFrame, text_col: str = "text", ts_col: str = "ts")
     ``properties_json`` — writing a nested map column to parquet costs
     ~2× the rest of the row combined (measured), so the map is revived
     with :func:`with_properties_map` / ``from_json`` only where an
-    operator actually needs map semantics.
+    operator actually needs map semantics.  ``single_eval`` applies the
+    non-deterministic duplicate-eval guard (see ``_parse_syslog_nd``);
+    set it when the consumer filters on a PARSED field.
     """
-    parsed = df.withColumn("_p", _parse_syslog_nd(F.col(text_col), F.col(ts_col)))
+    udf = _parse_syslog_nd if single_eval else parse_syslog_udf
+    parsed = df.withColumn("_p", udf(F.col(text_col), F.col(ts_col)))
     flat = parsed.select(
         "*",
         *[F.col(f"_p.{f.name}").alias(f.name) for f in PARSED_STRUCT.fields],

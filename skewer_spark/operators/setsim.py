@@ -130,6 +130,18 @@ def prefix_jaccard_pairs(
         .agg(F.sort_array(F.collect_list("rk")).alias("toks"))
         .select("doc_id", "toks", F.size("toks").alias("sz"))
         .filter(F.col("sz") > 0)
+        # materialize the AllPairs index ONCE (r6): four consumers read
+        # this frame (both prefix sides + both verify sides) and each
+        # replayed the shingle build + vocab join + collect_list final
+        # aggregate (16 ObjectHashAggregate nodes in the plan; the
+        # exchanges were reused but final aggs are not).  An EAGER
+        # localCheckpoint is the standard PPJoin "build the index, then
+        # probe it" materialization — compact densified-int arrays, the
+        # same bytes the verify joins ship anyway — and, unlike
+        # .persist(), cannot leak results across separate invocations
+        # (checkpoint blocks are instance-scoped, not analyzed-plan-
+        # keyed).  Plan: 16 → 4 aggregate nodes.
+        .localCheckpoint(eager=True)
     )
 
     # ASYMMETRIC prefixes (AllPairs "indexing prefix", Bayardo §3.1 /
