@@ -200,8 +200,13 @@ def tree_root_depth(
         F.col(parent_col).isNull().alias("done"),
     ).persist()
     try:
+        # fused probe+materialize (r6): ONE action per round — the
+        # unresolved count both populates the round's cache (a cached
+        # plan materializes fully under any action) and is the
+        # convergence probe, where the loop previously paid a separate
+        # count() per round just to materialize
+        pending = cur.filter(~F.col("done")).count()
         for i in range(int(max_rounds)):
-            pending = cur.filter(~F.col("done")).count()
             if pending == 0:
                 break
             nxt = (
@@ -231,7 +236,8 @@ def tree_root_depth(
                 )
                 .persist()
             )
-            nxt.count()  # materialize before releasing the old frame
+            # materializes nxt's cache AND advances the probe
+            pending = nxt.filter(~F.col("done")).count()
             if (i + 1) % 4 == 0:
                 cp = nxt.localCheckpoint(eager=True)
                 nxt.unpersist()

@@ -119,15 +119,28 @@ def bradley_terry(
     directed = duels.groupBy(
         i_col, j_col
     ).agg(F.count(F.lit(1)).alias("_w"))
-    reverse = directed.select(
-        F.col("opp").alias("item"),
-        F.col("item").alias("opp"),
-        F.lit(0).cast("long").alias("_w"),
-        F.col("_w").alias("_l"),
-    )
-    forward = directed.select("item", "opp", "_w", F.lit(0).cast("long").alias("_l"))
+    # both orientations via ONE explode (r6): the previous forward ∪
+    # reverse union carried the full duel-log reduce in each branch —
+    # the exchange was deduped at runtime but the final aggregate and
+    # the branch projections replayed per side
     pair = (
-        forward.unionByName(reverse)
+        directed.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("item"), F.col("opp"),
+                        F.col("_w"), F.lit(0).cast("long").alias("_l"),
+                    ),
+                    F.struct(
+                        F.col("opp").alias("item"),
+                        F.col("item").alias("opp"),
+                        F.lit(0).cast("long").alias("_w"),
+                        F.col("_w").alias("_l"),
+                    ),
+                )
+            ).alias("_e")
+        )
+        .select("_e.item", "_e.opp", "_e._w", "_e._l")
         .groupBy("item", "opp")
         .agg(F.sum("_w").alias("wins_vs"), F.sum(F.col("_w") + F.col("_l")).alias("n_vs"))
         .persist()
@@ -167,12 +180,27 @@ def bradley_terry(
                     "_raw"
                 ),
             )
-            z = raw.agg(F.sum("_raw").alias("_z"))
-            s = raw.crossJoin(F.broadcast(z)).select(
+            # normalization constant via an unpartitioned window (one
+            # reduce over the |items|-row frame) instead of a
+            # crossJoin(broadcast(agg)) — the broadcast build was a
+            # separate driver-side job per iteration (r6); the global
+            # window is the same single-pass reduce without it
+            from pyspark.sql import Window as _W
+
+            s = raw.select(
                 "item",
-                F.round(F.col("_raw") / F.greatest(F.col("_z"), F.lit(1e-12)), 6).alias(
-                    "strength"
-                ),
+                F.round(
+                    F.col("_raw")
+                    / F.greatest(
+                        F.sum("_raw").over(
+                            _W.partitionBy().rowsBetween(
+                                _W.unboundedPreceding, _W.unboundedFollowing
+                            )
+                        ),
+                        F.lit(1e-12),
+                    ),
+                    6,
+                ).alias("strength"),
             )
             if (it + 1) % 4 == 0 and it + 1 < iters:
                 # each iteration references the strength frame twice, so
