@@ -106,16 +106,17 @@ def test_queries_oracle_parity_and_window():
     for must in ("q_window_rank", "q_parse_rfc3164", "q_sink_counts",
                  "q_windowed_agg", "q_filter_fourway"):
         assert must in q, must
-    # r5 rotation invariant (VERDICT r4 #1): every oracle pair that NO
-    # driver round r1-r4 has externally checked must sit inside the
-    # first-50 window, completing 164/164 ever-driver-verified
-    # coverage; the rest of the window back-fills least-recently-
-    # checked pairs (r1/r2 era), so overlap with old artifacts is now
-    # expected, not forbidden.
+    # rotation invariant (VERDICT r4 #1 / r5 #2): every oracle pair NO
+    # prior driver round has externally checked must sit inside the
+    # first-50 window.  After r5 the never-checked set is EMPTY
+    # (164/164 ever-driver-verified), so this reduces to a regression
+    # guard: a pair added without ever entering the window would trip
+    # it; the window itself now back-fills least-recently-checked
+    # pairs (tools/rotate_window.py).
     import json
     import os
     green = set()
-    for r in ("01", "02", "03", "04"):
+    for r in ("01", "02", "03", "04", "05"):
         p = os.path.join(os.path.dirname(__file__), "..",
                          f"CORRECTNESS_r{r}.json")
         if os.path.exists(p):
