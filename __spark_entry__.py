@@ -561,9 +561,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 ])
             return pd.Series(out)
 
+        # eager checkpoint = the datagram table a real deployment reads
+        # from storage: reassembly's chunked/single branches each scan
+        # their input, which here would re-run the zlib chunkify UDF +
+        # explode per branch (r6; instance-scoped blocks, no cross-run
+        # result sharing)
         grams = ev.select(
             F.explode(chunkify(line, F.col("event_id"))).alias("payload")
-        )
+        ).localCheckpoint(eager=True)
         text = reassemble_gelf_datagrams(grams)
         parsed = parse_gelf(text)
         return parsed.select(
