@@ -22,9 +22,14 @@ of minutes, so unpaired measurements are noise.  Protocol:
   its two burn samples agree within 1.35x — disagreement is direct
   evidence the hypervisor grant shifted nonlinearly INSIDE the pair,
   which no first-order correction can cancel (observed: sandwich
-  samples 54.9 s vs 14.7 s in one pair).  Sampling continues until
-  PAIRS coherent pairs exist or MAX_ATTEMPTS runs are spent;
-  incoherent pairs are reported but excluded from the median.
+  samples 54.9 s vs 14.7 s in one pair).  A pair is ALSO invalid when
+  its ratio exceeds the same-window ALU ceiling (× 1.15 tolerance):
+  superlinear 8→32 scaling is physically impossible for this pipeline,
+  so such a reading means the grant collapsed strictly inside the T_8
+  sample and recovered before the next probe (observed 2026-08-22).
+  Sampling continues until PAIRS coherent pairs exist or MAX_ATTEMPTS
+  runs are spent; incoherent pairs are reported but excluded from the
+  median.
 
 Writes/updates BENCH.md.  Usage:
   python3 tools/bench_scaling.py            # 4 pairs, 4M rows
@@ -47,6 +52,17 @@ PAIRS = max(1, int(os.environ.get("SKEWER_SCALING_PAIRS", "4")))
 MAX_ATTEMPTS = max(
     PAIRS, int(os.environ.get("SKEWER_SCALING_MAX_ATTEMPTS", "10")))
 COHERENCE = float(os.environ.get("SKEWER_SCALING_COHERENCE", "1.35"))
+# Superlinearity gate: an 8→32 pipeline ratio cannot legitimately
+# exceed the same-window cache-resident ALU ceiling (the
+# embarrassingly-parallel best case; the pipeline adds shuffles and a
+# serial tail on top).  A ratio above hw_k means the grant collapsed
+# strictly INSIDE the T_8 sample and recovered before the next
+# sandwich/burn probe — invisible to the three spread checks (observed
+# 2026-08-22 04:49 UTC: T_8 119.9 s / 62.3 s vs 28.9 s typical, "eff"
+# 3.02 / 1.52 with all spreads green).  Tolerance 1.15 keeps the
+# legitimate calm-window pairs that read eff 0.98-1.05.
+SUPERLINEAR_TOL = float(
+    os.environ.get("SKEWER_SCALING_SUPERLINEAR_TOL", "1.15"))
 N_CONVS = int(os.environ.get("SKEWER_SCALING_CONVS", "2000"))
 TURNS = int(os.environ.get("SKEWER_SCALING_TURNS", "2000"))
 
@@ -220,7 +236,9 @@ def main() -> None:
             hw_spread = max(hw_pre, hw_post) / min(hw_pre, hw_post)
             mem_spread = max(mem_pre, mem_post) / min(mem_pre, mem_post)
             ok = (t32_spread <= COHERENCE and hw_spread <= COHERENCE
-                  and mem_spread <= COHERENCE)
+                  and mem_spread <= COHERENCE
+                  # superlinear = T_8-side grant collapse (see header)
+                  and ratio <= hw_k * SUPERLINEAR_TOL)
             hw_pre, mem_pre = hw_post, mem_post
             pairs.append((r8["sec"], t32, ratio, hw_k, ratio / hw_k, ok,
                           mem_k, ratio / mem_k))
@@ -321,7 +339,11 @@ window).  COHERENCE (pre-registered validity criterion): a pair counts
 only if its two T_32 sandwich samples and each burn's two samples (ALU
 and streaming) agree within {COHERENCE:.2f}x — wider spread means the grant shifted
 nonlinearly INSIDE the pair, so that pair measured the hypervisor, not
-the code; sampling continues until {PAIRS} coherent pairs exist (max
+the code — AND its ratio does not exceed the same-window ALU ceiling
+× {SUPERLINEAR_TOL:.2f} (superlinear 8→32 scaling is physically impossible for
+this pipeline: such a reading means the grant collapsed strictly
+inside the T_8 sample and recovered before the next probe); sampling
+continues until {PAIRS} coherent pairs exist (max
 {MAX_ATTEMPTS} attempts).
 
 TWO ceilings bracket the truth: `hw` is a cache-resident ALU burn
