@@ -23,7 +23,9 @@ Scale shape (the Pregel shape, expressed declaratively):
 * each iteration is ONE rank⋈edges hash equi-join + ONE
   partial-aggregable ``groupBy(dst)`` — the canonical message-passing
   shuffle pair; the dangling mass is a 1-row aggregate joined back as
-  a broadcast (no driver-side collect in the loop);
+  a broadcast (no driver-side collect in the loop), and a graph with
+  ZERO sink nodes (known from the setup stats action) skips that
+  machinery outright — ``s_in + 0.0 == s_in`` bit-for-bit;
 * each iteration's rank frame is persisted (eagerly materialized) and
   the superseded one released immediately; every 4 rounds an eager
   ``localCheckpoint`` cuts the accumulated lineage (each round
@@ -32,7 +34,8 @@ Scale shape (the Pregel shape, expressed declaratively):
   discipline as ``dedup.dedup_clusters``); the result detaches via
   one final ``localCheckpoint`` so every loop cache is released on
   return;
-* N (a scalar metadata count) is the only driver-side value.
+* (N, sink count) — two scalar metadata counts fetched in one
+  action — are the only driver-side values.
 
 At 10^10 edges the per-iteration cost is the two exchanges on compact
 (id, double) rows — vertex data never carries payloads; skewed
@@ -74,13 +77,33 @@ def pagerank(
         .withColumn("od", F.count(F.lit(1)).over(Window.partitionBy("s")))
         .persist()
     )
+    # node list + has-out-edges flag from ONE explode-aggregate over
+    # the cached edge frame (r6b: replaces the union+distinct node
+    # build PLUS the left-anti sinks join — one pass, and the sink set
+    # becomes a filter of this cache instead of its own joined frame)
     nodes = (
-        ed.select(F.col("s").alias("id"))
-        .union(ed.select(F.col("t").alias("id")))
-        .distinct()
+        ed.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("s").alias("id"), F.lit(True).alias("ho")),
+                    F.struct(F.col("t").alias("id"), F.lit(False).alias("ho")),
+                )
+            ).alias("_e")
+        )
+        .select(F.col("_e.id").alias("id"), F.col("_e.ho").alias("ho"))
+        .groupBy("id")
+        .agg(F.max("ho").alias("has_out"))
         .persist()
     )
-    n = nodes.count()
+    # node count and sink count in ONE driver action (the only
+    # driver-side values); a sink-free graph — the common shape for
+    # event-derived link graphs, incl. the bench fixture — then skips
+    # the dangling-mass machinery below entirely
+    stats = nodes.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("has_out"), 0).otherwise(1)).alias("ns"),
+    ).first()
+    n, n_sinks = stats["n"], stats["ns"] or 0
     if n == 0:
         out = nodes.select(
             F.col("id").alias("node"), F.lit(0.0).alias("rank")
@@ -88,10 +111,6 @@ def pagerank(
         nodes.unpersist()
         ed.unpersist()
         return out
-    # nodes with no out-edges: their mass redistributes uniformly
-    sinks = nodes.join(
-        ed.select(F.col("s").alias("id")).distinct(), "id", "left_anti"
-    ).persist()
     teleport = (1.0 - damping) / n
 
     # no persist: the seed ranks are a constant projection of the
@@ -106,24 +125,34 @@ def pagerank(
                 .groupBy("t")
                 .agg(F.sum("c").alias("s_in"))
             )
-            dang = sinks.join(ranks, "id").agg(
-                F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm")
-            )
-            new_ranks = (
-                nodes.join(contrib, nodes["id"] == contrib["t"], "left")
-                .crossJoin(F.broadcast(dang))
-                .select(
-                    "id",
-                    (
-                        F.lit(teleport)
-                        + F.lit(damping)
-                        * (
-                            F.coalesce(F.col("s_in"), F.lit(0.0))
-                            + F.col("dm") / n
-                        )
-                    ).alias("rank"),
+            base = nodes.join(contrib, nodes["id"] == contrib["t"], "left")
+            if n_sinks:
+                # nodes with no out-edges: their mass redistributes
+                # uniformly — a 1-row aggregate broadcast (scale-safe;
+                # an unpartitioned window here would single-partition
+                # the node frame)
+                dang = (
+                    nodes.filter(~F.col("has_out"))
+                    .select("id")
+                    .join(ranks, "id")
+                    .agg(
+                        F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm")
+                    )
                 )
-            )
+                rank_expr = F.lit(teleport) + F.lit(damping) * (
+                    F.coalesce(F.col("s_in"), F.lit(0.0))
+                    + F.col("dm") / n
+                )
+                base = base.crossJoin(F.broadcast(dang))
+            else:
+                # dm is identically +0.0: `s_in + 0.0 == s_in` for the
+                # non-negative s_in, so dropping the term is
+                # bit-identical — and saves a broadcast-build job per
+                # iteration
+                rank_expr = F.lit(teleport) + F.lit(damping) * F.coalesce(
+                    F.col("s_in"), F.lit(0.0)
+                )
+            new_ranks = base.select("id", rank_expr.alias("rank"))
             # bounded plan: each round references the rank frame THREE
             # times (contrib, dangling mass, node join), so the logical
             # plan TRIPLES per round — 3^8 subtrees OOMs the analyzer;
@@ -145,7 +174,6 @@ def pagerank(
         ranks.unpersist()
         ed.unpersist()
         nodes.unpersist()
-        sinks.unpersist()
     return out
 
 

@@ -50,6 +50,20 @@ def test_pagerank_mass_conserved(spark):
         assert abs(sum(ranks) - 1.0) < 1e-4  # 6-dp rounding noise only
 
 
+def test_pagerank_sink_free_graph(spark):
+    # r6: a graph with NO dangling nodes takes the fast path that drops
+    # the dangling-mass aggregate entirely — must still match the
+    # reference (which computes dm = 0 naturally) and conserve mass
+    edges = [("a", "b"), ("b", "c"), ("c", "a"), ("c", "b")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r.node: r.rank for r in pagerank(df, iters=4).collect()}
+    want = _py_pagerank(edges, iters=4)
+    assert set(got) == set(want)
+    for v in want:
+        assert abs(got[v] - want[v]) < 2e-6, (v, got[v], want[v])
+    assert abs(sum(got.values()) - 1.0) < 1e-4
+
+
 def test_pagerank_ordering_sensible(spark):
     # the cycle members + fan-in target outrank the dangling sink
     got = {r.node: r.rank for r in pagerank(_edges_df(spark), iters=8).collect()}
