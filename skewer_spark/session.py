@@ -56,6 +56,15 @@ _SQL_TUNING = {
     "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
     "spark.sql.autoBroadcastJoinThreshold": "64MB",
     "spark.sql.session.timeZone": "UTC",
+    # zstd parquet: 40% smaller store than snappy at measured-equal
+    # local write speed (r6 A/B on the 1M-turn pipeline: 308 vs 511 MB,
+    # wall times within noise) — at 100 TB the write/read floor is
+    # bytes through the NIC and disks, so the smaller codec IS the
+    # faster one at scale (optimization guide §1.3/§6); env override
+    # for deployments that want the old default.
+    "spark.sql.parquet.compression.codec": os.environ.get(
+        "SKEWER_PARQUET_CODEC", "zstd"
+    ),
 }
 
 
@@ -116,6 +125,10 @@ def build_session(
         # stats are missing.
         .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
         .config("spark.sql.session.timeZone", "UTC")
+        # zstd parquet: 40% smaller store at measured-equal local write
+        # speed (see _SQL_TUNING note)
+        .config("spark.sql.parquet.compression.codec",
+                os.environ.get("SKEWER_PARQUET_CODEC", "zstd"))
         .config("spark.driver.memory", os.environ.get("SKEWER_DRIVER_MEM", "48g"))
         # local mode: every task shares the one JVM heap — size it for
         # max-cores concurrency or wide sorts spill; spills go to tmpfs
