@@ -207,10 +207,23 @@ def url_dedup(
     ONE partial-aggregable ``groupBy(canon_url)`` over compact
     ``(canon_url, id)`` rows — document text/payload never shuffles.
     Schemeless rows (canon NULL) are excluded: they cannot assert
-    identity with anything."""
-    canon = canonicalize_url(df, url_col)
+    identity with anything.
+
+    The exclusion filters on the cheap scheme-prefix regex BEFORE
+    canonicalizing rather than on ``canon_url IS NOT NULL`` after —
+    provably equivalent (``canon_url`` is NULL iff the trimmed url has
+    no scheme prefix, and for scheme-bearing rows it is a concat of
+    non-null parts), but the post-hoc null filter made the optimizer
+    push a predicate containing the WHOLE canon expression — re-inlined
+    once per concat component — below the parallelism repartition,
+    running the regex chain ~7x per row in a single partition (r6:
+    1.9 → 0.5 s at sf0.1; edge parity incl. NULL/empty/whitespace/
+    schemeless pinned in tests)."""
+    pre = df.filter(
+        F.trim(F.col(url_col)).rlike(r"^[A-Za-z][A-Za-z0-9+.-]*://")
+    )
     return (
-        canon.filter(F.col("canon_url").isNotNull())
+        canonicalize_url(pre, url_col)
         .groupBy("canon_url")
         .agg(
             F.count("*").alias("n_docs"),

@@ -119,6 +119,27 @@ def test_url_dedup_groups(spark):
     assert len(rows) == 2
 
 
+def test_url_dedup_edge_inputs(spark):
+    # r6: the schemeless exclusion moved to a cheap pre-canon scheme
+    # regex — must keep excluding exactly the rows whose canon is NULL
+    # (NULL url, empty, whitespace, no scheme) and keep every
+    # scheme-bearing row, including exotic-but-valid scheme chars
+    df = spark.createDataFrame(
+        [
+            (1, "   https://A.b/x  "),
+            (2, "no-scheme.com/a"),
+            (3, None),
+            (4, ""),
+            (5, "   "),
+            (6, "a+b-c.d://Host/P?z=1&utm_x=9"),
+            (7, "://missing-scheme.com"),
+        ],
+        "doc_id long, url string",
+    )
+    rows = {r["canon_url"]: r["keeper_id"] for r in url_dedup(df).collect()}
+    assert rows == {"https://a.b/x": 1, "a+b-c.d://host/P?z=1": 6}
+
+
 def test_url_dedup_plan_compact(spark):
     """The only exchange is the groupBy(canon_url) — canonicalization
     rides the scan (no extra shuffle, no Python)."""
