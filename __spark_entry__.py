@@ -2138,8 +2138,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from skewer_spark.operators.similarity import random_projection
         emb = _read(spark, sf, "embeddings")
         out = random_projection(emb, "embedding", out_dim=8, dim=64)
+        # posexplode_OUTER: `proj` is a non-null 8-element array
+        # literal per row, so outer vs inner emit identical rows — but
+        # the inner variant makes the optimizer infer a size() filter
+        # with all 8 projection folds inlined, pushed below the
+        # parallelism repartition (single-partition eval, r6)
         return out.select(
-            "vec_id", F.posexplode("proj").alias("proj_idx", "val")
+            "vec_id", F.posexplode_outer("proj").alias("proj_idx", "val")
         )
 
     def q_incr_dedup(spark, sf):

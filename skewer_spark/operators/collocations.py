@@ -40,14 +40,23 @@ def pmi_bigrams(
     cross-engine canonicalization contract); occurrence counts (not
     document counts) on both margins."""
     words = df.select(_tokens(text_col).alias("w"))
+    # both explodes are OUTER + a cheap attribute null-filter: a plain
+    # explode makes the optimizer infer a `size(...) > 0` predicate
+    # with the whole tokenize (resp. zip_with-slice) chain inlined and
+    # push it below the parallelism repartition — single-partition
+    # evaluation of the heaviest expression (r6); the outer variant
+    # infers nothing and the NULL rows empty/short docs emit die in the
+    # attribute filter — identical counts, chains evaluated once, in
+    # parallel
     uni = (
-        words.select(F.explode("w").alias("tok"))
+        words.select(F.explode_outer("w").alias("tok"))
+        .filter(F.col("tok").isNotNull())
         .groupBy("tok")
         .agg(F.count("*").alias("n_tok"))
     )
     big_all = (
         words.select(
-            F.explode(
+            F.explode_outer(
                 F.zip_with(
                     F.slice(
                         F.col("w"), F.lit(1), F.greatest(F.size("w") - 1, F.lit(0))
@@ -59,6 +68,7 @@ def pmi_bigrams(
                 )
             ).alias("p")
         )
+        .filter(F.col("p").isNotNull())
         .select("p.w1", "p.w2")
         .groupBy("w1", "w2")
         .agg(F.count("*").alias("n_pair"))

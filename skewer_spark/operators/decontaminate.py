@@ -61,8 +61,14 @@ def contamination_report(
 
     bench = benchmark_shingle_set(bench_df, text_col, n)
 
+    # explode_OUTER: a plain explode makes the optimizer infer a
+    # `size(_sh) > 0` filter with the whole shingle chain inlined and
+    # push it below the parallelism repartition (single-partition
+    # evaluation, r6); the outer variant infers nothing, and the extra
+    # NULL-shingle row an empty doc emits dies in the inner bench join
+    # — identical output, chain evaluated once, in parallel
     matched = (
-        docs.select(id_col, F.explode("_sh").alias("shingle"))
+        docs.select(id_col, F.explode_outer("_sh").alias("shingle"))
         .join(F.broadcast(bench), "shingle")
         .groupBy(id_col)
         .agg(F.count("*").alias("n_matched"))

@@ -59,8 +59,19 @@ def _blocked_from_tokens(
     :func:`link_records` tokenizes each side exactly ONCE (Catalyst
     does not CSE independent subtrees; a second `_name_tokens` build
     would re-scan and re-tokenize both tables)."""
-    lx = lt.select("left_id", F.explode("left_toks").alias("tok"))
-    rx = rt.select("right_id", F.explode("right_toks").alias("tok"))
+    # explode_OUTER + attribute null-filter: a plain explode makes the
+    # optimizer infer `size(toks) > 0` with the whole tokenize chain
+    # inlined, pushed below the parallelism repartition (r6 — see
+    # search.build_inverted_index); NULL rows from empty names die in
+    # the cheap filter, frames identical
+    lx = (
+        lt.select("left_id", F.explode_outer("left_toks").alias("tok"))
+        .filter(F.col("tok").isNotNull())
+    )
+    rx = (
+        rt.select("right_id", F.explode_outer("right_toks").alias("tok"))
+        .filter(F.col("tok").isNotNull())
+    )
     # stop-token rule: df computed per side on the compact (tok) frame
     l_ok = (
         lx.groupBy("tok").agg(F.count("*").alias("df"))

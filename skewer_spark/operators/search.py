@@ -57,11 +57,18 @@ def build_inverted_index(
     # materialize the token array ONCE: Catalyst does not CSE the
     # lower+regex-split across the explode and size expressions, and
     # tokenization is the dominant per-row cost of the corpus pass
+    # explode_OUTER + an attribute null-filter: a plain explode makes
+    # the optimizer infer `size(_t) > 0` with the whole tokenize chain
+    # inlined and push it below the parallelism repartition
+    # (single-partition evaluation, r6); the outer variant infers
+    # nothing, and the NULL-term row an empty doc emits is dropped by
+    # the cheap post-generate filter — identical postings, chain
+    # evaluated once, in parallel
     toks = docs.select(
         F.col(id_col).alias("doc_id"), _tokens(text_col).alias("_t")
     ).select(
-        "doc_id", F.explode("_t").alias("term"), F.size("_t").alias("dl")
-    )
+        "doc_id", F.explode_outer("_t").alias("term"), F.size("_t").alias("dl")
+    ).filter(F.col("term").isNotNull())
     return toks.groupBy("term", "doc_id").agg(
         F.count("*").alias("tf"), F.first("dl").alias("dl")
     )

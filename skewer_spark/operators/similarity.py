@@ -221,8 +221,16 @@ def lsh_bucketed_topk(
             f"query_vec has {len(query_vec)} dims, expected dim={dim}"
         )
     qb = query_bucket(query_vec, n_planes)
+    # data-side bucket via the numpy lockstep twin (one band of
+    # n_planes rows ≡ hyperplane_bucket at plane_offset 0, bit-for-bit
+    # — same LCG planes, same IEEE fold order, same NULL/length/NaN
+    # semantics; pinned by tests).  Beyond the usual §4.2 win, the UDF
+    # boundary keeps the optimizer from pushing the bucket predicate —
+    # with the whole interpreted fold inlined — below the parallelism
+    # repartition, where it ran single-partition (r6).
     bucketed = df.withColumn(
-        "_bucket", hyperplane_bucket(vec_col, n_planes, dim)
+        "_bucket",
+        _band_sig_udf(1, n_planes, dim)(F.col(vec_col)).getItem(0),
     )
     cand = bucketed.filter(
         F.bit_count(F.col("_bucket").bitwiseXOR(F.lit(qb))) <= probe_hamming

@@ -62,12 +62,20 @@ def _grouped_tokens(
         F.split(mask_variables(F.col(text_col)), r"\s+"),
         lambda t: t != F.lit(""),
     )
+    if not keep_empty:
+        # drop zero-token lines BEFORE tokenizing, on the raw text:
+        # provably equivalent to `size(_toks) > 0` (masking substitutes
+        # non-whitespace for non-whitespace and no MASK_PATTERN matches
+        # pure whitespace, so token count is 0 iff the trimmed input is
+        # empty/NULL) — a post-hoc filter on the derived `_n` inlines
+        # the whole mask+split+filter chain into the pushed predicate
+        # (15 expensive evals, run below the parallelism repartition,
+        # r6)
+        df = df.filter(F.trim(F.col(text_col)) != F.lit(""))
     base = (
         df.select(F.col(id_col), toks.alias("_toks"))
         .withColumn("_n", F.size("_toks"))
     )
-    if not keep_empty:
-        base = base.filter(F.col("_n") > 0)
     # try_element_at: ANSI mode makes element_at THROW on the empty
     # array a zero-token line produces; the contract here is NULL
     return base.withColumn("_first", F.try_element_at("_toks", F.lit(1)))
