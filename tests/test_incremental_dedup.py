@@ -90,3 +90,42 @@ def test_band_join_fixed_width_exchange(spark, corpus_and_new):
     n = spark.sparkContext.defaultParallelism
     assert f"hashpartitioning(band_id" in plan
     assert f", {n}), REPARTITION_BY_NUM" in plan
+
+
+def test_groupby_max_reduction_equals_windowed_reference(spark, corpus_and_new):
+    """r6: incremental_dedup's best-match reduction runs as a
+    groupBy-max over the band-collision MULTISET (no candidate
+    distinct).  Pin it row-for-row against the old reduction — a
+    row_number window ordered (est desc, corpus_id asc) over the
+    distinct public matches frame — on a fixture that has multi-band
+    collisions (exact dups collide in every band) AND score ties (the
+    30-doc identical-boilerplate class all score 1.0 against new doc
+    3, so the tie-break must pick the LOWEST corpus id)."""
+    from pyspark.sql import Window
+
+    _, new, sigs = corpus_and_new
+    got = {
+        r["new_id"]: (r["best_corpus_id"], r["est_jaccard"], r["is_dup"])
+        for r in incremental_dedup(new, sigs, threshold=0.5).collect()
+    }
+    w = Window.partitionBy("new_id").orderBy(
+        F.col("est_jaccard").desc(), F.col("corpus_id").asc()
+    )
+    ref_best = (
+        incremental_minhash_matches(new, sigs)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+    )
+    ref = {
+        r["new_id"]: (
+            r["corpus_id"], r["est_jaccard"], r["est_jaccard"] >= 0.5
+        )
+        for r in ref_best.collect()
+    }
+    for new_id, verdict in ref.items():
+        assert got[new_id] == verdict
+    # new docs without any candidate: NULL match, not a dup
+    for new_id in set(got) - set(ref):
+        assert got[new_id] == (None, None, False)
+    # tie-break hits the boilerplate class: lowest id of the 200..229 run
+    assert got[3][0] == 200
