@@ -613,6 +613,10 @@ def dedup_clusters(
                 .groupBy("s")
                 .agg(F.min("nlbl").alias("min_nlbl"))
             )
+            # carry the OLD label through the same projection: the
+            # convergence probe then reads the cached frame directly
+            # instead of paying a labels-vs-new-labels shuffle join per
+            # round (r6, fused probe — same shape as tree_root_depth)
             new_labels = (
                 labels.join(neigh, "s", "left")
                 .select(
@@ -620,15 +624,12 @@ def dedup_clusters(
                     F.least(
                         F.col("lbl"), F.coalesce(F.col("min_nlbl"), F.col("lbl"))
                     ).alias("lbl"),
+                    F.col("lbl").alias("old_lbl"),
                 )
             )
             new_labels.persist()
             changed = (
-                new_labels.join(
-                    labels.select("s", F.col("lbl").alias("old_lbl")), "s"
-                )
-                .filter(F.col("lbl") != F.col("old_lbl"))
-                .count()
+                new_labels.filter(F.col("lbl") != F.col("old_lbl")).count()
             )
             labels.unpersist()
             labels = new_labels
@@ -661,7 +662,8 @@ def dedup_clusters(
         # checkpoint blocks, which the ContextCleaner frees when the
         # caller drops the frame.  Without this, `und` + the final
         # `labels` stayed persisted forever on a long multi-operator job.
-        out = labels.localCheckpoint(eager=True)
+        # (project the probe's old_lbl away first — cache hit either way)
+        out = labels.select("s", "lbl").localCheckpoint(eager=True)
     finally:
         und.unpersist()
         labels.unpersist()
