@@ -723,7 +723,13 @@ def dedup_clusters_star(
             .filter(F.col("v") > F.col("u"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
         )
-        e1 = large.filter(F.col("u") != F.col("v")).distinct()
+        # the large-star output feeds THREE subtrees of the round's
+        # materialization (oriented, mins2, and the union's second
+        # branch) — its shuffles dedup via ReusedExchange but the join
+        # + final distinct aggregate replay per consumer; a per-round
+        # persist computes it once (released after the round's eager
+        # checkpoint — instance-scoped, never crosses invocations)
+        e1 = large.filter(F.col("u") != F.col("v")).distinct().persist()
         # small-star on the large-star output: orient toward the max
         oriented = e1.select(
             F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
@@ -740,6 +746,7 @@ def dedup_clusters_star(
             .distinct()
             .localCheckpoint(eager=True)
         )
+        e1.unpersist()
         p = e_next.agg(
             F.count("*").alias("n"), F.bit_xor(F.xxhash64("u", "v")).alias("h")
         ).collect()[0]
