@@ -309,33 +309,6 @@ def incremental_minhash_matches(
       corpus side is a stored table read, so the replay touches only
       the new batch.
     """
-    return _incremental_scored(
-        new_df, corpus_sigs, text_col, id_col, bands, rows_per_band,
-        corpus_bucket_cap, unique_pairs=True,
-    )
-
-
-def _incremental_scored(
-    new_df: DataFrame,
-    corpus_sigs: DataFrame,
-    text_col: str,
-    id_col: str,
-    bands: int,
-    rows_per_band: int,
-    corpus_bucket_cap: int | None,
-    unique_pairs: bool,
-) -> DataFrame:
-    """Shared banding + scoring for the incremental family.
-
-    ``unique_pairs=True`` is the public :func:`incremental_minhash_
-    matches` contract (one row per candidate pair — the distinct runs
-    BEFORE the signature joins so the shuffle carries only two ids).
-    ``unique_pairs=False`` keeps band-collision multiplicity (a pair
-    colliding in k bands appears k times): every duplicate row carries
-    the IDENTICAL ``est_jaccard`` — the score is a function of the pair
-    — so max-style reductions downstream are unchanged, and the caller
-    saves the candidate-frame distinct shuffle outright
-    (:func:`incremental_dedup`, guide §2.4)."""
     n_hashes = bands * rows_per_band
     # the fresh new-batch signatures feed TWO subtrees (banding +
     # verify); an eager localCheckpoint computes the sign pass once —
@@ -357,9 +330,11 @@ def _incremental_scored(
     nb = nb.repartition(n, "band_id", "band_key")
     cb = cb.repartition(n, "band_id", "band_key")
     cb = cap_per_group(cb, ["band_id", "band_key"], "corpus_id", corpus_bucket_cap)
-    cands = nb.join(cb, ["band_id", "band_key"]).select("new_id", "corpus_id")
-    if unique_pairs:
-        cands = cands.distinct()
+    cands = (
+        nb.join(cb, ["band_id", "band_key"])
+        .select("new_id", "corpus_id")
+        .distinct()
+    )
     ns = new_sigs.select(
         F.col(id_col).alias("new_id"),
         *[F.col(f"mh_{i}").alias(f"n_mh_{i}") for i in range(n_hashes)],
@@ -403,52 +378,28 @@ def incremental_dedup(
     engines/retries); docs with no band collision at all come back
     with NULL match and ``is_dup = false`` via a LEFT join from the
     new batch.  The post-candidate work is all candidate-frame-sized:
-    one partial-aggregable ``groupBy(new_id)`` max, then one join back
-    to the new batch's id column.
+    one window partitioned by ``new_id``, then one join back to the
+    new batch's id column.
 
-    The reduction runs on the band-collision MULTISET (r6, guide
-    §2.4): a pair colliding in k bands scores the identical
-    ``est_jaccard`` k times, so ``max`` is unchanged and the candidate
-    distinct shuffle is dropped; the (est desc, corpus_id asc)
-    tie-break rides one struct max — ``~corpus_id`` (bitwise NOT) is a
-    strictly order-REVERSING int64 bijection with no MIN_LONG overflow,
-    so max over it selects the LOWEST id among equal scores."""
-    integral_id = dict(corpus_sigs.dtypes).get(id_col) in (
-        "tinyint", "smallint", "int", "bigint"
-    )
-    scored = _incremental_scored(
+    (r6, measured and REVERTED: a groupBy(new_id).max(struct(est,
+    ~corpus_id)) reduction over the band-collision multiset — skipping
+    the candidate distinct — lost ~10% in 3/3 alternating A/B runs:
+    max-over-struct falls back to partial/final SortAggregate, which
+    costs more than the hash distinct + WindowGroupLimit top-1 it
+    replaced.  The windowed shape below is the measured winner; the
+    differential test pinning reduction semantics stays.)"""
+    matches = incremental_minhash_matches(
         new_df, corpus_sigs, text_col, id_col, bands, rows_per_band,
-        corpus_bucket_cap, unique_pairs=not integral_id,
+        corpus_bucket_cap,
     )
-    if integral_id:
-        best = (
-            scored.groupBy("new_id")
-            .agg(
-                F.max(
-                    F.struct(
-                        F.col("est_jaccard").alias("e"),
-                        F.bitwise_not(F.col("corpus_id")).alias("nc"),
-                    )
-                ).alias("_b")
-            )
-            .select(
-                "new_id",
-                F.bitwise_not(F.col("_b.nc")).alias("corpus_id"),
-                F.col("_b.e").alias("est_jaccard"),
-            )
-        )
-    else:
-        # non-integral ids: ~id has no order-reversing bijection, so
-        # keep the windowed reduction (over unique pairs — the distinct
-        # bounds the sort input)
-        w = Window.partitionBy("new_id").orderBy(
-            F.col("est_jaccard").desc(), F.col("corpus_id").asc()
-        )
-        best = (
-            scored.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .drop("_rn")
-        )
+    w = Window.partitionBy("new_id").orderBy(
+        F.col("est_jaccard").desc(), F.col("corpus_id").asc()
+    )
+    best = (
+        matches.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
     return (
         new_df.select(F.col(id_col).alias("new_id"))
         .join(best, "new_id", "left")
